@@ -1,0 +1,47 @@
+"""Public API of the engine.
+
+Mirrors the reference's Python binding surface
+(/root/reference/src/python_module.cpp:193-227 `avecado.make_vector_tile`)
+plus the bulk entry point the reference exposes as `avecado vector-bulk`
+(/root/reference/src/avecado_exporter.cpp:329-504), re-expressed as
+DataFrame-in / DataFrame-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.encode import build_point_tiles, make_vector_tile  # noqa: F401
+from .operators.keys import geocode, with_salt, with_tile_keys
+from .sources.pages import pages_df, pages_oracle_sql  # noqa: F401
+
+
+def spark_session(master: str | None = None, app: str = "avecado_spark",
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    """Session with the engine's scale-oriented defaults: AQE on (runtime
+    re-plan + skew-join splitting), Arrow enabled for pandas UDFs."""
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    b = (b.config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+          .config("spark.sql.parquet.filterPushdown", "true"))
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def build_tiles(pages: DataFrame, z: int, n_salts: int = 16,
+                **encode_kwargs) -> DataFrame:
+    """Bulk tile build: pages table → (z, x, y, tile_pbf, n_features,
+    interesting). The Spark translation of `avecado vector-bulk`: tile keys
+    are derived from the data, so empty tiles are pruned for free
+    (reference empty-subtree pruning, avecado_exporter.cpp:193-202)."""
+    geo = geocode(pages)
+    keyed = with_tile_keys(geo, z)
+    keyed = keyed.withColumn(
+        "feature_id",
+        keyed["url"].substr(32, 20).cast("long"))  # trailing page number
+    salted = with_salt(keyed, n_salts=n_salts)
+    return build_point_tiles(salted, z, n_salts=n_salts, **encode_kwargs)

@@ -1,0 +1,120 @@
+"""Packed (bulk-loaded) STR R-tree over bounding boxes, numpy-native.
+
+Plays the role of the reference's packed boost::geometry rtree
+(`bgi::rtree<(box, idx), quadratic<16>>` bulk-constructed from an iterator
+range — /root/reference/src/post_process/adminizer.cpp:620, :728-742):
+it indexes only bboxes; callers re-check exact geometry on the candidates
+(same two-phase probe as the reference :594-602).
+
+The tree is built once on the driver over the (small, broadcastable) admin
+polygon table, pickled into a Spark broadcast, and probed inside pandas UDFs.
+Construction is Sort-Tile-Recursive packing; queries are vectorized: a whole
+array of probe boxes is matched level-by-level against node bboxes, so per-row
+python is avoided on the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NODE_CAP = 16  # match the reference's quadratic<16> fanout
+
+
+class STRtree:
+    """boxes: (n,4) array [minx, miny, maxx, maxy]."""
+
+    def __init__(self, boxes: np.ndarray):
+        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+        self.n = len(boxes)
+        self.leaf_boxes = boxes
+        if self.n == 0:
+            self.levels = []
+            self.order = np.empty(0, dtype=np.int64)
+            return
+
+        # STR packing: sort by center-x into vertical slices, each slice
+        # sorted by center-y, chunked into leaf nodes of NODE_CAP.
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+        n_leaves = int(np.ceil(self.n / NODE_CAP))
+        n_slices = int(np.ceil(np.sqrt(n_leaves)))
+        per_slice = n_slices * NODE_CAP
+
+        order = np.argsort(cx, kind="stable")
+        chunks = []
+        for s in range(0, self.n, per_slice):
+            sl = order[s:s + per_slice]
+            sl = sl[np.argsort(cy[sl], kind="stable")]
+            chunks.append(sl)
+        self.order = np.concatenate(chunks)
+
+        # level 0 = reordered leaf boxes; build parent levels of node bboxes
+        self.levels = []  # each: (boxes (m,4), child_start indices)
+        cur = boxes[self.order]
+        while len(cur) > 1:
+            m = int(np.ceil(len(cur) / NODE_CAP))
+            nb = np.empty((m, 4))
+            for i in range(m):
+                seg = cur[i * NODE_CAP:(i + 1) * NODE_CAP]
+                nb[i] = (seg[:, 0].min(), seg[:, 1].min(),
+                         seg[:, 2].max(), seg[:, 3].max())
+            self.levels.append(cur)
+            cur = nb
+        self.levels.append(cur)
+        self.levels.reverse()  # [root ... leaves]
+
+    def query_box(self, qbox) -> np.ndarray:
+        """Original indices of leaf boxes intersecting qbox."""
+        if self.n == 0:
+            return np.empty(0, dtype=np.int64)
+        qx0, qy0, qx1, qy1 = qbox
+        # walk levels from root; cand = node indices at current level
+        cand = np.array([0], dtype=np.int64)
+        for lvl in range(len(self.levels)):
+            boxes = self.levels[lvl]
+            if lvl == 0 and len(self.levels) > 1:
+                cand = np.arange(len(boxes), dtype=np.int64)
+            elif lvl > 0:
+                # expand candidates to children at this level
+                starts = cand * NODE_CAP
+                cand = (starts[:, None] + np.arange(NODE_CAP)[None, :]).ravel()
+                cand = cand[cand < len(boxes)]
+            b = boxes[cand]
+            hit = ~((b[:, 2] < qx0) | (qx1 < b[:, 0]) |
+                    (b[:, 3] < qy0) | (qy1 < b[:, 1]))
+            cand = cand[hit]
+            if len(cand) == 0:
+                return np.empty(0, dtype=np.int64)
+        return self.order[cand]
+
+    def query_points(self, xs: np.ndarray, ys: np.ndarray):
+        """Vectorized point probe: for m points × n leaf boxes, returns
+        (point_idx, box_idx) hit pairs. For the small broadcast admin sets
+        this brute-force matrix test beats tree descent in numpy."""
+        if self.n == 0 or len(xs) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        b = self.leaf_boxes
+        hit = ((xs[:, None] >= b[None, :, 0]) & (xs[:, None] <= b[None, :, 2]) &
+               (ys[:, None] >= b[None, :, 1]) & (ys[:, None] <= b[None, :, 3]))
+        pi, bi = np.nonzero(hit)
+        return pi, bi
+
+    def query_boxes(self, qboxes: np.ndarray):
+        """Vectorized box probe: (m,4) probe boxes → (probe_idx, box_idx)."""
+        if self.n == 0 or len(qboxes) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        b = self.leaf_boxes
+        q = np.asarray(qboxes, dtype=np.float64).reshape(-1, 4)
+        hit = ~((b[None, :, 2] < q[:, None, 0]) | (q[:, None, 2] < b[None, :, 0]) |
+                (b[None, :, 3] < q[:, None, 1]) | (q[:, None, 3] < b[None, :, 1]))
+        pi, bi = np.nonzero(hit)
+        return pi, bi
+
+    def nearest(self, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+        """kNN (k=1) by box-center squared euclidean distance, ties broken by
+        lowest index (STRtree.nearest role in the north rule's kNN join)."""
+        b = self.leaf_boxes
+        cx = (b[:, 0] + b[:, 2]) / 2.0
+        cy = (b[:, 1] + b[:, 3]) / 2.0
+        d2 = (xs[:, None] - cx[None, :]) ** 2 + (ys[:, None] - cy[None, :]) ** 2
+        return np.argmin(d2, axis=1)

@@ -1,0 +1,85 @@
+"""Geocoding + tile/cell key assignment + hot-key salting.
+
+Pipeline position: pages(url, warc_ts, html, text, lang)
+  → geocode (vectorized Arrow UDF over `text`; byte-identical per url —
+    BASELINE.json.input_hint invariant)
+  → (mx_mm, my_mm) integer mercator millimeters
+  → (z, x, y) tile keys (integer math — see functions/mercator.py) and a
+    quadkey cell id (H3/S2 stand-in: the h3 library is not available in this
+    container, so the hierarchical cell index is the z-interleaved quadkey,
+    which has the same containment-by-prefix property used for joins)
+  → salt column for skewed hot tiles (two-phase aggregation; north rule).
+
+Scale notes (100 TB / 10^12 docs):
+  * `html` (the huge column) is never referenced here — Catalyst prunes it
+    from the scan as long as callers select it away before shuffles.
+  * geocode is one Arrow-batched pandas UDF (regex over a pandas Series) —
+    no per-row python.
+  * salting is data-independent (hash of url) so it needs no skew statistics;
+    AQE skew-join splitting is enabled in the session conf as the backstop.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..functions.mercator import tile_x_expr, tile_y_expr
+
+_GEO_RE = r"geo:mxm=(-?\d+);mym=(-?\d+)"
+
+_geo_schema = StructType([
+    StructField("mx_mm", LongType()),
+    StructField("my_mm", LongType()),
+])
+
+
+@F.pandas_udf(_geo_schema)
+def geocode_udf(text: pd.Series) -> pd.DataFrame:
+    """Extract integer mercator-mm coordinates from page text.
+
+    Deterministic, vectorized (pandas .str.extract → Arrow batch). This is
+    the engine's 'lat/lon extracted once via vectorized Arrow UDF from text'
+    step (north_star). Returns nulls for pages without a geo marker.
+    """
+    ext = text.str.extract(_GEO_RE)
+    return pd.DataFrame({
+        "mx_mm": pd.to_numeric(ext[0], errors="coerce").astype("Int64"),
+        "my_mm": pd.to_numeric(ext[1], errors="coerce").astype("Int64"),
+    })
+
+
+def geocode(pages: DataFrame) -> DataFrame:
+    """pages → + (mx_mm, my_mm). Drops rows with no geo marker."""
+    out = pages.withColumn("_geo", geocode_udf(F.col("text")))
+    return (out
+            .withColumn("mx_mm", F.col("_geo.mx_mm"))
+            .withColumn("my_mm", F.col("_geo.my_mm"))
+            .drop("_geo")
+            .where(F.col("mx_mm").isNotNull() & F.col("my_mm").isNotNull()))
+
+
+def with_tile_keys(df: DataFrame, z: int,
+                   mx_col: str = "mx_mm", my_col: str = "my_mm") -> DataFrame:
+    """Add (z, x, y) tile key columns via exact integer math."""
+    return (df
+            .withColumn("z", F.lit(z))
+            .withColumn("x", tile_x_expr(mx_col, z))
+            .withColumn("y", tile_y_expr(my_col, z)))
+
+
+def quadkey_col(z: Column, x: Column, y: Column) -> Column:
+    """Hierarchical cell id with prefix-containment (H3/S2 stand-in):
+    cell = (z << 60) | interleave-free packed key. Ancestors are derived by
+    right-shifting x and y — same operation as overzoom (overzoom.cpp:14-23).
+    Packed as z*2^58 + x*2^29 + y (valid to z=29)."""
+    return (z.cast("long") * F.lit(1 << 58)
+            + x.cast("long") * F.lit(1 << 29)
+            + y.cast("long"))
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, key_col: str = "url") -> DataFrame:
+    """Deterministic salt for two-phase aggregation over hot tiles."""
+    return df.withColumn("salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts)))

@@ -1,0 +1,189 @@
+"""Driver-contract query registry.
+
+Each entry couples a Spark implementation (spark, sf_dir) -> DataFrame with a
+DuckDB oracle SQL string over the driver's pre-registered views (region,
+nation, customer, supplier, part, orders, lineitem, events, documents,
+embeddings). Column names/aliases are kept identical on both sides — the
+driver sorts columns by name and value-hashes, so every computed column is
+aliased the same way in Spark code and SQL text.
+
+Queries whose semantics are not SQL-expressible (MVT byte assembly, izer
+pipelines) register with oracle=None → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.keys import geocode, with_tile_keys
+from .sources.pages import pages_df, pages_oracle_sql
+
+GEO_RE = r"geo:mxm=(-?\\d+);mym=(-?\\d+)"
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+# ---------------------------------------------------------------------------
+
+PAGES = pages_oracle_sql()
+
+# geocode in DuckDB: regexp_extract of the same integer markers
+GEO_SQL = f"""(
+  SELECT url, text, lang,
+         CAST(regexp_extract(text, 'geo:mxm=(-?\\d+);mym=(-?\\d+)', 1) AS BIGINT) AS mx_mm,
+         CAST(regexp_extract(text, 'geo:mxm=(-?\\d+);mym=(-?\\d+)', 2) AS BIGINT) AS my_mm
+  FROM {PAGES} p
+)"""
+
+
+def _geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geocode(pages_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# S1/P2 — scan with mercator bbox predicate pushdown
+# ---------------------------------------------------------------------------
+
+_BBOX = (-9000000000, 4000000000, -7000000000, 6000000000)  # mm; covers city 0
+
+
+@register("s1_scan_bbox_filter", f"""
+  SELECT url, mx_mm, my_mm FROM {GEO_SQL} g
+  WHERE mx_mm BETWEEN {_BBOX[0]} AND {_BBOX[2]}
+    AND my_mm BETWEEN {_BBOX[1]} AND {_BBOX[3]}
+""")
+def s1_scan_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P2 (SURVEY §2.1/§2.2): bbox-windowed feature scan
+    (reference make_vector_tile.cpp:30-33 query over buffered tile bbox)."""
+    g = _geo(spark, sf_dir)
+    return (g.where(F.col("mx_mm").between(_BBOX[0], _BBOX[2])
+                    & F.col("my_mm").between(_BBOX[1], _BBOX[3]))
+             .select("url", "mx_mm", "my_mm"))
+
+
+# ---------------------------------------------------------------------------
+# tile assignment / pyramid (A1 grouping, J4 ancestor, F1 box)
+# ---------------------------------------------------------------------------
+
+from .functions.mercator import (HALF_WORLD, WORLD_SIZE, tile_x_expr,
+                                 tile_x_sql, tile_y_expr, tile_y_sql)
+
+
+@register("tile_assign_z14", f"""
+  SELECT {tile_x_sql('mx_mm', 14)} AS x, {tile_y_sql('my_mm', 14)} AS y,
+         COUNT(*) AS n_docs
+  FROM {GEO_SQL} g GROUP BY 1, 2
+""")
+def tile_assign_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (SURVEY §2.4): the tile build's grouping — docs per z14 tile.
+    Exact integer math (bit-identical to the oracle)."""
+    g = _geo(spark, sf_dir)
+    return (g.select(tile_x_expr("mx_mm", 14).alias("x"),
+                     tile_y_expr("my_mm", 14).alias("y"))
+             .groupBy("x", "y").agg(F.count("*").alias("n_docs")))
+
+
+@register("j4_overzoom_ancestor", f"""
+  WITH t AS (
+    SELECT {tile_x_sql('mx_mm', 16)} AS x16, {tile_y_sql('my_mm', 16)} AS y16
+    FROM {GEO_SQL} g
+  )
+  SELECT (x16 // 4) AS x14, (y16 // 4) AS y14, COUNT(*) AS n_docs
+  FROM t GROUP BY 1, 2
+""")
+def j4_overzoom_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (SURVEY §2.3): overzoom ancestor lookup — z16 keys right-shifted
+    to their z14 ancestors (reference overzoom.cpp:14-23)."""
+    g = _geo(spark, sf_dir)
+    t = g.select(tile_x_expr("mx_mm", 16).alias("x16"),
+                 tile_y_expr("my_mm", 16).alias("y16"))
+    return (t.select(F.shiftright("x16", 2).alias("x14"),
+                     F.shiftright("y16", 2).alias("y14"))
+             .groupBy("x14", "y14").agg(F.count("*").alias("n_docs")))
+
+
+@register("f1_box_for_tile", f"""
+  WITH t AS (
+    SELECT DISTINCT {tile_x_sql('mx_mm', 6)} AS x, {tile_y_sql('my_mm', 6)} AS y
+    FROM {GEO_SQL} g
+  )
+  SELECT x, y,
+    x * ({WORLD_SIZE!r} / 64.0) - {HALF_WORLD!r} AS minx,
+    {HALF_WORLD!r} - (y + 1) * ({WORLD_SIZE!r} / 64.0) AS miny,
+    (x + 1) * ({WORLD_SIZE!r} / 64.0) - {HALF_WORLD!r} AS maxx,
+    {HALF_WORLD!r} - y * ({WORLD_SIZE!r} / 64.0) AS maxy
+  FROM t
+""")
+def f1_box_for_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (SURVEY §2.8): box_for_tile as a column expression
+    (reference util.cpp:8-17). Same IEEE op order as the oracle."""
+    g = _geo(spark, sf_dir)
+    t = (g.select(tile_x_expr("mx_mm", 6).alias("x"),
+                  tile_y_expr("my_mm", 6).alias("y")).distinct())
+    scale = F.lit(WORLD_SIZE) / F.lit(64.0)
+    return t.select(
+        "x", "y",
+        (F.col("x") * scale - F.lit(HALF_WORLD)).alias("minx"),
+        (F.lit(HALF_WORLD) - (F.col("y") + F.lit(1)) * scale).alias("miny"),
+        ((F.col("x") + F.lit(1)) * scale - F.lit(HALF_WORLD)).alias("maxx"),
+        (F.lit(HALF_WORLD) - F.col("y") * scale).alias("maxy"))
+
+
+@register("a2_layer_envelope", f"""
+  WITH t AS (
+    SELECT {tile_x_sql('mx_mm', 8)} AS x, {tile_y_sql('my_mm', 8)} AS y,
+           mx_mm, my_mm
+    FROM {GEO_SQL} g
+  )
+  SELECT x, y, MIN(mx_mm) AS minx, MIN(my_mm) AS miny,
+         MAX(mx_mm) AS maxx, MAX(my_mm) AS maxy
+  FROM t GROUP BY 1, 2
+""")
+def a2_layer_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (SURVEY §2.4): per-tile layer envelope — the expand_to_include
+    fold (reference adminizer.cpp:160-173) as MIN/MAX aggregates."""
+    g = _geo(spark, sf_dir)
+    t = g.select(tile_x_expr("mx_mm", 8).alias("x"),
+                 tile_y_expr("my_mm", 8).alias("y"), "mx_mm", "my_mm")
+    return t.groupBy("x", "y").agg(
+        F.min("mx_mm").alias("minx"), F.min("my_mm").alias("miny"),
+        F.max("mx_mm").alias("maxx"), F.max("my_mm").alias("maxy"))
+
+
+@register("p6_valid_tile_range", f"""
+  WITH t AS (
+    SELECT {tile_x_sql('mx_mm', 14)} AS x, {tile_y_sql('my_mm', 14)} AS y
+    FROM {GEO_SQL} g
+  )
+  SELECT COUNT(*) AS n_valid FROM t
+  WHERE x >= 0 AND x < 16384 AND y >= 0 AND y < 16384
+""")
+def p6_valid_tile_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (SURVEY §2.2): z/x/y range validation
+    (reference mapnik_request_handler.cpp:127-140)."""
+    g = _geo(spark, sf_dir)
+    t = g.select(tile_x_expr("mx_mm", 14).alias("x"),
+                 tile_y_expr("my_mm", 14).alias("y"))
+    return (t.where((F.col("x") >= 0) & (F.col("x") < 16384)
+                    & (F.col("y") >= 0) & (F.col("y") < 16384))
+             .agg(F.count("*").alias("n_valid")))

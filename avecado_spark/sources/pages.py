@@ -1,0 +1,124 @@
+"""The north-rule input table: Common-Crawl-style `pages`.
+
+BASELINE.json.input_hint pins the shape:
+    (url string, warc_ts timestamp, html binary, text string, lang string)
+
+No external data is allowed, so the table is synthesized *deterministically*
+from the driver-provided TPC-H-ish parquet (lineitem → one page per line
+item; ~600k pages at sf0.1). Geography is embedded in `text` as integer
+Web-Mercator millimeters ("geo:mxm=<int>;mym=<int>") so that
+
+  * the engine's geocoding step is a real vectorized text-extraction UDF
+    (byte-identical per url — the input_hint invariant), and
+  * the DuckDB correctness oracle can re-derive the exact same integers
+    with regexp_extract — giving bit-exact cross-engine parity without
+    depending on transcendental-function rounding.
+
+The spatial distribution is deliberately skewed (three "urban" hot spots
+receive ~30% of pages within ±1 km) to exercise the hot-tile salting path
+the north rule requires.
+
+The synthesis is ONE SQL template rendered for two dialects (Spark, DuckDB),
+so the oracle sees the same table by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+HALF_WORLD_MM = 20037508340  # = WORLD_SIZE_MM / 2
+MARGIN_MM = 100000           # keep away from poles/antimeridian edges
+
+# three hot "cities" in mercator mm (roughly NYC, London, Tokyo longitudes;
+# values are arbitrary but fixed constants — only determinism matters)
+CITY_X = (-8237642000, -14243000, 15550885000)
+CITY_Y = (4970241000, 6711542000, 4253698000)
+CITY_JITTER_MM = 1000000  # ±1 km
+
+LANGS = ("en", "de", "fr", "es", "zh", "ru", "pt")
+
+# dialect substitutions: {IDIV} integer division, {TS} epoch→timestamp
+_DIALECT = {
+    "spark": {"IDIV": "div", "TS": "timestamp_seconds"},
+    "duckdb": {"IDIV": "//", "TS": "to_timestamp"},
+}
+
+_PAGES_TEMPLATE = """
+WITH src AS (
+  SELECT l_orderkey * 8 + l_linenumber AS k,
+         l_quantity, l_extendedprice
+  FROM {lineitem}
+), geo AS (
+  SELECT k,
+    ((k * 2654435761 + 12345) % 100) AS hot,
+    ((k * 2654435761 + 1013904223) % {xspan}) - {xhalf} AS ux,
+    ((k * 2246822519 + 3266489917) % {yspan}) - {yhalf} AS uy,
+    ((k * 97 + 13) % {jspan}) - {jhalf} AS jx,
+    ((k * 89 + 7) % {jspan}) - {jhalf} AS jy
+  FROM src
+), pos AS (
+  SELECT k,
+    CASE
+      WHEN hot < 10 THEN {cx0} + jx
+      WHEN hot < 20 THEN {cx1} + jx
+      WHEN hot < 30 THEN {cx2} + jx
+      ELSE ux
+    END AS mx_mm,
+    CASE
+      WHEN hot < 10 THEN {cy0} + jy
+      WHEN hot < 20 THEN {cy1} + jy
+      WHEN hot < 30 THEN {cy2} + jy
+      ELSE uy
+    END AS my_mm
+  FROM geo
+)
+SELECT
+  'https://crawl.example.org/page/' || CAST(p.k AS STRING) AS url,
+  {TS}(1704067200 + (p.k % 31536000)) AS warc_ts,
+  CAST(('<html><body>page ' || CAST(p.k AS STRING) || '</body></html>') AS BINARY) AS html,
+  ('page ' || CAST(p.k AS STRING)
+   || ' geo:mxm=' || CAST(p.mx_mm AS STRING)
+   || ';mym=' || CAST(p.my_mm AS STRING)
+   || ' lang '
+   || CASE CAST(p.k % 7 AS INT)
+        WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
+        WHEN 4 THEN 'zh' WHEN 5 THEN 'ru' ELSE 'pt' END
+   || ' body lorem ipsum dolor sit amet') AS text,
+  CASE CAST(p.k % 7 AS INT)
+    WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
+    WHEN 4 THEN 'zh' WHEN 5 THEN 'ru' ELSE 'pt' END AS lang
+FROM pos p
+"""
+
+
+def _render(dialect: str, lineitem_rel: str) -> str:
+    xhalf = HALF_WORLD_MM - MARGIN_MM
+    yhalf = 15000000000  # cap |merc y| ≈ ±74° lat — realistic inhabited band
+    sub = dict(_DIALECT[dialect])
+    sql = _PAGES_TEMPLATE.format(
+        lineitem=lineitem_rel,
+        xspan=2 * xhalf, xhalf=xhalf,
+        yspan=2 * yhalf, yhalf=yhalf,
+        jspan=2 * CITY_JITTER_MM, jhalf=CITY_JITTER_MM,
+        cx0=CITY_X[0], cx1=CITY_X[1], cx2=CITY_X[2],
+        cy0=CITY_Y[0], cy1=CITY_Y[1], cy2=CITY_Y[2],
+        TS=sub["TS"],
+    )
+    if dialect == "duckdb":
+        # duckdb: BINARY→BLOB, STRING→VARCHAR
+        sql = sql.replace(" AS BINARY)", " AS BLOB)").replace(" AS STRING)", " AS VARCHAR)")
+    return sql
+
+
+def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pages table as a Spark DataFrame (lazily, fully declarative —
+    Catalyst sees straight column arithmetic over the parquet scan, so
+    filter pushdown and column pruning still apply to lineitem)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("__pages_lineitem")
+    return spark.sql(_render("spark", "__pages_lineitem"))
+
+
+def pages_oracle_sql() -> str:
+    """The identical table as a DuckDB subquery (for oracle_sql strings).
+    Uses the driver's pre-registered `lineitem` view."""
+    return "(" + _render("duckdb", "lineitem") + ")"
