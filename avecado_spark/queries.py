@@ -187,3 +187,76 @@ def p6_valid_tile_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.where((F.col("x") >= 0) & (F.col("x") < 16384)
                     & (F.col("y") >= 0) & (F.col("y") < 16384))
              .agg(F.count("*").alias("n_valid")))
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — broadcast spatial joins over pages points (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+from .operators.adminizer import adminize_points
+from .sources.pages import CITY_X, CITY_Y
+
+_CORE = 1500000  # ±1.5 km around the hot-city centers (jitter is ±1 km)
+ADMIN_BOXES = [
+    (0, CITY_X[0] - _CORE, CITY_Y[0] - _CORE, CITY_X[0] + _CORE, CITY_Y[0] + _CORE, "city0_core"),
+    (1, CITY_X[1] - _CORE, CITY_Y[1] - _CORE, CITY_X[1] + _CORE, CITY_Y[1] + _CORE, "city1_core"),
+    (2, CITY_X[2] - _CORE, CITY_Y[2] - _CORE, CITY_X[2] + _CORE, CITY_Y[2] + _CORE, "city2_core"),
+    (3, -20037508340, 3000000000, 20037508340, 7000000000, "north_band"),
+    (4, -20037508340, -15000000000, 0, 15000000000, "west_hemi"),
+]
+
+_BOXES_SQL = "(VALUES " + ", ".join(
+    f"({i}, {x0}, {y0}, {x1}, {y1}, '{v}')" for i, x0, y0, x1, y1, v in ADMIN_BOXES
+) + ") AS b(idx, minx, miny, maxx, maxy, val)"
+
+
+@register("j1a_pip_first", f"""
+  SELECT g.url, min_by(b.val, b.idx) AS admin
+  FROM {GEO_SQL} g
+  LEFT JOIN {_BOXES_SQL}
+    ON g.mx_mm BETWEEN b.minx AND b.maxx AND g.my_mm BETWEEN b.miny AND b.maxy
+  GROUP BY g.url
+""")
+def j1a_pip_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1a (SURVEY §2.3): point-in-polygon broadcast join, first-match mode —
+    lowest-index containing polygon wins (reference adminizer.cpp:63-80,
+    :103-112). Probe is a vectorized mapInPandas over the broadcast index;
+    no shuffle of the big side."""
+    g = _geo(spark, sf_dir)
+    return adminize_points(g, ADMIN_BOXES, mode="first").select("url", "admin")
+
+
+@register("j1b_pip_collect", f"""
+  SELECT g.url,
+         CASE WHEN COUNT(b.idx) > 0
+              THEN string_agg(b.val, ',' ORDER BY b.idx) END AS admin
+  FROM {GEO_SQL} g
+  LEFT JOIN {_BOXES_SQL}
+    ON g.mx_mm BETWEEN b.minx AND b.maxx AND g.my_mm BETWEEN b.miny AND b.maxy
+  GROUP BY g.url
+""")
+def j1b_pip_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1b (SURVEY §2.3): collect mode — all matching values in index order,
+    comma-delimited (reference adminizer.cpp:94-107, :688-691)."""
+    g = _geo(spark, sf_dir)
+    return adminize_points(g, ADMIN_BOXES, mode="collect").select("url", "admin")
+
+
+@register("j2_knn_nearest", f"""
+  SELECT url, val AS admin FROM (
+    SELECT g.url, b.val,
+           (CAST(g.mx_mm - (b.minx + b.maxx) // 2 AS DOUBLE) * CAST(g.mx_mm - (b.minx + b.maxx) // 2 AS DOUBLE)
+          + CAST(g.my_mm - (b.miny + b.maxy) // 2 AS DOUBLE) * CAST(g.my_mm - (b.miny + b.maxy) // 2 AS DOUBLE)) AS d2,
+           b.idx
+    FROM {GEO_SQL} g CROSS JOIN {_BOXES_SQL}
+    QUALIFY row_number() OVER (PARTITION BY g.url ORDER BY d2, b.idx) = 1
+  )
+""")
+def j2_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (SURVEY §2.3): kNN (k=1) classification against the admin table —
+    nearest box centroid by squared euclidean distance, ties by index
+    (the reference's within/disjoint trichotomy generalized to
+    STRtree.nearest per the north rule)."""
+    g = _geo(spark, sf_dir)
+    return adminize_points(g, ADMIN_BOXES, mode="knn").select(
+        "url", F.col("admin"))

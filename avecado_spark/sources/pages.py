@@ -45,8 +45,7 @@ _DIALECT = {
 
 _PAGES_TEMPLATE = """
 WITH src AS (
-  SELECT l_orderkey * 8 + l_linenumber AS k,
-         l_quantity, l_extendedprice
+  SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k
   FROM {lineitem}
 ), geo AS (
   SELECT k,
