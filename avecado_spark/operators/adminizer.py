@@ -180,6 +180,9 @@ def _split_and_update(indices: set[int], remaining: list[int], collect: bool,
     index = heapq.heappop(remaining)
     e = entries[index]
 
+    def _mk_geom(gtype: str, parts: list) -> Geom:
+        return Geom(gtype if len(parts) == 1 else "MULTI" + gtype, parts)
+
     inside_geoms: list[Geom] = []
     outside_geoms: list[Geom] = []
     for gtype, part in _feature_paths(feat):
@@ -190,9 +193,9 @@ def _split_and_update(indices: set[int], remaining: list[int], collect: bool,
         else:
             ins, outs = _split_part(gtype, part, e)
             if ins:
-                inside_geoms.append(Geom(gtype, ins))
+                inside_geoms.append(_mk_geom(gtype, ins))
             if outs:
-                outside_geoms.append(Geom(gtype, outs))
+                outside_geoms.append(_mk_geom(gtype, outs))
 
     if inside_geoms:
         inside_feat = {"id": feat["id"], "props": dict(feat["props"]),

@@ -1,0 +1,192 @@
+"""Post-processor (izer) pipeline: registry, JSON config, zoom gating.
+
+Reference: /root/reference/src/post_processor.cpp and
+/root/reference/include/post_process/factory.hpp:15-42.
+
+Config shape (exactly test/post_processor.cpp:46-50):
+    { "<layer>": [ { "minzoom": L, "maxzoom": H,
+                     "process": [ {"type": "generalizer", ...}, ... ] } ] }
+
+Semantics pinned by the reference:
+  * zoom gating samples at the middle of the zoom band — minzoom-0.5 /
+    maxzoom+0.5 converted through meters_per_pixel; a layer's izers run iff
+    the tile scale is inside [mpp(maxzoom+.5), mpp(minzoom-.5)]
+    (post_processor.cpp:75-80, :100-110). Only the FIRST matching scale
+    range runs (the `break`, :110).
+  * the izer interface is a grouped-map UDTF: all features of one layer of
+    one tile in, a (possibly longer/shorter) feature list out
+    (include/post_process/izer_base.hpp:14-21) — the exact shape of
+    Spark's GroupedData.applyInPandas, which is how `apply_to_tiles`
+    distributes a pipeline.
+  * labelizer is registered but a no-op upstream
+    (src/post_process/labelizer.cpp:18-20 "TODO: labelize!").
+
+The izer callables here operate on plain feature dicts
+({"id", "props", "geoms": [Geom]}) so they are picklable into UDF closures.
+"""
+
+from __future__ import annotations
+
+from ..functions.mercator import meters_per_pixel
+from ..operators.adminizer import adminize_features
+from ..operators.generalizer import generalize_features
+from ..operators.unionizer import unionize_features
+
+EPSILON = 0.0005  # post_processor.cpp:32
+
+
+def parse_inline_csv(inline: str) -> list[tuple[str, str]]:
+    """Parse the reference's pipe-delimited inline CSV datasource format
+    ('wkt|foo\\nPOLYGON(...)|value\\n', e.g. test/adminizer.cpp:22-28)."""
+    lines = [l for l in inline.strip().split("\n") if l.strip()]
+    header = [h.strip() for h in lines[0].split("|")]
+    wkt_i = header.index("wkt")
+    rows = []
+    for line in lines[1:]:
+        cells = line.split("|")
+        val = None
+        for i, c in enumerate(cells):
+            if i != wkt_i:
+                val = c
+        rows.append((cells[wkt_i], val))
+    return rows
+
+
+def _create_adminizer(config: dict):
+    param_name = config["param_name"]
+    split = str(config.get("split", "false")) == "true"
+    collect = str(config.get("collect", "false")) == "true"
+    delimiter = config.get("delimiter", ",")
+    ds = config.get("datasource", {})
+    if "inline_rows" in ds:
+        rows = list(ds["inline_rows"])
+    else:
+        rows = parse_inline_csv(ds.get("inline", ""))
+
+    def process(features, env=None):
+        return adminize_features(features, rows, param_name,
+                                 split=split, collect=collect,
+                                 delimiter=delimiter)
+    return process
+
+
+def _create_generalizer(config: dict):
+    algorithm = config.get("algorithm", "douglas-peucker")  # generalizer.cpp:68
+    tolerance = float(config["tolerance"])
+
+    def process(features, env=None):
+        return generalize_features(features, algorithm, tolerance)
+    return process
+
+
+def _create_unionizer(config: dict):
+    def process(features, env=None):
+        return unionize_features(features, config)
+    return process
+
+
+def _create_labelizer(config: dict):
+    def process(features, env=None):
+        return features  # no-op upstream
+    return process
+
+
+FACTORY = {
+    "adminizer": _create_adminizer,
+    "generalizer": _create_generalizer,
+    "labelizer": _create_labelizer,
+    "unionizer": _create_unionizer,
+}
+
+
+class PostProcessor:
+    """Name→factory registry + per-layer zoom-banded pipelines."""
+
+    def __init__(self, config: dict | None = None):
+        self._layers: dict[str, list[dict]] = {}
+        if config:
+            self.load(config)
+
+    def load(self, config: dict):
+        for layer_name, ranges in config.items():
+            parsed = []
+            for rng in ranges:
+                procs = []
+                for izer_conf in rng["process"]:
+                    t = izer_conf["type"]
+                    if t not in FACTORY:
+                        raise KeyError(f"unknown izer type {t!r}")
+                    procs.append(FACTORY[t](izer_conf))
+                parsed.append({
+                    "minzoom": int(rng["minzoom"]) - 0.5,
+                    "maxzoom": int(rng["maxzoom"]) + 0.5,
+                    "processes": procs,
+                })
+            self._layers[layer_name] = parsed
+
+    def process_layer(self, features: list[dict], layer_name: str, z: float,
+                      tile_px: int = 256) -> tuple[list[dict], int]:
+        """Run the first matching scale range's izers; returns
+        (features, number_of_izers_run) like pimpl::process_layer."""
+        ran = 0
+        ranges = self._layers.get(layer_name)
+        if ranges:
+            scale = meters_per_pixel(z, tile_px)
+            for rng in ranges:
+                min_scale = meters_per_pixel(rng["maxzoom"], tile_px)
+                max_scale = meters_per_pixel(rng["minzoom"], tile_px)
+                if min_scale <= scale <= max_scale:
+                    for p in rng["processes"]:
+                        features = p(features)
+                        ran += 1
+                    break
+        return features, ran
+
+
+# ---------------------------------------------------------------------------
+# Spark surface: distributed izer application
+# ---------------------------------------------------------------------------
+
+def apply_to_tiles(df, config: dict, tile_px: int = 256):
+    """Distribute a post-processor pipeline over a feature DataFrame.
+
+    df columns: (z int, x long, y long, layer string, id long,
+                 props map<string,string>, wkt string).
+    One applyInPandas group per (z, x, y, layer) — the exact shape of the
+    reference izer interface (izer_base.hpp:14-21: all features of one layer
+    of one tile in, mutated set out). Features may multiply (split mode) or
+    merge (unionizer).
+
+    Scale note: izer groups are tile-local (thousands of features at most),
+    so per-group pandas frames stay small; the shuffle key is the tile key,
+    which the encode step reuses — one shuffle serves both.
+    """
+    import pandas as pd
+
+    from ..functions import wkt as _wkt
+
+    proc = PostProcessor(config)
+    out_schema = ("z int, x long, y long, layer string, id long, "
+                  "props map<string,string>, wkt string")
+
+    def run_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        z, x, y, layer_name = int(key[0]), int(key[1]), int(key[2]), key[3]
+        feats = []
+        for r in pdf.itertuples(index=False):
+            props = dict(r.props) if r.props is not None else {}
+            feats.append({"id": int(r.id), "props": props,
+                          "geoms": [_wkt.loads(r.wkt)]})
+        feats, _ = proc.process_layer(feats, layer_name, z, tile_px)
+        rows = {"z": [], "x": [], "y": [], "layer": [], "id": [],
+                "props": [], "wkt": []}
+        for f in feats:
+            for g in f["geoms"]:
+                rows["z"].append(z); rows["x"].append(x); rows["y"].append(y)
+                rows["layer"].append(layer_name); rows["id"].append(f["id"])
+                rows["props"].append({k: v for k, v in f["props"].items()
+                                      if v is not None})
+                rows["wkt"].append(_wkt.dumps(g))
+        return pd.DataFrame(rows)
+
+    return (df.groupBy("z", "x", "y", "layer")
+              .applyInPandas(run_group, schema=out_schema))

@@ -260,3 +260,125 @@ def j2_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _geo(spark, sf_dir)
     return adminize_points(g, ADMIN_BOXES, mode="knn").select(
         "url", F.col("admin"))
+
+
+# ---------------------------------------------------------------------------
+# izer pipelines + MVT build (non-SQL-expressible → rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _city_line_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-page road segments near city 0, grid-snapped so
+    endpoints coincide and the unionizer has real work to do. Coordinates in
+    mercator meters (WKT), tile keys at z12."""
+    g = _geo(spark, sf_dir)
+    c = g.where((F.col("mx_mm").between(CITY_X[0] - 1500000, CITY_X[0] + 1500000))
+                & (F.col("my_mm").between(CITY_Y[0] - 1500000, CITY_Y[0] + 1500000)))
+    c = (c.withColumn("sx", ((F.col("mx_mm") / 100000).cast("long") * 100).cast("double"))
+          .withColumn("sy", ((F.col("my_mm") / 100000).cast("long") * 100).cast("double")))
+    wkt = F.concat(F.lit("LINESTRING("),
+                   F.col("sx").cast("long"), F.lit(" "), F.col("sy").cast("long"),
+                   F.lit(", "),
+                   (F.col("sx") + 100).cast("long"), F.lit(" "), F.col("sy").cast("long"),
+                   F.lit(")"))
+    return (c.select(F.lit(12).alias("z"),
+                     tile_x_expr("mx_mm", 12).alias("x"),
+                     tile_y_expr("my_mm", 12).alias("y"),
+                     F.lit("roads").alias("layer"),
+                     F.col("url").substr(32, 20).cast("long").alias("id"),
+                     F.create_map(F.lit("a"), F.lit("yes")).alias("props"),
+                     wkt.alias("wkt"))
+             .dropDuplicates(["wkt"]))
+
+
+@register("izer_unionize_tiles", None)
+def izer_unionize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U3 (SURVEY §2.3/§2.7): per-(tile, layer) unionizer via the
+    distributed izer pipeline (groupBy(z,x,y,layer).applyInPandas — the
+    izer_base.hpp:14-21 correspondence). Grid-snapped segments chain into
+    longer linestrings; output is per-tile feature counts after the
+    fixpoint (unionizer.cpp:537-563)."""
+    from .plans.pipeline import apply_to_tiles
+    feats = _city_line_features(spark, sf_dir)
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "unionizer", "union_heuristic": "greedy",
+         "tag_strategy": "intersect", "max_iterations": 10,
+         "match_tags": ["a"]}]}]}
+    out = apply_to_tiles(feats, conf)
+    return (out.groupBy("x", "y")
+               .agg(F.count("*").alias("n_features"),
+                    F.sum(F.size(F.split(F.col("wkt"), ","))).alias("n_points"))
+               .orderBy("x", "y"))
+
+
+@register("izer_generalize_tiles", None)
+def izer_generalize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (SURVEY §2.8): Douglas-Peucker via the izer pipeline. Synthetic
+    5-point zigzags (deterministic from page coords) collapse to 2 points."""
+    from .plans.pipeline import apply_to_tiles
+    base = _geo(spark, sf_dir)
+    m = (base.withColumn("bx", (F.col("mx_mm") / 1000).cast("long"))
+             .withColumn("by", (F.col("my_mm") / 1000).cast("long")))
+    wkt = F.concat(
+        F.lit("LINESTRING("),
+        F.col("bx"), F.lit(" "), F.col("by"), F.lit(", "),
+        F.col("bx") + 100, F.lit(" "), F.col("by") + 1, F.lit(", "),
+        F.col("bx") + 200, F.lit(" "), F.col("by"), F.lit(", "),
+        F.col("bx") + 300, F.lit(" "), F.col("by") + 1, F.lit(", "),
+        F.col("bx") + 400, F.lit(" "), F.col("by"), F.lit(")"))
+    feats = m.select(F.lit(10).alias("z"),
+                     tile_x_expr("mx_mm", 10).alias("x"),
+                     tile_y_expr("my_mm", 10).alias("y"),
+                     F.lit("roads").alias("layer"),
+                     F.col("url").substr(32, 20).cast("long").alias("id"),
+                     F.create_map(F.lit("a"), F.lit("yes")).alias("props"),
+                     wkt.alias("wkt"))
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "generalizer", "algorithm": "douglas-peucker",
+         "tolerance": 5.0}]}]}
+    out = apply_to_tiles(feats, conf)
+    return (out.select("id",
+                       F.size(F.split(F.col("wkt"), ",")).alias("n_points"))
+               .groupBy("n_points").agg(F.count("*").alias("n_lines")))
+
+
+@register("izer_adminize_split", None)
+def izer_adminize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1c (SURVEY §2.3): split-mode adminizer via the izer pipeline —
+    east-west lines crossing the city-0 core box split at its boundary
+    (adminizer.cpp:456-522); output counts per resulting admin value."""
+    from .plans.pipeline import apply_to_tiles
+    g = _geo(spark, sf_dir)
+    c = g.where((F.col("mx_mm").between(CITY_X[0] - 3000000, CITY_X[0] + 3000000))
+                & (F.col("my_mm").between(CITY_Y[0] - 1400000, CITY_Y[0] + 1400000)))
+    bx = (F.col("mx_mm") / 1000).cast("long")
+    by = (F.col("my_mm") / 1000).cast("long")
+    wkt = F.concat(F.lit("LINESTRING("),
+                   bx - 4000, F.lit(" "), by, F.lit(", "),
+                   bx + 4000, F.lit(" "), by, F.lit(")"))
+    feats = c.select(F.lit(10).alias("z"),
+                     F.lit(0).cast("long").alias("x"),
+                     F.lit(0).cast("long").alias("y"),
+                     F.lit("roads").alias("layer"),
+                     F.col("url").substr(32, 20).cast("long").alias("id"),
+                     F.create_map().cast("map<string,string>").alias("props"),
+                     wkt.alias("wkt"))
+    core_m = (CITY_X[0] // 1000, CITY_Y[0] // 1000, 1500)
+    box_wkt = (f"POLYGON(({core_m[0]-1500} {core_m[1]-1500}, {core_m[0]+1500} {core_m[1]-1500}, "
+               f"{core_m[0]+1500} {core_m[1]+1500}, {core_m[0]-1500} {core_m[1]+1500}, "
+               f"{core_m[0]-1500} {core_m[1]-1500}))")
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "adminizer", "param_name": "region", "split": "true",
+         "datasource": {"inline_rows": [(box_wkt, "core")]}}]}]}
+    out = apply_to_tiles(feats, conf)
+    return (out.groupBy(F.coalesce(F.col("props")["region"], F.lit("outside")).alias("region"))
+               .agg(F.count("*").alias("n_segments")))
+
+
+@register("mvt_build_z14", None)
+def mvt_build_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S4 (SURVEY §2.4/§2.1): the full two-phase salted MVT tile build;
+    tile bytes are deterministic (gzip mtime=0), surfaced as md5."""
+    from .api import build_tiles
+    tiles = build_tiles(pages_df(spark, sf_dir), z=14)
+    return tiles.select("z", "x", "y", "n_features", "interesting",
+                        F.md5(F.col("tile_pbf")).alias("tile_md5"))

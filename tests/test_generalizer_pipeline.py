@@ -1,0 +1,115 @@
+"""Generalizer golden (reference test/generalizer.cpp:32-64) and the
+randomized zoom-gating test (reference test/post_processor.cpp:33-67)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from avecado_spark.functions.wkt import Geom
+from avecado_spark.operators.generalizer import simplify, generalize_features
+from avecado_spark.plans.pipeline import PostProcessor, parse_inline_csv
+
+ZIGZAG = np.array([[0., 0.], [1., 1.], [2., 0.], [3., 1.], [4., 0.]])
+
+
+def test_vw_golden_straightens_zigzag():
+    """VW tol 2.001 collapses the zigzag to its endpoints; the reference
+    comment pins strict `<`: tolerance exactly 2 must NOT collapse it."""
+    out = simplify(ZIGZAG, 2.001, "visvalingam-whyatt")
+    assert out.tolist() == [[0, 0], [4, 0]]
+    out2 = simplify(ZIGZAG, 2.0, "visvalingam-whyatt")
+    # cascade stops at (3,1), whose recomputed area is exactly 2 (not < 2)
+    assert out2.tolist() == [[0, 0], [3, 1], [4, 0]]
+
+
+def test_dp_keeps_far_points():
+    out = simplify(ZIGZAG, 0.5, "douglas-peucker")
+    assert len(out) == 5
+    out = simplify(ZIGZAG, 1.5, "douglas-peucker")
+    assert out.tolist() == [[0, 0], [4, 0]]
+
+
+def test_radial_distance():
+    line = np.array([[0., 0.], [0.1, 0.], [5., 0.], [5.05, 0.], [10., 0.]])
+    out = simplify(line, 1.0, "radial-distance")
+    assert out.tolist() == [[0, 0], [5, 0], [10, 0]]
+
+
+def test_unknown_algorithm():
+    with pytest.raises(NotImplementedError):
+        simplify(ZIGZAG, 1.0, "zhao-saalfeld")
+
+
+def test_generalize_features_izer():
+    feats = [{"id": 0, "props": {},
+              "geoms": [Geom("LINESTRING", [[ZIGZAG]])]}]
+    out = generalize_features(feats, "visvalingam-whyatt", 2.001)
+    assert out[0]["geoms"][0].parts[0][0].tolist() == [[0, 0], [4, 0]]
+
+
+GATE_LINE = np.array([[0., 0.], [1., 1.], [2., 0.], [3., 1.], [4., 0.]])
+
+
+def _try_zoom(proc, z):
+    feats = [{"id": 0, "props": {}, "geoms": [Geom("LINESTRING", [[GATE_LINE.copy()]])]}]
+    _, ran = proc.process_layer(feats, "test_layer", z)
+    return ran
+
+
+def test_zoom_gating_randomized():
+    """100 random (minzoom, maxzoom) pairs: an izer runs iff low <= z <= high
+    (reference test/post_processor.cpp:33-67)."""
+    rng = random.Random(42)
+    for _ in range(100):
+        high = rng.randrange(22)
+        low = rng.randrange(22)
+        if low > high:
+            low, high = high, low
+        conf = {"test_layer": [{"minzoom": low, "maxzoom": high,
+                                "process": [{"type": "generalizer",
+                                             "tolerance": 2.001,
+                                             "algorithm": "visvalingam-whyatt"}]}]}
+        proc = PostProcessor(conf)
+        for z in range(22):
+            expect = 1 if low <= z <= high else 0
+            assert _try_zoom(proc, z) == expect, (low, high, z)
+
+
+def test_first_matching_range_only():
+    """Only the first matching scale range runs (post_processor.cpp:110)."""
+    conf = {"L": [
+        {"minzoom": 0, "maxzoom": 10,
+         "process": [{"type": "labelizer"}]},
+        {"minzoom": 5, "maxzoom": 10,
+         "process": [{"type": "labelizer"}, {"type": "labelizer"}]},
+    ]}
+    proc = PostProcessor(conf)
+    feats = []
+    _, ran = proc.process_layer(feats, "L", 7)
+    assert ran == 1  # first range wins, not 2
+
+
+def test_unknown_layer_is_noop():
+    proc = PostProcessor({"other": []})
+    _, ran = proc.process_layer([], "L", 7)
+    assert ran == 0
+
+
+def test_parse_inline_csv():
+    rows = parse_inline_csv("wkt|foo\nPOLYGON((0 0,1 0,1 1,0 1,0 0))|val\n")
+    assert rows == [("POLYGON((0 0,1 0,1 1,0 1,0 0))", "val")]
+
+
+def test_pipeline_adminizer_end_to_end():
+    """Pipeline-assembled adminizer over the reference's canonical config."""
+    conf = {"point": [{"minzoom": 0, "maxzoom": 22, "process": [{
+        "type": "adminizer", "param_name": "foo",
+        "datasource": {"inline": "wkt|foo\n"
+                       "Polygon((-10.0 -10.0, -10.0 10.0, 10.0 10.0, 10.0 -10.0, -10.0 -10.0))|foo_value\n"}}]}]}
+    proc = PostProcessor(conf)
+    from avecado_spark.functions import wkt as W
+    feats = [{"id": 0, "props": {}, "geoms": [W.loads("POINT(0 0)")]}]
+    out, ran = proc.process_layer(feats, "point", 10)
+    assert ran == 1
+    assert out[0]["props"]["foo"] == "foo_value"
