@@ -1,0 +1,222 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two paths, as a 100 TB pipeline needs:
+
+  brute-force cosine top-k — the correctness baseline: every (query, vector)
+      pair scored; exact. Dot products fold left-to-right in double
+      precision (F.aggregate / list_sum) so Spark and the DuckDB oracle
+      agree bit-for-bit.
+  LSH-bucketed ANN — the scale path: 8 deterministic pseudo-random
+      hyperplanes (weights derived from md5, so both engines build the
+      identical planes without a random source); vectors hash to a sign
+      bucket; queries only score candidates in their own bucket. At 10^12
+      scale the bucket join replaces the quadratic cross join; recall is
+      tunable by bands/probes.
+
+Everything is expressed relationally (posexplode + join + groupBy) — the
+plans are pure Catalyst operators, no python in the hot path; the dot
+product via F.aggregate(zip_with(...)) is JVM whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+N_QUERIES = 5  # first N vec_ids serve as the query set
+TOP_K = 10
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+DOT_SQL = ("list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))")
+NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def cosine_topk_df(spark: SparkSession, sf_dir: str,
+                   k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cos = (q.crossJoin(emb.select("vec_id", "embedding"))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    F.round(_dot(F.col("qv"), F.col("embedding"))
+                            / (_norm(F.col("qv")) * _norm(F.col("embedding"))), 4)
+                     .alias("cos")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (cos.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k)
+               .select("query_id", "vec_id", "cos", "rank"))
+
+
+def cosine_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    dot = DOT_SQL.format(a="q.qv", b="e.embedding")
+    nq = NORM_SQL.format(a="q.qv")
+    ne = NORM_SQL.format(a="e.embedding")
+    return f"""(
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < {n_queries}
+      ), cos AS (
+        SELECT q.query_id, e.vec_id,
+               round({dot} / ({nq} * {ne}), 4) AS cos
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id != q.query_id
+      )
+      SELECT query_id, vec_id, cos, rank FROM (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM cos
+      ) WHERE rank <= {k}
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN
+# ---------------------------------------------------------------------------
+
+def _planes_df(spark: SparkSession) -> DataFrame:
+    """Deterministic hyperplanes: w(j, d) = ((md5-derived int) % 1001) - 500."""
+    planes = spark.range(N_PLANES).select(F.col("id").alias("j"))
+    dims = spark.range(64).select(F.col("id").alias("d"))
+    return planes.crossJoin(dims).select(
+        "j", "d",
+        ((F.conv(F.substring(F.md5(F.concat(F.col("j"), F.lit("_"), F.col("d"))), 1, 8),
+                 16, 10).cast("long") % 1001) - 500).cast("double").alias("w"))
+
+
+_PLANES_SQL = """(
+  SELECT j.range AS j, d.range AS d,
+         ((('0x' || substr(md5(j.range::VARCHAR || '_' || d.range::VARCHAR), 1, 8))::BIGINT
+           % 1001) - 500)::DOUBLE AS w
+  FROM range(8) j, range(64) d
+)"""
+
+
+def lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, bucket): 2 OR-amplified bands of 4 hyperplanes each —
+    a vector pair is a candidate if it shares a bucket in ANY band (standard
+    LSH OR-amplification; keeps candidate sets non-degenerate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    planes = _planes_df(spark)
+    proj = (comp.join(F.broadcast(planes), "d")
+                .groupBy("vec_id", "j")
+                .agg(F.sum(F.col("v").cast("double") * F.col("w")).alias("p")))
+    # NOTE: the projection sum is grouped — order-dependent in general, but
+    # only its SIGN feeds the bucket, and |p| is ~1e2..1e4 here, far from 0.
+    bits = proj.select(
+        "vec_id",
+        (F.col("j") / 4).cast("long").alias("band"),
+        F.when(F.col("p") > 0,
+               F.expr("shiftleft(cast(1 as bigint), cast(j % 4 as int))"))
+         .otherwise(F.lit(0).cast("long")).alias("bit"))
+    return bits.groupBy("vec_id", "band").agg(F.sum("bit").alias("bucket"))
+
+
+LSH_BUCKETS_SQL = f"""(
+  WITH comp AS (
+    SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) - 1 AS d
+    FROM embeddings
+  ), proj AS (
+    SELECT c.vec_id, p.j, sum(c.v::DOUBLE * p.w) AS p
+    FROM comp c JOIN {_PLANES_SQL} p ON c.d = p.d
+    GROUP BY c.vec_id, p.j
+  ), bits AS (
+    SELECT vec_id, (j // 4) AS band,
+           CASE WHEN p > 0 THEN (1::BIGINT << (j % 4)::INT) ELSE 0 END AS bit
+    FROM proj
+  )
+  SELECT vec_id, band, sum(bit)::BIGINT AS bucket FROM bits GROUP BY vec_id, band
+)"""
+
+
+def ann_lsh_df(spark: SparkSession, sf_dir: str,
+               k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = lsh_buckets_df(spark, sf_dir)
+    embb = emb.join(buckets, "vec_id")
+    q = embb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("band").alias("qband"), F.col("bucket").alias("qb"))
+    cand = (q.join(embb, (F.col("band") == F.col("qband"))
+                   & (F.col("bucket") == F.col("qb"))
+                   & (F.col("vec_id") != F.col("query_id")))
+             .select("query_id", "vec_id", "qv", "embedding").distinct()
+             .select("query_id", "vec_id",
+                     F.round(_dot(F.col("qv"), F.col("embedding"))
+                             / (_norm(F.col("qv")) * _norm(F.col("embedding"))), 4)
+                      .alias("cos")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "vec_id", "cos", "rank"))
+
+
+def ann_lsh_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    dot = DOT_SQL.format(a="qv", b="embedding")
+    nq = NORM_SQL.format(a="qv")
+    ne = NORM_SQL.format(a="embedding")
+    return f"""(
+      WITH embb AS (
+        SELECT e.vec_id, e.embedding, b.band, b.bucket
+        FROM embeddings e JOIN {LSH_BUCKETS_SQL} b USING (vec_id)
+      ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv, band AS qband, bucket AS qb
+        FROM embb WHERE vec_id < {n_queries}
+      ), cand AS (
+        SELECT DISTINCT q.query_id, e.vec_id, q.qv, e.embedding
+        FROM q JOIN embb e ON e.band = q.qband AND e.bucket = q.qb
+                          AND e.vec_id != q.query_id
+      ), scored AS (
+        SELECT query_id, vec_id,
+               round({dot} / ({nq} * {ne}), 4) AS cos
+        FROM cand
+      )
+      SELECT query_id, vec_id, cos, rank FROM (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= {k}
+    )"""
+
+
+def embedding_neardup_df(spark: SparkSession, sf_dir: str,
+                         threshold: float = 0.8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    return (a.crossJoin(b).where(F.col("va") < F.col("vb"))
+             .select("va", "vb",
+                     F.round(_dot(F.col("ea"), F.col("eb"))
+                             / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4).alias("cos"))
+             .where(F.col("cos") > threshold))
+
+
+def embedding_neardup_sql(threshold: float = 0.8) -> str:
+    dot = DOT_SQL.format(a="a.embedding", b="b.embedding")
+    na = NORM_SQL.format(a="a.embedding")
+    nb = NORM_SQL.format(a="b.embedding")
+    return f"""(
+      SELECT * FROM (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               round({dot} / ({na} * {nb}), 4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      ) WHERE cos > {threshold}
+    )"""

@@ -382,3 +382,261 @@ def mvt_build_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = build_tiles(pages_df(spark, sf_dir), z=14)
     return tiles.select("z", "x", "y", "n_features", "interesting",
                         F.md5(F.col("tile_pbf")).alias("tile_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite (documents table) — SURVEY training-data ops
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textstats as T
+
+
+@register("dedup_exact", """
+  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+  FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep lowest doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.groupBy(F.md5("text").alias("h"))
+                .agg(F.min("doc_id").alias("keep_id"),
+                     F.count("*").alias("n_dups")))
+
+
+@register("dedup_minhash_bands", f"SELECT * FROM {D.minhash_bands_sql()} t")
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5 min-hashes over word-3-gram shingles)
+    folded into 4 LSH band keys per doc."""
+    return D.minhash_bands_df(spark, sf_dir)
+
+
+@register("dedup_lsh_pairs", f"SELECT * FROM {D.lsh_pairs_sql()} t")
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs via band-bucket self-join."""
+    return D.lsh_pairs_df(spark, sf_dir)
+
+
+@register("dedup_ngram_jaccard", f"""
+  WITH pairs AS (SELECT * FROM {D.lsh_pairs_sql()} p),
+  sh AS (SELECT DISTINCT doc_id, shingle FROM {D.SHINGLES_SQL} s),
+  counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS i
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY p.doc_a, p.doc_b
+  )
+  SELECT i.doc_a, i.doc_b, i.i AS n_common,
+         ca.n AS n_a, cb.n AS n_b,
+         i.i / (ca.n + cb.n - i.i) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram jaccard verification over LSH candidate pairs."""
+    pairs = D.lsh_pairs_df(spark, sf_dir)
+    sh = D.shingles_df(spark, sf_dir).distinct()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sb"))
+    inter = (pairs.join(a, "doc_a")
+                  .join(b, "doc_b")
+                  .where(F.col("sa") == F.col("sb"))
+                  .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+                 .select("doc_a", "doc_b", "n_common", "n_a", "n_b",
+                         (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+                          .alias("jaccard")))
+
+
+@register("dedup_simhash", f"SELECT * FROM {D.SIMHASH_SQL} t")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document from per-token md5 bit votes."""
+    return D.simhash_df(spark, sf_dir)
+
+
+@register("dedup_embedding_cosine", S.embedding_neardup_sql())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos > 0.8, brute force)."""
+    return S.embedding_neardup_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+@register("sim_cosine_topk", S.cosine_topk_sql())
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 query vectors."""
+    return S.cosine_topk_df(spark, sf_dir)
+
+
+@register("sim_ann_lsh", S.ann_lsh_sql())
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via 8 deterministic random-hyperplane LSH buckets."""
+    return S.ann_lsh_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+@register("text_lang_id", T.lang_id_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id_df(spark, sf_dir)
+
+
+@register("text_quality", T.quality_sql())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_df(spark, sf_dir)
+
+
+@register("text_fingerprint", T.fingerprint_sql())
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation + sessionization (batch twins of streaming/)
+# ---------------------------------------------------------------------------
+
+@register("events_window_5m", """
+  SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS wstart, event_type,
+         count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+  FROM events GROUP BY 1, 2
+""")
+def events_window_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregation (batch twin of the Structured
+    Streaming job in streaming/events.py). Values summed in integer cents —
+    order-independent, exact across engines."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.select((F.unix_timestamp("ts").cast("long") / 300).cast("long")
+                      .alias("w"), "event_type", "value")
+              .groupBy((F.col("w") * 300).alias("wstart"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents")))
+
+
+@register("events_sessionize", """
+  WITH e AS (
+    SELECT user_id, floor(epoch(ts))::BIGINT AS t FROM events
+  ), gaps AS (
+    SELECT user_id, t,
+           CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+                  OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+  )
+  SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+  FROM gaps GROUP BY user_id
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via lag + cumulative
+    flags — the window-function sessionization pattern."""
+    from pyspark.sql.window import Window
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select("user_id", F.unix_timestamp("ts").cast("long").alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    gaps = e.withColumn(
+        "new_session",
+        F.when((F.col("t") - F.lag("t").over(w) > 1800)
+               | F.lag("t").over(w).isNull(), 1).otherwise(0))
+    return (gaps.groupBy("user_id")
+                .agg(F.sum("new_session").alias("n_sessions"),
+                     F.count("*").alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# relational coverage: TPC-H-style queries over the star schema (P1/P2/A*)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q1_pricing", """
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS disc_price_e4,
+         count(*) AS count_order
+  FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary; money in integer cents so sums are
+    order-independent and engine-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(qty).alias("qty_cents"),
+                   F.sum(price).alias("price_cents"),
+                   F.sum(price * disc).alias("disc_price_e4"),
+                   F.count("*").alias("count_order")))
+
+
+@register("tpch_q3_shipping", """
+  SELECT o.o_orderkey,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS revenue_e4,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate < DATE '1995-03-15'
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+  ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10
+""")
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: join + agg + top-k; the broadcast of customer and the
+    shuffled lineitem join are Catalyst-chosen (AQE on)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+             .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+             .where(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+             .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+             .agg(F.sum(rev).alias("revenue_e4"))
+             .select("o_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+             .orderBy(F.col("revenue_e4").desc(), "o_orderkey").limit(10))
+
+
+@register("tpch_q5_local_supplier", """
+  SELECT n.n_name,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS revenue_e4
+  FROM region r
+  JOIN nation n ON n.n_regionkey = r.r_regionkey
+  JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY n.n_name
+""")
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: star join through region→nation→supplier→lineitem
+    →orders; small dims broadcast."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long"))
+    return (F.broadcast(r.where(F.col("r_name") == "ASIA"))
+             .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+             .join(s, F.col("s_nationkey") == F.col("n_nationkey"))
+             .join(li, F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+             .groupBy("n_name").agg(F.sum(rev).alias("revenue_e4")))
