@@ -1,0 +1,96 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+A 100 TB training pipeline carries image/audio/video as `binary` columns
+with struct metadata; the Spark-side plumbing (schema, partitioning, Arrow
+batch shape, UDF signatures) is real and tested here, while the actual
+codec step is STUBBED — the image/audio libraries are not present in this
+container. `decode_image` raises NotImplementedError unless
+`deterministic_fake=True`, which produces a seeded fake decode so the
+downstream plumbing (resize → feature-extract shape) is exercised end to
+end without the codec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
+                "meta struct<width:int, height:int, mime:string>")
+
+FEATURE_DIM = 16
+
+
+def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic opaque payloads standing in for crawled media bytes."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
+        F.encode(F.concat(F.lit("payload-"), F.md5(F.col("id").cast("string"))), "utf-8")
+         .cast("binary").alias("payload"),
+        F.struct((F.col("id") % 64 + 16).cast("int").alias("width"),
+                 (F.col("id") % 48 + 16).cast("int").alias("height"),
+                 F.lit("application/octet-stream").alias("mime")).alias("meta"))
+
+
+def decode_image(payload: bytes, width: int, height: int,
+                 deterministic_fake: bool = False) -> np.ndarray:
+    """STUB: real decode requires an image codec library not present in
+    this container. The fake path derives a (h, w, 3) uint8 array from a
+    sha256 keystream of the payload — deterministic, shape-correct."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv (not installed); pass "
+            "deterministic_fake=True for the seeded stand-in")
+    need = width * height * 3
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(payload + _struct.pack("<I", counter)).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(height, width, 3)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (the reference's scaling_method
+    'near' default, python_module.cpp:208)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h)
+    xs = (np.arange(out_w) * w // out_w)
+    return img[ys][:, xs]
+
+
+def extract_features(img: np.ndarray) -> np.ndarray:
+    """Toy feature extractor: per-cell means over a 4x4 grid → 16-dim."""
+    h, w = img.shape[:2]
+    gy = np.linspace(0, h, 5, dtype=int)
+    gx = np.linspace(0, w, 5, dtype=int)
+    feats = [img[gy[i]:gy[i + 1], gx[j]:gx[j + 1]].mean()
+             for i in range(4) for j in range(4)]
+    return np.asarray(feats, dtype=np.float32)
+
+
+def media_features(df: DataFrame, target: int = 32) -> DataFrame:
+    """mapInPandas plumbing: decode (fake) → resize → features.
+    Arrow batches in, (media_id, features array<float>) out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                img = decode_image(bytes(r.payload), r.meta["width"],
+                                   r.meta["height"], deterministic_fake=True)
+                img = resize_nearest(img, target, target)
+                feats.append(extract_features(img))
+                ids.append(r.media_id)
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.mapInPandas(run, schema="media_id long, features array<float>")

@@ -1,0 +1,116 @@
+"""Overzoom truth table (ported from /root/reference/test/overzoom.cpp:38-101)
+and raster pixel tests (spirit of test/render_vector_tile.cpp:23-110)."""
+
+import numpy as np
+
+from avecado_spark.functions import mvt
+from avecado_spark.operators.pyramid import (NOT_FOUND, OK, SERVER_ERROR,
+                                             Overzoom)
+from avecado_spark.operators.raster import (png_decode_size, png_encode,
+                                            render_tile, render_tile_png)
+
+
+def _src(min_z, max_z, status):
+    def fetch(z, x, y):
+        if min_z <= z <= max_z:
+            return OK, (z, x, y)
+        return status, None
+    return fetch
+
+
+def _hit(o, z):
+    status, _ = o.fetch(z, 0, 0)
+    return status == OK
+
+
+def test_overzoom_fetch_missing():
+    o = Overzoom(_src(11, 16, NOT_FOUND), max_zoom=18, mask_zoom=12)
+    for z, expect in [(19, True), (18, True), (17, True), (16, True),
+                      (15, True), (14, True), (13, True), (12, True),
+                      (11, True), (10, False)]:
+        assert _hit(o, z) is expect, z
+
+
+def test_overzoom_fetch_error_not_masked():
+    o = Overzoom(_src(11, 16, SERVER_ERROR), max_zoom=18, mask_zoom=12)
+    for z, expect in [(19, False), (18, False), (17, False), (16, True),
+                      (15, True), (14, True), (13, True), (12, True),
+                      (11, True), (10, False)]:
+        assert _hit(o, z) is expect, z
+
+
+def test_overzoom_no_mask():
+    o = Overzoom(_src(11, 16, NOT_FOUND), max_zoom=18, mask_zoom=None)
+    for z, expect in [(19, False), (18, False), (17, False), (16, True)]:
+        assert _hit(o, z) is expect, z
+
+
+def test_overzoom_no_mask2():
+    o = Overzoom(_src(11, 18, NOT_FOUND), max_zoom=18, mask_zoom=None)
+    for z, expect in [(19, True), (18, True), (17, True), (16, True)]:
+        assert _hit(o, z) is expect, z
+
+
+def test_overzoom_ancestor_coords():
+    calls = []
+
+    def src(z, x, y):
+        calls.append((z, x, y))
+        return NOT_FOUND, None
+
+    o = Overzoom(src, max_zoom=14, mask_zoom=12)
+    o.fetch(16, 1000, 2000)
+    # z16 remaps to z14 (>>2), then mask retry at z12 (>>2 again)
+    assert calls == [(14, 250, 500), (12, 62, 125)]
+
+
+BACKGROUND = (0x8C, 0xC6, 0x3F, 0xFF)
+FILL = (0x51, 0x21, 0x4D, 0xFF)
+
+
+def test_render_empty_tile_background():
+    """Empty tile → every pixel is the background colour
+    (render_vector_tile.cpp:23-40)."""
+    img = render_tile(None, {}, BACKGROUND)
+    assert img.shape == (256, 256, 4)
+    assert (img == np.array(BACKGROUND, dtype=np.uint8)).all()
+
+
+def _full_cover_tile():
+    layer = mvt.MvtLayer(name="layer", extent=256)
+    # ring covering the whole extent (with margin so pixel centers are inside)
+    ring = [(-1, -1), (257, -1), (257, 257), (-1, 257), (-1, -1)]
+    xs = np.array([p[0] for p in ring])
+    ys = np.array([p[1] for p in ring])
+    cmds = mvt.encode_geometry([(xs, ys)], mvt.GEOM_POLYGON)
+    layer.features.append(mvt.MvtFeature(id=1, type=mvt.GEOM_POLYGON, geometry=cmds))
+    return mvt.tile_to_gzip(mvt.MvtTile(layers=[layer]))
+
+
+def test_render_full_cover_polygon():
+    """Full-cover polygon → every pixel is the fill colour
+    (render_vector_tile.cpp:42-110)."""
+    data = _full_cover_tile()
+    img = render_tile(data, {"layer": FILL}, BACKGROUND)
+    assert (img == np.array(FILL, dtype=np.uint8)).all()
+
+
+def test_render_unstyled_layer_skipped():
+    """Style↔layer name join (J5): a tile layer with no matching style
+    renders nothing (render_vector_tile.cpp:33-56)."""
+    data = _full_cover_tile()
+    img = render_tile(data, {"other_layer": FILL}, BACKGROUND)
+    assert (img == np.array(BACKGROUND, dtype=np.uint8)).all()
+
+
+def test_png_roundtrip_size():
+    img = render_tile(None, {}, BACKGROUND)
+    data = png_encode(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert png_decode_size(data) == (256, 256)
+
+
+def test_render_tile_png_deterministic():
+    d1 = render_tile_png(_full_cover_tile(), {"layer": FILL})
+    d2 = render_tile_png(_full_cover_tile(), {"layer": FILL})
+    assert d1 == d2

@@ -1,0 +1,137 @@
+"""Sinks (z/x/y.pbf tree, TileJSON), checkpoint/resume manifest,
+Structured Streaming batch-parity, multimodal plumbing, overzoom join,
+pyramid rollup / copy-down — the Spark-integration layer."""
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    from avecado_spark.api import build_tiles
+    from avecado_spark.sources.pages import pages_df
+    return build_tiles(pages_df(spark, SF), z=6).cache()
+
+
+def test_pbf_tree_sink(spark, tiles):
+    from avecado_spark.functions import mvt
+    from avecado_spark.sources.sink import write_pbf_tree
+    with tempfile.TemporaryDirectory() as d:
+        write_pbf_tree(tiles, d)
+        files = glob.glob(f"{d}/*/*/*.pbf")
+        assert len(files) == tiles.count()
+        t = mvt.decode_tile(open(files[0], "rb").read())
+        assert t.layers[0].name == "pages"
+
+
+def test_tilejson_roundtrip():
+    from avecado_spark.sources.sink import make_tilejson, parse_tilejson, tile_url
+    doc = make_tilejson("pages", "https://tiles.example.org", 0, 14, mask_level=12)
+    parsed = parse_tilejson(doc)
+    assert parsed["tilejson"] == "2.0.0"
+    assert parsed["maskLevel"] == "12"
+    assert tile_url(parsed["tiles"][0], 3, 2, 1).endswith("/3/2/1.pbf")
+    with pytest.raises(ValueError):
+        parse_tilejson("{}")
+
+
+def test_manifest_resume(spark, tiles):
+    from avecado_spark.sources.manifest import (read_manifest,
+                                                run_resumable_build)
+    with tempfile.TemporaryDirectory() as d:
+        m1 = run_resumable_build(spark, tiles, 6, d, lineage="job-a")
+        assert m1["skipped_partitions"] == 0
+        assert m1["written_partitions"] > 0
+        # resume: everything already done
+        m2 = run_resumable_build(spark, tiles, 6, d, lineage="job-a")
+        assert m2["n_tiles"] == 0
+        assert m2["skipped_partitions"] == m1["written_partitions"]
+        # different lineage does NOT resume from job-a's manifest
+        m3 = run_resumable_build(spark, tiles, 6, d, lineage="job-b")
+        assert m3["n_tiles"] > 0
+        mf = read_manifest(spark, d, "job-a")
+        assert mf.count() == m1["written_partitions"]
+        # metrics present
+        row = mf.first()
+        assert row.n_tiles > 0 and row.bytes > 0
+
+
+def test_streaming_batch_parity(spark):
+    """Streaming windowed agg over availableNow == batch twin."""
+    import shutil
+    from avecado_spark.streaming.events import run_available_now, windowed_counts
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as d:
+        # file streaming sources require a directory
+        shutil.copy(f"{SF}/events.parquet", os.path.join(d, "events.parquet"))
+        stream_rows = run_available_now(
+            windowed_counts(spark, d), "ev_win_test")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = (ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"))
+               .select(F.col("w.start").alias("wstart"), "event_type", "n", "value_cents")
+               .collect())
+    canon = lambda rows: sorted((r.wstart, r.event_type, r.n, r.value_cents) for r in rows)
+    assert canon(stream_rows) == canon(batch)
+    assert len(stream_rows) > 0
+
+
+def test_multimodal_plumbing(spark):
+    from avecado_spark.sources.multimodal import (decode_image, media_features,
+                                                  synth_media_df)
+    media = synth_media_df(spark, 32)
+    feats = media_features(media).collect()
+    assert len(feats) == 16  # images only (every other row)
+    assert all(len(r.features) == 16 for r in feats)
+    # deterministic across runs
+    feats2 = media_features(media).collect()
+    assert sorted((r.media_id, tuple(r.features)) for r in feats) == \
+           sorted((r.media_id, tuple(r.features)) for r in feats2)
+    # the real decode path is stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", 4, 4)
+
+
+def test_overzoom_join(spark, tiles):
+    from avecado_spark.operators.pyramid import overzoom_join
+    # requests at z8 for children of existing z6 tiles + one miss
+    some = tiles.limit(5).select(
+        F.lit(8).alias("z"), (F.col("x") * 4 + 1).alias("x"),
+        (F.col("y") * 4 + 2).alias("y"))
+    miss = spark.createDataFrame([(8, 255, 255)], "z int, x long, y long")
+    reqs = some.unionAll(miss)
+    out = overzoom_join(reqs, tiles, max_zoom=6, mask_zoom=None).collect()
+    hits = [r for r in out if r.hit]
+    assert len(hits) == 5
+    assert all(r.eff_z == 6 for r in out)
+
+
+def test_pyramid_rollup(spark):
+    from avecado_spark.operators.pyramid import rollup_pyramid
+    from avecado_spark import queries as q
+    counts = q.queries()["tile_assign_z14"](spark, SF)
+    roll = rollup_pyramid(counts, 14, 10)
+    per_z = {r.z: r.total for r in
+             roll.groupBy("z").agg(F.sum("n_docs").alias("total")).collect()}
+    assert set(per_z) == {10, 11, 12, 13, 14}
+    assert len(set(per_z.values())) == 1  # doc counts conserved per level
+
+
+def test_copy_down(spark, tiles):
+    from avecado_spark.operators.pyramid import copy_down_subtrees
+    un = tiles.where(~F.col("interesting"))
+    n_un = un.count()
+    if n_un == 0:
+        pytest.skip("no uninteresting tiles at this sf")
+    out = copy_down_subtrees(tiles, to_z=8)
+    # every uninteresting z6 tile spawns 4 z7 + 16 z8 children
+    assert out.count() == tiles.count() + n_un * (4 + 16)
+    kid = out.where(F.col("z") == 8).first()
+    assert kid.tile_pbf is not None
