@@ -9,6 +9,8 @@ DataFrame-in / DataFrame-out.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators.encode import build_point_tiles, make_vector_tile  # noqa: F401
@@ -23,9 +25,21 @@ def spark_session(master: str | None = None, app: str = "avecado_spark",
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
-    b = (b.config("spark.sql.adaptive.enabled", "true")
+    shm = "/dev/shm/spark-local"
+    os.makedirs(shm, exist_ok=True)
+    b = (b.config("spark.driver.memory",
+                  os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+          # this sandbox's filesystem makes shuffle syscalls expensive;
+          # tmpfs local dirs keep shuffle I/O off the slow path
+          .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", shm))
+          .config("spark.sql.adaptive.enabled", "true")
           .config("spark.sql.adaptive.skewJoin.enabled", "true")
+          # keep AQE from coalescing python-UDF stages below core count —
+          # Arrow UDF stages are CPU-bound at far less than 64MB/partition
+          .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+          .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
           .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
           .config("spark.sql.parquet.filterPushdown", "true"))
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

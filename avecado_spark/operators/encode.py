@@ -42,10 +42,12 @@ from pyspark.sql import functions as F
 
 from ..functions import mvt
 from ..functions.geometry import clip_lines_to_box, clip_ring_convex, close_ring
+from ..functions.mercator import WORLD_SIZE as WORLD_SIZE_ENC
 from ..functions.mercator import box_for_tile
 from ..functions.mvt import (GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON,
                              MvtFeature, MvtLayer, MvtTile, _len_delim,
-                             _varint_field, _packed_uint32, encode_geometry)
+                             _varint, _varint_field, _packed_uint32,
+                             encode_geometry)
 from ..functions.wkt import Geom
 
 DEFAULT_TILE_SIZE = 256
@@ -163,57 +165,58 @@ PAGES_KEYS = ["lang"]
 PAGES_VALUES = ["en", "de", "fr", "es", "zh", "ru", "pt"]
 _VAL_IDX = {v: i for i, v in enumerate(PAGES_VALUES)}
 
-_PARTIAL_SCHEMA = "x long, y long, salt int, fblock binary, n_features long"
+_PARTIAL_SCHEMA = ("x long, y long, salt int, fblock binary, "
+                   "n_features long, inside1 boolean")
 _TILE_SCHEMA = "z int, x long, y long, tile_pbf binary, n_features long, interesting boolean"
 
 
-def _encode_point_features(df: pd.DataFrame, z: int, extent: int) -> bytes:
-    """All rows belong to one tile: vectorized local-coord math, tight loop
-    for byte assembly of independent Feature blocks."""
-    x = int(df["x"].iloc[0]); y = int(df["y"].iloc[0])
-    minx, miny, maxx, maxy = box_for_tile(z, x, y)
-    span = maxx - minx
-    mx = df["mx_mm"].to_numpy(dtype=np.float64) / 1000.0
-    my = df["my_mm"].to_numpy(dtype=np.float64) / 1000.0
-    px = np.rint((mx - minx) / span * extent).astype(np.int64)
-    py = np.rint((maxy - my) / span * extent).astype(np.int64)
-    zx = ((px << 1) ^ (px >> 63)).astype(np.uint64)
-    zy = ((py << 1) ^ (py >> 63)).astype(np.uint64)
-    ids = df["feature_id"].to_numpy(dtype=np.int64)
-    vids = df["lang"].map(_VAL_IDX).fillna(0).astype(np.int64).to_numpy()
-    out = bytearray()
-    for i in range(len(df)):
-        body = (_varint_field(1, int(ids[i]))
-                + _packed_uint32(2, (0, int(vids[i])))
-                + _varint_field(3, GEOM_POINT)
-                + _packed_uint32(4, ((1 << 3) | 1, int(zx[i]), int(zy[i]))))
-        out += _len_delim(2, body)
-    return bytes(out)
+# varint byte cache for small values (zigzagged tile-local coords < 2*extent
+# and tag/len bytes) — keeps the per-feature assembly loop allocation-free
+_VARINT_CACHE = [None]
+
+def _varint_cached(v: int) -> bytes:
+    cache = _VARINT_CACHE[0]
+    if cache is None:
+        cache = [_varint(i) for i in range(1 << 14)]
+        _VARINT_CACHE[0] = cache
+    if 0 <= v < (1 << 14):
+        return cache[v]
+    return _varint(v)
 
 
-def _iter_groups(batches: Iterator[pd.DataFrame], key_cols: list[str]):
-    """Yield complete key-groups from sorted Arrow batches, carrying the
-    trailing (possibly incomplete) group across batch boundaries."""
-    carry: pd.DataFrame | None = None
+def _group_starts(*keys: np.ndarray) -> np.ndarray:
+    n = len(keys[0])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= (k[1:] != k[:-1])
+    return np.flatnonzero(change)
+
+
+def _numpy_batches(batches: Iterator[pd.DataFrame], cols: list[str],
+                   key_cols: list[str]):
+    """Stream sorted Arrow batches as numpy column dicts of COMPLETE key
+    groups (plus group start/end offsets), carrying the trailing group
+    across batch boundaries. No per-group pandas objects — grouping is
+    pure offset arithmetic."""
+    carry: dict | None = None
     for pdf in batches:
-        if pdf.empty:
+        if len(pdf) == 0:
             continue
+        arrs = {c: pdf[c].to_numpy() for c in cols}
         if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
-        keys = pdf[key_cols]
-        boundary = (keys != keys.shift()).any(axis=1).to_numpy()
-        starts = np.flatnonzero(boundary)
-        for s, e in zip(starts[:-1], starts[1:]):
-            yield pdf.iloc[s:e]
-        carry = pdf.iloc[starts[-1]:]
-    if carry is not None and not carry.empty:
-        keys = carry[key_cols]
-        boundary = (keys != keys.shift()).any(axis=1).to_numpy()
-        starts = np.flatnonzero(boundary)
-        ends = list(starts[1:]) + [len(carry)]
-        for s, e in zip(starts, ends):
-            yield carry.iloc[s:e]
+            arrs = {c: np.concatenate([carry[c], arrs[c]]) for c in cols}
+        starts = _group_starts(*[arrs[k] for k in key_cols])
+        if len(starts) > 1:
+            cut = starts[-1]
+            complete = {c: arrs[c][:cut] for c in cols}
+            carry = {c: arrs[c][cut:] for c in cols}
+            yield complete, starts[:-1], np.append(starts[1:-1], cut)
+        else:
+            carry = arrs
+    if carry is not None and len(carry[cols[0]]):
+        starts = _group_starts(*[carry[k] for k in key_cols])
+        yield carry, starts, np.append(starts[1:], len(carry[cols[0]]))
 
 
 def build_point_tiles(df: DataFrame, z: int,
@@ -224,27 +227,57 @@ def build_point_tiles(df: DataFrame, z: int,
                       compression_level: int = 9,
                       num_partitions: int | None = None) -> DataFrame:
     """pages with (x, y, salt, mx_mm, my_mm, feature_id, lang) → one row per
-    tile (z, x, y, tile_pbf, n_features, interesting)."""
+    tile (z, x, y, tile_pbf, n_features, interesting).
+
+    Both phases are numpy-offset grouped (no per-group pandas): coordinate
+    math is vectorized across the whole Arrow batch; the only python loop
+    is the per-feature protobuf byte assembly, fed from a varint cache.
+    The single-feature interestingness flag is computed AT ENCODE TIME from
+    the quantized coords (for a one-point layer the reference classifier
+    reduces to "some coordinate strictly inside (0, extent)" —
+    util_tile.cpp:44-105 with one distinct x and one distinct y), so phase 2
+    never has to decode tiles."""
     extent = tile_size * path_multiplier
     nparts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     nparts = int(nparts)
 
     cols = ["x", "y", "salt", "mx_mm", "my_mm", "feature_id", "lang"]
     slim = df.select(*cols)  # html/text pruned before any shuffle
+    scale = WORLD_SIZE_ENC / float(1 << z)
+    vmap = _VAL_IDX
 
     def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = {"x": [], "y": [], "salt": [], "fblock": [], "n_features": []}
-        for g in _iter_groups(batches, ["x", "y", "salt"]):
-            rows["x"].append(int(g["x"].iloc[0]))
-            rows["y"].append(int(g["y"].iloc[0]))
-            rows["salt"].append(int(g["salt"].iloc[0]))
-            rows["fblock"].append(_encode_point_features(g, z, extent))
-            rows["n_features"].append(len(g))
-            if len(rows["x"]) >= 1024:
-                yield pd.DataFrame(rows)
-                rows = {k: [] for k in rows}
-        if rows["x"]:
-            yield pd.DataFrame(rows)
+        for arrs, starts, ends in _numpy_batches(batches, cols, ["x", "y", "salt"]):
+            xs = arrs["x"].astype(np.int64)
+            ys = arrs["y"].astype(np.int64)
+            minx = xs * scale - 0.5 * WORLD_SIZE_ENC
+            maxy = 0.5 * WORLD_SIZE_ENC - ys * scale
+            mx = arrs["mx_mm"].astype(np.float64) / 1000.0
+            my = arrs["my_mm"].astype(np.float64) / 1000.0
+            px = np.rint((mx - minx) / scale * extent).astype(np.int64)
+            py = np.rint((maxy - my) / scale * extent).astype(np.int64)
+            inside = ((px > 0) & (px < extent)) | ((py > 0) & (py < extent))
+            zx = ((px << 1) ^ (px >> 63)).tolist()
+            zy = ((py << 1) ^ (py >> 63)).tolist()
+            ids = arrs["feature_id"].astype(np.int64).tolist()
+            vids = [vmap.get(l, 0) for l in arrs["lang"].tolist()]
+            vc = _varint_cached
+            blocks = []
+            for i in range(len(xs)):
+                geom = b"\x09" + vc(zx[i]) + vc(zy[i])
+                body = (b"\x08" + vc(ids[i])
+                        + b"\x12\x02" + bytes((0, vids[i]))
+                        + b"\x18\x01"
+                        + b"\x22" + vc(len(geom)) + geom)
+                blocks.append(b"\x12" + vc(len(body)) + body)
+            fb = [b"".join(blocks[s:e]) for s, e in zip(starts, ends)]
+            yield pd.DataFrame({
+                "x": xs[starts], "y": ys[starts],
+                "salt": arrs["salt"][starts].astype(np.int32),
+                "fblock": fb,
+                "n_features": (ends - starts).astype(np.int64),
+                "inside1": inside[starts],
+            })
 
     partial = (slim
                .repartition(nparts, "x", "y", "salt")
@@ -256,34 +289,31 @@ def build_point_tiles(df: DataFrame, z: int,
                   + b"".join(_len_delim(4, mvt._encode_value(v)) for v in PAGES_VALUES)
                   + _varint_field(5, extent)
                   + _varint_field(15, mvt.MVT_VERSION))
+    from ..functions.mvt import gzip_bytes as _gzb
+    p2cols = ["x", "y", "salt", "fblock", "n_features", "inside1"]
 
     def phase2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = {"z": [], "x": [], "y": [], "tile_pbf": [], "n_features": [],
-                "interesting": []}
-        for g in _iter_groups(batches, ["x", "y"]):
-            g = g.sort_values("salt")  # deterministic block order
-            blocks = b"".join(g["fblock"])
-            nf = int(g["n_features"].sum())
-            layer_bytes = layer_head + blocks + layer_tail
-            tile_bytes = _len_delim(3, layer_bytes)
-            if compression_level > 0:
-                import gzip as _gz
-                tile_bytes = _gz.compress(tile_bytes, compresslevel=compression_level, mtime=0)
-            if nf > 1:
-                interesting = True  # util_tile.cpp:50-53
-            else:
-                interesting = mvt.is_interesting(mvt.decode_layer(layer_bytes))
-            rows["z"].append(z)
-            rows["x"].append(int(g["x"].iloc[0]))
-            rows["y"].append(int(g["y"].iloc[0]))
-            rows["tile_pbf"].append(tile_bytes)
-            rows["n_features"].append(nf)
-            rows["interesting"].append(interesting)
-            if len(rows["x"]) >= 1024:
-                yield pd.DataFrame(rows)
-                rows = {k: [] for k in rows}
-        if rows["x"]:
-            yield pd.DataFrame(rows)
+        # input arrives sorted by (x, y, salt) → partial blocks are already
+        # in deterministic salt order within each tile group
+        for arrs, starts, ends in _numpy_batches(batches, p2cols, ["x", "y"]):
+            fbl = arrs["fblock"]
+            nf = arrs["n_features"].astype(np.int64)
+            ins = arrs["inside1"]
+            pbfs, nfs, inter = [], [], []
+            for s, e in zip(starts, ends):
+                body = layer_head + b"".join(fbl[s:e]) + layer_tail
+                tile_bytes = _len_delim(3, body)
+                if compression_level > 0:
+                    tile_bytes = _gzb(tile_bytes, compression_level)
+                total = int(nf[s:e].sum())
+                pbfs.append(tile_bytes)
+                nfs.append(total)
+                inter.append(True if total > 1 else bool(ins[s]))
+            yield pd.DataFrame({
+                "z": np.full(len(starts), z, dtype=np.int32),
+                "x": arrs["x"][starts], "y": arrs["y"][starts],
+                "tile_pbf": pbfs, "n_features": nfs, "interesting": inter,
+            })
 
     return (partial
             .repartition(nparts, "x", "y")

@@ -222,7 +222,7 @@ def j1a_pip_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest-index containing polygon wins (reference adminizer.cpp:63-80,
     :103-112). Probe is a vectorized mapInPandas over the broadcast index;
     no shuffle of the big side."""
-    g = _geo(spark, sf_dir)
+    g = _geo(spark, sf_dir).select("url", "mx_mm", "my_mm")  # prune html/text
     return adminize_points(g, ADMIN_BOXES, mode="first").select("url", "admin")
 
 
@@ -238,7 +238,7 @@ def j1a_pip_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j1b_pip_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1b (SURVEY §2.3): collect mode — all matching values in index order,
     comma-delimited (reference adminizer.cpp:94-107, :688-691)."""
-    g = _geo(spark, sf_dir)
+    g = _geo(spark, sf_dir).select("url", "mx_mm", "my_mm")
     return adminize_points(g, ADMIN_BOXES, mode="collect").select("url", "admin")
 
 
@@ -257,7 +257,7 @@ def j2_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest box centroid by squared euclidean distance, ties by index
     (the reference's within/disjoint trichotomy generalized to
     STRtree.nearest per the north rule)."""
-    g = _geo(spark, sf_dir)
+    g = _geo(spark, sf_dir).select("url", "mx_mm", "my_mm")
     return adminize_points(g, ADMIN_BOXES, mode="knn").select(
         "url", F.col("admin"))
 
@@ -640,3 +640,14 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(li, F.col("l_suppkey") == F.col("s_suppkey"))
              .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
              .groupBy("n_name").agg(F.sum(rev).alias("revenue_e4")))
+
+
+@register("raster_render_z6", None)
+def raster_render_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (SURVEY §2.1): raster leg — render z6 tiles to PNG via the numpy
+    scanline rasterizer; deterministic bytes surfaced as md5."""
+    from .api import build_tiles
+    from .operators.raster import render_tiles
+    tiles = build_tiles(pages_df(spark, sf_dir), z=6)
+    pngs = render_tiles(tiles, styles={"pages": (0x51, 0x21, 0x4D, 0xFF)})
+    return pngs.select("z", "x", "y", F.md5(F.col("png")).alias("png_md5"))

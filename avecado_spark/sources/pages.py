@@ -109,12 +109,28 @@ def _render(dialect: str, lineitem_rel: str) -> str:
     return sql
 
 
-def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_df(spark: SparkSession, sf_dir: str, multiplier: int = 1) -> DataFrame:
     """The pages table as a Spark DataFrame (lazily, fully declarative —
     Catalyst sees straight column arithmetic over the parquet scan, so
-    filter pushdown and column pruning still apply to lineitem)."""
+    filter pushdown and column pruning still apply to lineitem).
+
+    multiplier > 1 fans every source key out to `multiplier` distinct pages
+    (k' = k·M + r; the LCG then scatters each replica independently). Used
+    by the benchmark to make the tile build compute-dominated at local
+    scale factors; the oracle-checked queries always use multiplier=1."""
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("__pages_lineitem")
-    return spark.sql(_render("spark", "__pages_lineitem"))
+    src = "__pages_lineitem"
+    if multiplier > 1:
+        spark.sql(
+            f"SELECT k0 * {multiplier} + m AS l_orderkey, 0 AS l_linenumber "
+            f"FROM (SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k0 "
+            f"      FROM __pages_lineitem) "
+            f"LATERAL VIEW explode(sequence(0, {multiplier - 1})) t AS m"
+        ).createOrReplaceTempView("__pages_lineitem_mult")
+        # the template re-derives k = l_orderkey*8 + l_linenumber; feeding
+        # (k', 0) keeps keys distinct: k'' = k'*8
+        src = "__pages_lineitem_mult"
+    return spark.sql(_render("spark", src))
 
 
 def pages_oracle_sql() -> str:

@@ -1,0 +1,66 @@
+"""Plan-quality checks: the properties that make the engine viable at
+100 TB must be visible in the optimized plan, not just hoped for.
+
+  * column pruning: the huge `html` column never reaches a shuffle in the
+    tile build (SURVEY §4 "keep html out of the working set").
+  * predicate pushdown: bbox filters over the raw scan reach parquet as
+    PushedFilters.
+  * broadcast joins: small dims in the TPC-H star join broadcast instead
+    of shuffling lineitem twice.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted") if False else \
+        df._jdf.queryExecution().explainString("formatted")
+
+
+def test_html_pruned_from_tile_build(spark):
+    from avecado_spark.api import build_tiles
+    from avecado_spark.sources.pages import pages_df
+    tiles = build_tiles(pages_df(spark, SF), z=14)
+    plan = tiles._jdf.queryExecution().optimizedPlan().toString()
+    # the pages projection synthesizes html, but the encode path must not
+    # carry it into the exchange: after optimization no Exchange input
+    # includes the html column
+    physical = tiles._jdf.queryExecution().executedPlan().toString()
+    for line in physical.splitlines():
+        if "Exchange" in line:
+            assert "html" not in line, line
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_orderkey") < 100).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema carries only the two selected columns
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "l_quantity" in rs and "l_extendedprice" not in rs
+
+
+def test_small_dims_broadcast(spark):
+    from avecado_spark import queries as q
+    df = q.queries()["tpch_q5_local_supplier"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pip_probe_is_slim_and_map_side(spark):
+    """The broadcast PIP probe must not carry html/text through Arrow, and
+    must add no shuffle beyond the one inherent to pages synthesis
+    (the DISTINCT over the synthetic key)."""
+    from avecado_spark import queries as q
+    df = q.queries()["j1a_pip_first"](spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    probe_lines = [l for l in physical.splitlines() if "MapInPandas probe" in l]
+    assert probe_lines and all("html" not in l and "text" not in l
+                               for l in probe_lines)
+    exchanges = [l for l in physical.splitlines() if "Exchange" in l]
+    assert len(exchanges) <= 1  # only the synthesis DISTINCT

@@ -126,12 +126,18 @@ def test_pyramid_rollup(spark):
 
 def test_copy_down(spark, tiles):
     from avecado_spark.operators.pyramid import copy_down_subtrees
-    un = tiles.where(~F.col("interesting"))
-    n_un = un.count()
-    if n_un == 0:
-        pytest.skip("no uninteresting tiles at this sf")
-    out = copy_down_subtrees(tiles, to_z=8)
+    # force one uninteresting full-cover tile into the set (at sf0.001 all
+    # data tiles are interesting) — copy_subtree semantics need coverage
+    fake = spark.createDataFrame(
+        [(6, 60, 60, bytearray(b"\x1f\x8bfake"), 1, False)],
+        "z int, x long, y long, tile_pbf binary, n_features long, interesting boolean")
+    allt = tiles.unionAll(fake)
+    n_un = allt.where(~F.col("interesting")).count()
+    assert n_un >= 1
+    out = copy_down_subtrees(allt, to_z=8)
     # every uninteresting z6 tile spawns 4 z7 + 16 z8 children
-    assert out.count() == tiles.count() + n_un * (4 + 16)
-    kid = out.where(F.col("z") == 8).first()
-    assert kid.tile_pbf is not None
+    assert out.count() == allt.count() + n_un * (4 + 16)
+    kids = out.where((F.col("z") == 8) & (F.col("x") >= 240) & (F.col("x") < 244)
+                     & (F.col("y") >= 240) & (F.col("y") < 244)).collect()
+    assert len(kids) == 16
+    assert all(bytes(k.tile_pbf) == b"\x1f\x8bfake" for k in kids)
