@@ -68,17 +68,21 @@ def _to_local(arr: np.ndarray, minx: float, maxy: float, span: float, extent: in
 def make_layer(name: str, features: list[dict], z: int, x: int, y: int,
                tile_size: int = DEFAULT_TILE_SIZE,
                path_multiplier: int = DEFAULT_PATH_MULT,
-               buffer_size: int = 0, tolerance: int = 1) -> MvtLayer:
+               buffer_size: int = 0, tolerance: int = 1,
+               offset_x: int = 0, offset_y: int = 0) -> MvtLayer:
     """Encode one layer of one tile.
 
     features: [{"id": int, "props": {k: v}, "geom": Geom (mercator coords)}]
     buffer_size in pixels (scaled by path_multiplier), like the reference's
-    buffer_size option (include/avecado.hpp:41-44).
+    buffer_size option (include/avecado.hpp:41-44). offset_x/offset_y shift
+    the tile origin in pixels (include/avecado.hpp:46-49).
     """
     extent = tile_size * path_multiplier
     minx, miny, maxx, maxy = box_for_tile(z, x, y)
     span = maxx - minx
     buf = buffer_size * path_multiplier
+    off = np.array([offset_x * path_multiplier, offset_y * path_multiplier],
+                   dtype=np.float64)
     layer = MvtLayer(name=name, extent=extent)
     key_idx: dict[str, int] = {}
     val_idx: dict = {}
@@ -89,7 +93,7 @@ def make_layer(name: str, features: list[dict], z: int, x: int, y: int,
         paths: list[tuple[np.ndarray, np.ndarray]] = []
         if base == "POINT":
             pts = np.vstack([p[0] for p in g.parts])
-            loc = _to_local(pts, minx, maxy, span, extent)
+            loc = _to_local(pts, minx, maxy, span, extent) + off
             keep = ((loc[:, 0] >= -buf) & (loc[:, 0] <= extent + buf) &
                     (loc[:, 1] >= -buf) & (loc[:, 1] <= extent + buf))
             loc = np.rint(loc[keep]).astype(np.int64)
@@ -97,7 +101,8 @@ def make_layer(name: str, features: list[dict], z: int, x: int, y: int,
                 paths.append((loc[:, 0], loc[:, 1]))
             gtype = GEOM_POINT
         elif base == "LINESTRING":
-            lines = [_to_local(p[0], minx, maxy, span, extent) for p in g.parts]
+            lines = [_to_local(p[0], minx, maxy, span, extent) + off
+                     for p in g.parts]
             clipped = clip_lines_to_box(lines, (-buf, -buf, extent + buf, extent + buf))
             for arr in clipped:
                 q = np.rint(arr).astype(np.int64)
@@ -110,7 +115,7 @@ def make_layer(name: str, features: list[dict], z: int, x: int, y: int,
             for rings in g.parts:
                 for ring in rings:
                     loc = _to_local(np.asarray(ring, dtype=np.float64),
-                                    minx, maxy, span, extent)
+                                    minx, maxy, span, extent) + off
                     c = clip_ring_convex(loc, clipbox)
                     if len(c) >= 4:
                         q = np.rint(close_ring(c)).astype(np.int64)
@@ -146,13 +151,37 @@ def make_tile_bytes(layers: list[MvtLayer], compression_level: int = 9) -> bytes
 def make_vector_tile(features_by_layer: dict[str, list[dict]], z: int, x: int, y: int,
                      tile_size: int = DEFAULT_TILE_SIZE,
                      path_multiplier: int = DEFAULT_PATH_MULT,
-                     buffer_size: int = 0, tolerance: int = 1,
+                     buffer_size: int = 0, scale_factor: float = 1.0,
+                     offset_x: int = 0, offset_y: int = 0,
+                     tolerance: int = 1, image_format: str = "jpeg",
+                     scaling_method: str = "near",
+                     scale_denominator: float = 0.0,
+                     post_processor=None,
                      compression_level: int = 9) -> bytes:
     """Public single-tile API mirroring the reference Python binding
-    avecado.make_vector_tile (/root/reference/src/python_module.cpp:193-227)."""
-    layers = [make_layer(name, feats, z, x, y, tile_size, path_multiplier,
-                         buffer_size, tolerance)
-              for name, feats in features_by_layer.items()]
+    avecado.make_vector_tile(map, z, x, y, path_multiplier=16,
+    buffer_size=0, scale_factor=1.0, offset_x=0, offset_y=0, tolerance=1,
+    image_format='jpeg', scaling_method='near', scale_denominator=0.0,
+    post_processor=None) — /root/reference/src/python_module.cpp:203-212.
+
+    post_processor: a plans.pipeline.PostProcessor (config as a plain dict,
+    the binding's idiom, python_module.cpp:72-189); its izers run per layer
+    before encoding, zoom-gated at z. scale_factor / image_format /
+    scaling_method / scale_denominator apply only to raster features in the
+    reference; accepted here for signature parity (vector path ignores
+    them, as the reference does for vector layers)."""
+    layers = []
+    for name, feats in features_by_layer.items():
+        if post_processor is not None:
+            izer_feats = [{"id": f.get("id", 0), "props": dict(f.get("props", {})),
+                           "geoms": [f["geom"]]} for f in feats]
+            izer_feats, _ = post_processor.process_layer(izer_feats, name, z,
+                                                         tile_size)
+            feats = [{"id": f["id"], "props": f["props"], "geom": g}
+                     for f in izer_feats for g in f["geoms"]]
+        layers.append(make_layer(name, feats, z, x, y, tile_size,
+                                 path_multiplier, buffer_size, tolerance,
+                                 offset_x, offset_y))
     return make_tile_bytes([l for l in layers if l.features], compression_level)
 
 

@@ -203,3 +203,33 @@ def test_varint_roundtrip():
         buf = mvt._varint(v)
         out, pos = mvt.read_varint(buf, 0)
         assert out == v and pos == len(buf)
+
+
+def test_make_vector_tile_full_signature_with_post_processor():
+    """Reference binding parity (python_module.cpp:203-212): all kwargs
+    accepted; post_processor izers run per layer before encoding."""
+    from avecado_spark.plans.pipeline import PostProcessor
+    pp = PostProcessor({"point": [{"minzoom": 0, "maxzoom": 22, "process": [{
+        "type": "adminizer", "param_name": "foo",
+        "datasource": {"inline_rows": [
+            ("POLYGON((-10000000 -10000000, -10000000 10000000, 10000000 10000000, "
+             "10000000 -10000000, -10000000 -10000000))", "inside")]}}]}]})
+    data = make_vector_tile(
+        {"point": [_mk("POINT(0 0)", "null island")]}, 0, 0, 0,
+        path_multiplier=1, buffer_size=0, scale_factor=1.0,
+        offset_x=0, offset_y=0, tolerance=1, image_format="jpeg",
+        scaling_method="near", scale_denominator=0.0, post_processor=pp)
+    layer, feat = _decode_single_feature(data)
+    assert "foo" in layer.keys and "inside" in layer.values
+
+
+def test_make_vector_tile_offset():
+    d0 = make_vector_tile({"p": [_mk("POINT(0 0)", "x")]}, 0, 0, 0,
+                          path_multiplier=1)
+    d1 = make_vector_tile({"p": [_mk("POINT(0 0)", "x")]}, 0, 0, 0,
+                          path_multiplier=1, offset_x=10, offset_y=-5)
+    _, f0 = _decode_single_feature(d0)
+    _, f1 = _decode_single_feature(d1)
+    p0 = mvt.decode_geometry(f0.geometry, 1)[0]
+    p1 = mvt.decode_geometry(f1.geometry, 1)[0]
+    assert p1[0][0] - p0[0][0] == 10 and p1[1][0] - p0[1][0] == -5
