@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the wire codec and geometry kernels —
+the encode path must hold for arbitrary inputs, not just fixtures."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from avecado_spark.functions import mvt
+from avecado_spark.functions.mercator import zigzag_decode, zigzag_encode
+from avecado_spark.functions.geometry import points_cover, split_line_by_polygon
+from avecado_spark.functions.wkt import Geom, dumps, loads
+
+
+@given(st.integers(min_value=-(2 ** 31), max_value=2 ** 31 - 1))
+def test_zigzag_roundtrip_prop(v):
+    assert int(zigzag_decode(zigzag_encode(np.array([v]))[0])) == v
+
+
+@given(st.integers(min_value=0, max_value=2 ** 63 - 1))
+def test_varint_roundtrip_prop(v):
+    buf = mvt._varint(v)
+    out, pos = mvt.read_varint(buf, 0)
+    assert out == v and pos == len(buf)
+
+
+@settings(max_examples=50)
+@given(st.lists(st.tuples(st.integers(-4096, 8192), st.integers(-4096, 8192)),
+                min_size=2, max_size=30))
+def test_linestring_command_roundtrip(pts):
+    xs = np.array([p[0] for p in pts], dtype=np.int64)
+    ys = np.array([p[1] for p in pts], dtype=np.int64)
+    cmds = mvt.encode_geometry([(xs, ys)], mvt.GEOM_LINESTRING, tolerance=0)
+    paths = mvt.decode_geometry(cmds, mvt.GEOM_LINESTRING)
+    assert len(paths) == 1
+    assert np.array_equal(paths[0][0], xs) and np.array_equal(paths[0][1], ys)
+
+
+@settings(max_examples=50)
+@given(st.lists(st.tuples(st.floats(-100, 100, allow_nan=False),
+                          st.floats(-100, 100, allow_nan=False)),
+                min_size=2, max_size=12))
+def test_line_split_conserves_geometry(pts):
+    """inside ∪ outside re-covers the line: total length preserved."""
+    line = np.array(pts, dtype=np.float64)
+    ring = [np.array([[-10., -10.], [10., -10.], [10., 10.], [-10., 10.],
+                      [-10., -10.]])]
+    ins, outs = split_line_by_polygon(line, ring)
+
+    def tot(parts):
+        return sum(float(np.sqrt(((a[1:] - a[:-1]) ** 2).sum(axis=1)).sum())
+                   for a in parts)
+
+    from avecado_spark.functions.geometry import dedupe_vertices
+    orig = tot([dedupe_vertices(line)])
+    assert tot(ins) + tot(outs) == __import__("pytest").approx(orig, abs=1e-6)
+
+
+@settings(max_examples=50)
+@given(st.floats(-20, 20, allow_nan=False), st.floats(-20, 20, allow_nan=False))
+def test_pip_box_agrees_with_arithmetic(x, y):
+    ring = [np.array([[-10., -10.], [10., -10.], [10., 10.], [-10., 10.],
+                      [-10., -10.]])]
+    got = bool(points_cover(np.array([[x, y]]), ring)[0])
+    expect = -10 <= x <= 10 and -10 <= y <= 10
+    assert got == expect
+
+
+@settings(max_examples=30)
+@given(st.lists(st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+                min_size=1, max_size=8))
+def test_wkt_roundtrip_multipoint(pts):
+    g = Geom("MULTIPOINT", [[np.array(pts, dtype=np.float64)]])
+    rt = loads(dumps(g))
+    assert rt.type == "MULTIPOINT"
+    assert np.array_equal(rt.parts[0][0], g.parts[0][0])
+
+
+@settings(max_examples=30)
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=5),
+       st.integers(0, 9))
+def test_tile_gzip_roundtrip(payload_strings, level):
+    layer = mvt.MvtLayer(name="p")
+    for i, b in enumerate(payload_strings):
+        layer.features.append(
+            mvt.MvtFeature(id=i, type=1, geometry=[9, 2, 2],
+                           tags=[]))
+        layer.keys.append(b.hex() or "k")
+    data = mvt.tile_to_gzip(mvt.MvtTile(layers=[layer]), level)
+    rt = mvt.decode_tile(data)
+    assert rt.layers[0].keys == layer.keys
+    assert len(rt.layers[0].features) == len(layer.features)
