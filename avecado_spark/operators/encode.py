@@ -348,3 +348,64 @@ def build_point_tiles(df: DataFrame, z: int,
             .repartition(nparts, "x", "y")
             .sortWithinPartitions("x", "y", "salt")
             .mapInPandas(phase2, schema=_TILE_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# distributed build for arbitrary WKT feature layers (lines/polygons too)
+# ---------------------------------------------------------------------------
+
+def build_feature_tiles(df: DataFrame, izer_config: dict | None = None,
+                        tile_size: int = DEFAULT_TILE_SIZE,
+                        path_multiplier: int = DEFAULT_PATH_MULT,
+                        buffer_size: int = 0, tolerance: int = 1,
+                        compression_level: int = 9) -> DataFrame:
+    """General tile build over (z, x, y, layer, id, props map, wkt) feature
+    rows — the Spark translation of `avecado vector-bulk` for non-point
+    layers (lines, polygons, multi-*), with an optional post-processor
+    pipeline applied per (tile, layer) before encoding (exactly
+    backend::stop_tile_layer → post_processor::process_layer →
+    encode, reference src/backend.cpp:20-26).
+
+    One applyInPandas group per tile: feature layers are the heavy-geometry
+    case (few features, real vertex work) where per-group pandas overhead
+    is negligible relative to clipping/encoding; the hot-point case uses
+    build_point_tiles' two-phase path instead.
+    """
+    from ..functions import wkt as _wkt
+    from ..plans.pipeline import PostProcessor
+
+    config = izer_config or {}
+
+    def encode_tile_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        proc = PostProcessor(config) if config else None
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        layers = []
+        nf = 0
+        for layer_name, g in pdf.groupby("layer", sort=True):
+            feats = [{"id": int(r.id),
+                      "props": dict(r.props) if r.props is not None else {},
+                      "geom": _wkt.loads(r.wkt)}
+                     for r in g.itertuples(index=False)]
+            if proc is not None:
+                izer_feats = [{"id": f["id"], "props": f["props"],
+                               "geoms": [f["geom"]]} for f in feats]
+                izer_feats, _ = proc.process_layer(izer_feats, layer_name, z,
+                                                   tile_size)
+                feats = [{"id": f["id"], "props": f["props"], "geom": gm}
+                         for f in izer_feats for gm in f["geoms"]]
+            layer = make_layer(layer_name, feats, z, x, y, tile_size,
+                               path_multiplier, buffer_size, tolerance)
+            if layer.features:
+                layers.append(layer)
+                nf += len(layer.features)
+        if not layers:
+            return pd.DataFrame({"z": [], "x": [], "y": [], "tile_pbf": [],
+                                 "n_features": [], "interesting": []})
+        tile_bytes = make_tile_bytes(layers, compression_level)
+        interesting = any(mvt.is_interesting(l) for l in layers)
+        return pd.DataFrame({"z": [z], "x": [x], "y": [y],
+                             "tile_pbf": [tile_bytes], "n_features": [nf],
+                             "interesting": [interesting]})
+
+    return (df.groupBy("z", "x", "y")
+              .applyInPandas(encode_tile_group, schema=_TILE_SCHEMA))

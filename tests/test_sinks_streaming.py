@@ -141,3 +141,49 @@ def test_copy_down(spark, tiles):
                      & (F.col("y") >= 240) & (F.col("y") < 244)).collect()
     assert len(kids) == 16
     assert all(bytes(k.tile_pbf) == b"\x1f\x8bfake" for k in kids)
+
+
+def test_build_feature_tiles_lines_and_polygons(spark):
+    """General (non-point) distributed tile build: line + polygon layers,
+    izer pipeline applied per tile before encoding."""
+    from avecado_spark.functions import mvt
+    from avecado_spark.operators.encode import build_feature_tiles
+    rows = [
+        (1, 10, 10, "roads", 1, {"hw": "yes"},
+         "LINESTRING(-2000000 0,-1000000 1250000,1000000 1000000,2000000 0)"),
+        (1, 10, 10, "water", 2, {},
+         "POLYGON((-2000000 0,-1000000 1050000,1000000 1000000,2000000 0,-2000000 0))"),
+    ]
+    # z1/10/10 is out of range spatially but encode is tile-local; use 1/0/0
+    rows = [(1, 0, 0) + r[3:] for r in rows]
+    df = spark.createDataFrame(
+        rows, "z int, x long, y long, layer string, id long, "
+              "props map<string,string>, wkt string")
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "generalizer", "algorithm": "douglas-peucker",
+         "tolerance": 1.0}]}]}
+    out = build_feature_tiles(df, izer_config=conf, path_multiplier=1).collect()
+    assert len(out) == 1
+    tile = mvt.decode_tile(bytes(out[0].tile_pbf))
+    names = sorted(l.name for l in tile.layers)
+    assert names == ["roads", "water"]
+    types = {l.name: l.features[0].type for l in tile.layers}
+    assert types["roads"] == mvt.GEOM_LINESTRING
+    assert types["water"] == mvt.GEOM_POLYGON
+    assert out[0].n_features == 2
+
+
+def test_build_tiles_job_script(spark, tmp_path):
+    """jobs/build_tiles.py end-to-end via its main() (spark-submit surface)."""
+    import subprocess, sys, json
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/build_tiles.py",
+         "--input", SF, "--zoom", "6", "--out", str(tmp_path),
+         "--lineage", "t", "--pbf-tree"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["n_tiles"] > 0
+    assert (tmp_path / "tile.json").exists()
+    import glob as g
+    assert g.glob(str(tmp_path / "pbf" / "*" / "*" / "*.pbf"))
