@@ -82,7 +82,7 @@ def simplify_dp(arr: np.ndarray, tolerance: float) -> np.ndarray:
 
 
 def simplify_vw(arr: np.ndarray, tolerance: float) -> np.ndarray:
-    """Visvalingam-Whyatt with the |cross| (2×area) metric and strict
+    """Visvalingam-Whyatt with the true triangle-area metric and strict
     `area < tolerance` elimination (golden-pinned; see module docstring)."""
     n = len(arr)
     if n <= 2:

@@ -651,3 +651,23 @@ def raster_render_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = build_tiles(pages_df(spark, sf_dir), z=6)
     pngs = render_tiles(tiles, styles={"pages": (0x51, 0x21, 0x4D, 0xFF)})
     return pngs.select("z", "x", "y", F.md5(F.col("png")).alias("png_md5"))
+
+
+@register("cell_quadkey_z14", f"""
+  WITH t AS (
+    SELECT {tile_x_sql('mx_mm', 14)} AS x, {tile_y_sql('my_mm', 14)} AS y
+    FROM {GEO_SQL} g
+  )
+  SELECT (14 * (1::BIGINT << 58) + x * (1::BIGINT << 29) + y) AS cell,
+         COUNT(*) AS n_docs
+  FROM t GROUP BY 1
+""")
+def cell_quadkey_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell index (H3/S2 stand-in — SURVEY §1.4): packed
+    quadkey with ancestor-by-shift containment; docs per cell."""
+    from .operators.keys import quadkey_col
+    g = _geo(spark, sf_dir)
+    t = g.select(tile_x_expr("mx_mm", 14).alias("x"),
+                 tile_y_expr("my_mm", 14).alias("y"))
+    return (t.select(quadkey_col(F.lit(14), F.col("x"), F.col("y")).alias("cell"))
+             .groupBy("cell").agg(F.count("*").alias("n_docs")))

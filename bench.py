@@ -64,6 +64,12 @@ def _run_pip_first(spark, sf_dir):
 
 
 def main():
+    if "--measure-one" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--measure-one") + 1])
+        dt, n_tiles, n_docs = _measure(cpus)
+        print(json.dumps({"cpus": cpus, "sec": dt, "tiles": n_tiles,
+                          "docs": n_docs}))
+        return
     if "--scaling" in sys.argv:
         return scaling()
 
@@ -118,21 +124,33 @@ def _measure(cpus: int):
 def scaling():
     """Identical job at N and 4N parallelism → scaling efficiency.
 
-    This sandbox's kernel makes JVM thread concurrency beyond ~8-16 threads
-    collapse for ANY Spark job (verified with a pure-JVM control: a plain
-    md5+agg over spark.range slows down from local[16] to local[32]), so
-    the honest N→4N evidence uses N=2 (local[2] vs local[8]) by default,
-    with medians over SPARK_GRAFT_SCALE_REPS runs to beat sandbox timing
-    jitter. Throughput per measurement; the engine itself is shuffle-
-    partitioned with no serial stage beyond the single-row-group source
-    scan (see BENCH/BASELINE.md notes)."""
+    Each measurement runs in a SUBPROCESS pinned to an N-core cpuset
+    (taskset -c 0..N-1), so "N cores" counts every thread the job owns —
+    JVM task threads, GC/JIT threads, and python UDF workers alike. Without
+    pinning, local[2] silently borrows idle cores for GC and python workers
+    and the baseline is overstated. N=2 vs 4N=8 by default: this sandbox's
+    kernel collapses JVM thread concurrency beyond ~8-16 threads for ANY
+    Spark job (verified with a pure-JVM control: md5+agg over spark.range
+    slows down from local[16] to local[32]); medians over
+    SPARK_GRAFT_SCALE_REPS runs beat sandbox timing jitter."""
     import statistics
+    import subprocess
     lo, hi = SCALE_N, 4 * SCALE_N
     runs = {lo: [], hi: []}
     n_tiles = n_docs = 0
+
+    def _measure_pinned(cpus: int):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+               os.path.abspath(__file__), "--measure-one", str(cpus)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             env=dict(os.environ), timeout=3600)
+        line = out.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        return d["sec"], d["tiles"], d["docs"]
+
     for _ in range(SCALE_REPS):
         for cpus in (lo, hi):
-            dt, n_tiles, n_docs = _measure(cpus)
+            dt, n_tiles, n_docs = _measure_pinned(cpus)
             runs[cpus].append(dt)
     med = {c: statistics.median(v) for c, v in runs.items()}
     results = {c: {"runs_sec": [round(v, 2) for v in runs[c]],
@@ -155,6 +173,14 @@ levels, same input, fresh SparkSession per run, median of {SCALE_REPS} runs.
 | local[{hi}] | {results[hi]['runs_sec']} | {results[hi]['median_sec']} | {results[hi]['tiles_per_sec']} | {results[hi]['docs_per_sec']} |
 
 **Scaling efficiency ({lo} -> {hi} cores, 4x): {eff:.3f}** (target >= 0.8)
+
+## Method
+
+Each run is a fresh `taskset -c 0-(N-1) python bench.py --measure-one N`
+subprocess: the cpuset bounds EVERY thread of the measurement (JVM task
+threads, GC/JIT, python UDF workers), so N really means N cores — without
+pinning, small-N runs borrow idle cores for GC and python workers and
+overstate the baseline.
 
 ## Environment note (why N={lo}, not 8)
 
