@@ -194,7 +194,7 @@ PAGES_KEYS = ["lang"]
 PAGES_VALUES = ["en", "de", "fr", "es", "zh", "ru", "pt"]
 _VAL_IDX = {v: i for i, v in enumerate(PAGES_VALUES)}
 
-_PARTIAL_SCHEMA = ("x long, y long, salt int, fblock binary, "
+_PARTIAL_SCHEMA = ("pkey long, fblock binary, "
                    "n_features long, inside1 boolean")
 _TILE_SCHEMA = "z int, x long, y long, tile_pbf binary, n_features long, interesting boolean"
 
@@ -270,29 +270,49 @@ def build_point_tiles(df: DataFrame, z: int,
     nparts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     nparts = int(nparts)
 
-    cols = ["x", "y", "salt", "mx_mm", "my_mm", "feature_id", "lang"]
-    slim = df.select(*cols)  # html/text pruned before any shuffle
+    # JVM-side preparation: quantize to tile-local ints with floor(v+0.5)
+    # (the reference encoder's rounding) and pack (x, y, salt) into ONE long
+    # key — the shuffle then moves 3 longs per row instead of 7 columns, and
+    # sortWithinPartitions radix-sorts a single long. The bit layout keeps
+    # lexicographic (x, y, salt) order: key = x<<18 | y<<4 | salt
+    # (x, y < 2^14 at z<=14; salt < 16). Payload pv packs vid<<26|px<<13|py
+    # (px, py <= extent=4096 fit 13 bits).
+    if z > 14 or n_salts > 16 or extent > 8191:
+        raise ValueError("packed-key layout supports z<=14, n_salts<=16, "
+                         "extent<=8191; widen the layout for deeper zooms")
+    vid_expr = F.lit(0)
+    for i, v in enumerate(PAGES_VALUES):
+        vid_expr = F.when(F.col("lang") == v, F.lit(i)).otherwise(vid_expr)
+    H = 0.5 * WORLD_SIZE_ENC
     scale = WORLD_SIZE_ENC / float(1 << z)
-    vmap = _VAL_IDX
+    mxm = F.col("mx_mm") / F.lit(1000.0)
+    mym = F.col("my_mm") / F.lit(1000.0)
+    px = F.floor((mxm - (F.col("x") * F.lit(scale) - F.lit(H))) / F.lit(scale)
+                 * F.lit(extent) + F.lit(0.5)).cast("long")
+    py = F.floor(((F.lit(H) - F.col("y") * F.lit(scale)) - mym) / F.lit(scale)
+                 * F.lit(extent) + F.lit(0.5)).cast("long")
+    slim = df.select(
+        (F.col("x") * F.lit(1 << 18) + F.col("y") * F.lit(1 << 4)
+         + F.col("salt")).alias("pkey"),
+        F.col("feature_id").alias("fid"),
+        (vid_expr.cast("long") * F.lit(1 << 26) + px * F.lit(1 << 13) + py)
+            .alias("pv"))
+
+    p1cols = ["pkey", "fid", "pv"]
 
     def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for arrs, starts, ends in _numpy_batches(batches, cols, ["x", "y", "salt"]):
-            xs = arrs["x"].astype(np.int64)
-            ys = arrs["y"].astype(np.int64)
-            minx = xs * scale - 0.5 * WORLD_SIZE_ENC
-            maxy = 0.5 * WORLD_SIZE_ENC - ys * scale
-            mx = arrs["mx_mm"].astype(np.float64) / 1000.0
-            my = arrs["my_mm"].astype(np.float64) / 1000.0
-            px = np.rint((mx - minx) / scale * extent).astype(np.int64)
-            py = np.rint((maxy - my) / scale * extent).astype(np.int64)
+        for arrs, starts, ends in _numpy_batches(batches, p1cols, ["pkey"]):
+            pv = arrs["pv"].astype(np.int64)
+            px = (pv >> 13) & 0x1FFF
+            py = pv & 0x1FFF
+            vids = (pv >> 26).tolist()
             inside = ((px > 0) & (px < extent)) | ((py > 0) & (py < extent))
-            zx = ((px << 1) ^ (px >> 63)).tolist()
-            zy = ((py << 1) ^ (py >> 63)).tolist()
-            ids = arrs["feature_id"].astype(np.int64).tolist()
-            vids = [vmap.get(l, 0) for l in arrs["lang"].tolist()]
+            zx = (px << 1).tolist()  # px, py >= 0 → zigzag is a left shift
+            zy = (py << 1).tolist()
+            ids = arrs["fid"].astype(np.int64).tolist()
             vc = _varint_cached
             blocks = []
-            for i in range(len(xs)):
+            for i in range(len(pv)):
                 geom = b"\x09" + vc(zx[i]) + vc(zy[i])
                 body = (b"\x08" + vc(ids[i])
                         + b"\x12\x02" + bytes((0, vids[i]))
@@ -301,16 +321,15 @@ def build_point_tiles(df: DataFrame, z: int,
                 blocks.append(b"\x12" + vc(len(body)) + body)
             fb = [b"".join(blocks[s:e]) for s, e in zip(starts, ends)]
             yield pd.DataFrame({
-                "x": xs[starts], "y": ys[starts],
-                "salt": arrs["salt"][starts].astype(np.int32),
+                "pkey": arrs["pkey"][starts],
                 "fblock": fb,
                 "n_features": (ends - starts).astype(np.int64),
                 "inside1": inside[starts],
             })
 
     partial = (slim
-               .repartition(nparts, "x", "y", "salt")
-               .sortWithinPartitions("x", "y", "salt")
+               .repartition(nparts, "pkey")
+               .sortWithinPartitions("pkey")
                .mapInPandas(phase1, schema=_PARTIAL_SCHEMA))
 
     layer_head = _len_delim(1, layer_name.encode("utf-8"))
@@ -319,34 +338,40 @@ def build_point_tiles(df: DataFrame, z: int,
                   + _varint_field(5, extent)
                   + _varint_field(15, mvt.MVT_VERSION))
     from ..functions.mvt import gzip_bytes as _gzb
-    p2cols = ["x", "y", "salt", "fblock", "n_features", "inside1"]
+    p2cols = ["tkey", "fblock", "n_features", "inside1"]
 
     def phase2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # input arrives sorted by (x, y, salt) → partial blocks are already
-        # in deterministic salt order within each tile group
-        for arrs, starts, ends in _numpy_batches(batches, p2cols, ["x", "y"]):
+        # sorted by pkey → tiles contiguous, partial blocks in salt order
+        for arrs, starts, ends in _numpy_batches(batches, p2cols, ["tkey"]):
             fbl = arrs["fblock"]
             nf = arrs["n_features"].astype(np.int64)
             ins = arrs["inside1"]
+            tk = arrs["tkey"].astype(np.int64)
             pbfs, nfs, inter = [], [], []
-            for s, e in zip(starts, ends):
-                body = layer_head + b"".join(fbl[s:e]) + layer_tail
+            for st, e in zip(starts, ends):
+                body = layer_head + b"".join(fbl[st:e]) + layer_tail
                 tile_bytes = _len_delim(3, body)
                 if compression_level > 0:
                     tile_bytes = _gzb(tile_bytes, compression_level)
-                total = int(nf[s:e].sum())
+                total = int(nf[st:e].sum())
                 pbfs.append(tile_bytes)
                 nfs.append(total)
-                inter.append(True if total > 1 else bool(ins[s]))
+                inter.append(True if total > 1 else bool(ins[st]))
+            keys = tk[starts]
             yield pd.DataFrame({
                 "z": np.full(len(starts), z, dtype=np.int32),
-                "x": arrs["x"][starts], "y": arrs["y"][starts],
+                "x": keys >> 14,
+                "y": keys & 0x3FFF,
                 "tile_pbf": pbfs, "n_features": nfs, "interesting": inter,
             })
 
-    return (partial
-            .repartition(nparts, "x", "y")
-            .sortWithinPartitions("x", "y", "salt")
+    tiled = partial.withColumn("tkey", F.shiftright("pkey", 4))
+    # phase2 needs cols ["tkey","fblock","n_features","inside1"]; group key
+    # order within a tile follows pkey (salt) because the phase-1 sort order
+    # is preserved per partition and we re-sort by pkey here
+    return (tiled
+            .repartition(nparts, "tkey")
+            .sortWithinPartitions("pkey")
             .mapInPandas(phase2, schema=_TILE_SCHEMA))
 
 

@@ -9,6 +9,7 @@ local[$SPARK_GRAFT_CPUS] (default 32).
                    integer tile keys → two-phase salted MVT encode → bytes.
   tile_assign    — declarative key-assign + count (pure JVM path).
   pip_first      — broadcast point-in-polygon join, first-match mode.
+  dedup/sim/text/events — training-data suite representatives.
 
 --scaling runs tile_build_z14 at local[8] and local[32] on identical input
 and writes BENCH/BASELINE.md with throughputs + scaling efficiency
@@ -88,6 +89,14 @@ def main():
     t = time.time()
     if _run_pip_first(spark, SF_DIR) is not None:
         timings["pip_first"] = round(time.time() - t, 3)
+
+    from avecado_spark import queries as q
+    qs = q.queries()
+    for name in ("dedup_minhash_bands", "dedup_simhash", "sim_cosine_topk",
+                 "text_quality", "events_window_5m"):
+        t = time.time()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t, 3)
 
     total = round(time.time() - t0, 3)
     out = {
