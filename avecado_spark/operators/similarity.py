@@ -220,3 +220,102 @@ def embedding_neardup_sql(threshold: float = 0.8) -> str:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       ) WHERE cos > {threshold}
     )"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (coarse-quantizer variant of the scale path)
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8  # coarse centroids; the first N_CELLS vectors serve as the
+             # deterministic "trained" codebook (no RNG in the sandbox)
+
+
+def ivf_assign_df(spark: SparkSession, sf_dir: str,
+                  n_cells: int = N_CELLS) -> DataFrame:
+    """(vec_id, cell): assign every vector to its nearest coarse centroid
+    by squared euclidean distance (ties → lowest centroid id). The
+    centroids are the first n_cells vectors — a deterministic stand-in for
+    k-means training; the operator shape (broadcast codebook, argmin
+    assignment, cell-partitioned search) is the IVF index."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv"))
+    d2 = F.aggregate(F.zip_with(F.col("embedding"), F.col("cv"),
+                                lambda a, b: (a.cast("double") - b.cast("double"))
+                                * (a.cast("double") - b.cast("double"))),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
+    return (emb.crossJoin(F.broadcast(cents))
+               .select("vec_id", "cell", d2.alias("d2"))
+               .withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .select("vec_id", "cell"))
+
+
+D2_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
+          "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))")
+
+IVF_ASSIGN_SQL = f"""(
+  WITH cents AS (
+    SELECT vec_id AS cell, embedding AS cv FROM embeddings
+    WHERE vec_id < {N_CELLS}
+  ), d AS (
+    SELECT e.vec_id, c.cell,
+           {D2_SQL.format(a='e.embedding', b='c.cv')} AS d2
+    FROM embeddings e CROSS JOIN cents c
+  )
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d
+  ) WHERE rn = 1
+)"""
+
+
+def ann_ivf_df(spark: SparkSession, sf_dir: str,
+               k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """IVF search with nprobe=1: score only vectors in the query's own
+    cell (cosine top-k within the cell)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = ivf_assign_df(spark, sf_dir)
+    embb = emb.join(assign, "vec_id")
+    q = embb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("cell").alias("qc"))
+    cand = (q.join(embb, (F.col("cell") == F.col("qc"))
+                   & (F.col("vec_id") != F.col("query_id")))
+             .select("query_id", "vec_id",
+                     F.round(_dot(F.col("qv"), F.col("embedding"))
+                             / (_norm(F.col("qv")) * _norm(F.col("embedding"))), 4)
+                      .alias("cos")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "vec_id", "cos", "rank"))
+
+
+def ann_ivf_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    dot = DOT_SQL.format(a="q.qv", b="e.embedding")
+    nq = NORM_SQL.format(a="q.qv")
+    ne = NORM_SQL.format(a="e.embedding")
+    return f"""(
+      WITH embb AS (
+        SELECT e.vec_id, e.embedding, a.cell
+        FROM embeddings e JOIN {IVF_ASSIGN_SQL} a USING (vec_id)
+      ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv, cell AS qc FROM embb
+        WHERE vec_id < {n_queries}
+      ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               round({dot} / ({nq} * {ne}), 4) AS cos
+        FROM q JOIN embb e ON e.cell = q.qc AND e.vec_id != q.query_id
+      )
+      SELECT query_id, vec_id, cos, rank FROM (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= {k}
+    )"""

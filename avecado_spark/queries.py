@@ -671,3 +671,10 @@ def cell_quadkey_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
                  tile_y_expr("my_mm", 14).alias("y"))
     return (t.select(quadkey_col(F.lit(14), F.col("x"), F.col("y")).alias("cell"))
              .groupBy("cell").agg(F.count("*").alias("n_docs")))
+
+
+@register("sim_ann_ivf", S.ann_ivf_sql())
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse-quantizer cells, nprobe=1) — the second
+    scale path for similarity search alongside the LSH variant."""
+    return S.ann_ivf_df(spark, sf_dir)

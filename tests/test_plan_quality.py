@@ -64,3 +64,27 @@ def test_pip_probe_is_slim_and_map_side(spark):
                                for l in probe_lines)
     exchanges = [l for l in physical.splitlines() if "Exchange" in l]
     assert len(exchanges) <= 1  # only the synthesis DISTINCT
+
+
+def test_salting_spreads_hot_tiles(spark):
+    """Two-phase design check: a hot city tile's features arrive in phase 2
+    as MULTIPLE partial rows (one per salt) — the skew spread is real."""
+    from avecado_spark.operators.encode import build_point_tiles
+    from avecado_spark.operators.keys import geocode, with_salt, with_tile_keys
+    from avecado_spark.sources.pages import pages_df
+    from pyspark.sql import functions as F
+    keyed = with_tile_keys(geocode(pages_df(spark, SF)), 14)
+    keyed = keyed.withColumn("feature_id",
+                             keyed["url"].substr(32, 20).cast("long"))
+    salted = with_salt(keyed)
+    # count distinct salts per z14 tile for the hottest tile
+    hot = (salted.groupBy("x", "y")
+                 .agg(F.count("*").alias("n"),
+                      F.countDistinct("salt").alias("n_salts"))
+                 .orderBy(F.col("n").desc()).first())
+    assert hot.n > 100          # the skewed city tile exists
+    assert hot.n_salts == 16    # and its rows spread over all 16 salt keys
+    # and the final tile still assembles all of them
+    tiles = build_point_tiles(salted, 14)
+    t = tiles.where((F.col("x") == hot.x) & (F.col("y") == hot.y)).first()
+    assert t.n_features == hot.n
