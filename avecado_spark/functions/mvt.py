@@ -100,9 +100,10 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 def thin_points(xs: np.ndarray, ys: np.ndarray, tolerance: int) -> tuple[np.ndarray, np.ndarray]:
     """Sequential tolerance thinning: drop a vertex when BOTH |dx| and |dy|
-    to the last *kept* vertex are <= tolerance (reference doc:
-    include/avecado.hpp:51-55 — 'tolerance in both the x and y directions').
-    First and last vertices always survive."""
+    to the last *kept* vertex are strictly LESS than the tolerance (a vertex
+    survives when either delta >= tolerance — mapnik-vector-tile behavior;
+    reference doc: include/avecado.hpp:51-55 'tolerance in both the x and y
+    directions'). First and last vertices always survive."""
     n = len(xs)
     if n <= 2 or tolerance <= 0:
         return xs, ys

@@ -7,7 +7,7 @@ goldens in /root/reference/test/make_vector_tile.cpp:55-59 and
 /root/reference/test/multi_verification.cpp):
 
   mercator coords → tile-local float px (extent = tile_size × path_multiplier)
-  → clip to buffered tile box → integer quantization (rint)
+  → clip to buffered tile box → integer quantization (floor(v+0.5), ties-up — the reference encoder rounding, shared with build_point_tiles)
   → tolerance thinning → zigzag/command encoding → protobuf → gzip.
 
 Distributed build (`build_point_tiles`) is Spark-first:
@@ -96,7 +96,7 @@ def make_layer(name: str, features: list[dict], z: int, x: int, y: int,
             loc = _to_local(pts, minx, maxy, span, extent) + off
             keep = ((loc[:, 0] >= -buf) & (loc[:, 0] <= extent + buf) &
                     (loc[:, 1] >= -buf) & (loc[:, 1] <= extent + buf))
-            loc = np.rint(loc[keep]).astype(np.int64)
+            loc = np.floor(loc[keep] + 0.5).astype(np.int64)
             if len(loc):
                 paths.append((loc[:, 0], loc[:, 1]))
             gtype = GEOM_POINT
@@ -105,7 +105,7 @@ def make_layer(name: str, features: list[dict], z: int, x: int, y: int,
                      for p in g.parts]
             clipped = clip_lines_to_box(lines, (-buf, -buf, extent + buf, extent + buf))
             for arr in clipped:
-                q = np.rint(arr).astype(np.int64)
+                q = np.floor(arr + 0.5).astype(np.int64)
                 paths.append((q[:, 0], q[:, 1]))
             gtype = GEOM_LINESTRING
         else:  # POLYGON / MULTIPOLYGON
@@ -118,7 +118,7 @@ def make_layer(name: str, features: list[dict], z: int, x: int, y: int,
                                     minx, maxy, span, extent) + off
                     c = clip_ring_convex(loc, clipbox)
                     if len(c) >= 4:
-                        q = np.rint(close_ring(c)).astype(np.int64)
+                        q = np.floor(close_ring(c) + 0.5).astype(np.int64)
                         paths.append((q[:, 0], q[:, 1]))
             gtype = GEOM_POLYGON
 

@@ -114,7 +114,7 @@ def copy_down_subtrees(tiles: DataFrame, to_z: int) -> DataFrame:
     replicated to all its descendants down to to_z; interesting tiles pass
     through. Explode of (2^dz)² child offsets per parent."""
     unint = tiles.where(~F.col("interesting"))
-    res = [tiles]
+    kid_frames = []
     # dz is data-dependent (z column), so build per-level from the parent
     # set; the distinct-z collect is a tiny driver-side plan decision.
     zs = [r.z for r in tiles.select("z").distinct().collect()]
@@ -123,15 +123,32 @@ def copy_down_subtrees(tiles: DataFrame, to_z: int) -> DataFrame:
         for cz in range(z + 1, to_z + 1):
             n = 1 << (cz - z)
             off = F.explode(F.sequence(F.lit(0), F.lit(n * n - 1))).alias("o")
-            kids = (parents.select("x", "y", "tile_pbf", off)
-                    .select(F.lit(cz).alias("z"),
-                            (F.col("x") * n + (F.col("o") % n)).alias("x"),
-                            (F.col("y") * n + (F.col("o") / n).cast("long")).alias("y"),
-                            "tile_pbf",
-                            F.lit(0).cast("long").alias("n_features"),
-                            F.lit(False).alias("interesting")))
-            res.append(kids.select(*[c for c in tiles.columns]))
-    out = res[0]
-    for r in res[1:]:
-        out = out.unionAll(r)
-    return out
+            kid_frames.append(
+                parents.select("x", "y", "tile_pbf", "n_features", off)
+                .select(F.lit(cz).alias("z"),
+                        (F.col("x") * n + (F.col("o") % n)).alias("x"),
+                        (F.col("y") * n + (F.col("o") / n).cast("long")).alias("y"),
+                        F.lit(z).alias("src_z"),
+                        "tile_pbf",
+                        # copies carry the parent's count (reference
+                        # copy_subtree duplicates the tile verbatim)
+                        F.col("n_features")))
+    if not kid_frames:
+        return tiles
+    kids = kid_frames[0]
+    for k in kid_frames[1:]:
+        kids = kids.unionAll(k)
+    # Two uninteresting ancestors at different zooms can cover the same
+    # child key — the nearest (deepest src_z) ancestor wins, matching the
+    # reference's top-down recursion that stops at existing tiles.
+    kids = (kids.groupBy("z", "x", "y")
+                .agg(F.max(F.struct("src_z", "tile_pbf", "n_features")).alias("s"))
+                .select("z", "x", "y", F.col("s.tile_pbf").alias("tile_pbf"),
+                        F.col("s.n_features").alias("n_features"),
+                        F.lit(False).alias("interesting")))
+    # the reference's copy_subtree only fills tiles that were never
+    # rendered — anti-join against existing keys so a rendered
+    # descendant of an uninteresting parent is not duplicated
+    kids = kids.join(tiles.select("z", "x", "y"), on=["z", "x", "y"],
+                     how="left_anti")
+    return tiles.unionAll(kids.select(*[c for c in tiles.columns]))

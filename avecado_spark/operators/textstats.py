@@ -44,7 +44,7 @@ def lang_id_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lang_id_sql() -> str:
     sums = ", ".join(
-        "sum(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS n_{}".format(
+        "CAST(sum(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS BIGINT) AS n_{}".format(
             ", ".join(f"'{m}'" for m in markers), lang)
         for lang, markers in LANG_MARKERS.items())
     best = "greatest({})".format(", ".join(f"n_{l}" for l in LANG_MARKERS))

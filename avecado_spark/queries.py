@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .operators.keys import geocode, with_tile_keys
 from .sources.pages import pages_df, pages_oracle_sql
 
-GEO_RE = r"geo:mxm=(-?\\d+);mym=(-?\\d+)"
+from .operators.keys import _GEO_RE as GEO_RE  # canonical geo-marker pattern
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -509,7 +509,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_window_5m", """
   SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS wstart, event_type,
          count(*) AS n,
-         sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
   FROM events GROUP BY 1, 2
 """)
 def events_window_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,7 +535,7 @@ def events_window_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 1 ELSE 0 END AS new_session
     FROM e
   )
-  SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+  SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
   FROM gaps GROUP BY user_id
 """)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,10 +561,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("tpch_q1_pricing", """
   SELECT l_returnflag, l_linestatus,
-         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS disc_price_e4,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS disc_price_e4,
          count(*) AS count_order
   FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
   GROUP BY l_returnflag, l_linestatus
@@ -586,8 +586,8 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("tpch_q3_shipping", """
   SELECT o.o_orderkey,
-         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-             * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS revenue_e4,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
          o.o_orderdate, o.o_orderpriority
   FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -614,8 +614,8 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("tpch_q5_local_supplier", """
   SELECT n.n_name,
-         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-             * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS revenue_e4
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e4
   FROM region r
   JOIN nation n ON n.n_regionkey = r.r_regionkey
   JOIN supplier s ON s.s_nationkey = n.n_nationkey

@@ -48,10 +48,14 @@ WITH src AS (
   SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k
   FROM {lineitem}
 ), geo AS (
+  -- k is reduced mod 2^31 before the LCG multiply so k*2654435761 stays
+  -- below 2^63 for any scale factor (2^31 * 2654435761 < 2^63): Spark
+  -- would wrap int64 silently (non-ANSI) while DuckDB raises, breaking
+  -- same-table-by-construction parity at large SF.
   SELECT k,
-    ((k * 2654435761 + 12345) % 100) AS hot,
-    ((k * 2654435761 + 1013904223) % {xspan}) - {xhalf} AS ux,
-    ((k * 2246822519 + 3266489917) % {yspan}) - {yhalf} AS uy,
+    (((k % 2147483648) * 2654435761 + 12345) % 100) AS hot,
+    (((k % 2147483648) * 2654435761 + 1013904223) % {xspan}) - {xhalf} AS ux,
+    (((k % 2147483648) * 2246822519 + 3266489917) % {yspan}) - {yhalf} AS uy,
     ((k * 97 + 13) % {jspan}) - {jhalf} AS jx,
     ((k * 89 + 7) % {jspan}) - {jhalf} AS jy
   FROM src

@@ -13,10 +13,18 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def _norm(v):
+    # Type-tagged normalization: an int and a float that print the same must
+    # NOT compare equal — the driver's gate goes through pandas, where a
+    # DuckDB HUGEINT (sum of BIGINT) decays to float64 and hash-mismatches a
+    # Spark BIGINT even when values agree (round-1 lesson: 6 queries).
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.10g}"
+            return "f:nan"
+        return f"f:{v:.10g}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
@@ -41,6 +49,43 @@ def test_oracle_parity(spark, duck, name):
     rel = duck.sql(ORACLES[name])
     dcols = [c for c in rel.columns]
     drows = rel.fetchall()
+
+    # Driver-style type gate: the driver goes through pandas, where a DuckDB
+    # HUGEINT (sum of BIGINT) decays to float64 and hash-mismatches a Spark
+    # BIGINT even when the values print identically (round-1 lesson: 6
+    # queries failed on exactly this). Compare coarse type kinds per column.
+    import pyarrow as pa
+
+    def _kind(t):
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        if pa.types.is_decimal(t):
+            return "decimal"   # never matches: Spark side maps int/float
+        if pa.types.is_boolean(t):
+            return "bool"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "str"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "bytes"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "ts"
+        return str(t)
+
+    _SPARK_KIND = {"tinyint": "int", "smallint": "int", "int": "int",
+                   "bigint": "int", "float": "float", "double": "float",
+                   "boolean": "bool", "string": "str", "binary": "bytes",
+                   "date": "date", "timestamp": "ts", "timestamp_ntz": "ts"}
+    duck_kinds = {f.name.lower(): _kind(f.type)
+                  for f in rel.limit(0).arrow().schema}
+    spark_kinds = {c.lower(): _SPARK_KIND.get(t, t) for c, t in sdf.dtypes}
+    for col in spark_kinds:
+        if col in duck_kinds:
+            assert spark_kinds[col] == duck_kinds[col], \
+                f"type kind mismatch on {col}: spark={spark_kinds[col]} duckdb={duck_kinds[col]}"
 
     assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols), \
         f"schema mismatch: spark={scols} duckdb={dcols}"
