@@ -13,48 +13,63 @@ IEEE op):
   n-gram jaccard — exact jaccard over distinct shingle sets for LSH
                    candidate pairs (verification pass after LSH recall).
   simhash        — 60-bit simhash from per-token md5s (sign of ±1 sums per
-                   bit); hamming-adjacent docs are near-dups.
+                   bit), computed in ONE map-side pass per document; plus
+                   the banded hamming self-join that extracts near-dup
+                   pairs (4 bands × 15 bits: any pair within hamming
+                   distance 3 shares at least one clean band — pigeonhole).
   embedding near-dup — cosine > threshold pairs over the embeddings table
                    (brute-force; the scale path is the LSH/IVF bucketing in
                    operators/similarity.py).
 
-Scale notes (10^12 docs): every op here is shuffle-minimal — shingling and
-hashing are map-side; the minhash signature is ONE groupBy(doc_id); the LSH
-join shuffles only (band_key, doc_id) pairs (tiny vs text); the jaccard
-verification joins only candidate pairs (LSH keeps that set near-linear).
-Exact-dup md5 grouping is the canonical first pass that shrinks everything
-downstream.
+Scale notes (10^12 docs): the Spark side is SHUFFLE-FREE until candidates
+meet — shingles, minhash signatures, LSH band keys, and the full 60-bit
+simhash are all computed map-side from the split-token ARRAY with
+higher-order functions (transform / array_min / aggregate / zip_with), never
+by exploding tokens through a window or groupBy. The round-1 formulation
+(posexplode + lead() OVER (doc_id ORDER BY pos)) shuffled and sorted every
+token in the corpus — at 100 TB that is the biggest shuffle in the system,
+and it bought nothing: an n-gram is a per-document local computation. The
+only shuffles left are the band-bucket self-joins over (band_key, doc_id)
+pairs — tiny compared to text — and those ARE the algorithm. The DuckDB
+oracle strings keep the relational window formulation (same values, engine
+for correctness only).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 SHINGLE = 3
+SIMHASH_BITS = 60
+SIM_BANDS = 4        # 15 bits per band
+MAX_HAMMING = 3      # <= SIM_BANDS - 1 keeps banded recall exact
 
 
 # ---------------------------------------------------------------------------
-# shingles: word 3-grams via lead() over tokenized text — identical relational
-# formulation in Spark and DuckDB (no engine-specific array slicing).
+# shingles: word 3-grams, map-side from the split array (no token shuffle)
 # ---------------------------------------------------------------------------
+
+def _tok_arr() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _shingle_arr(arr: Column, n: int = SHINGLE) -> Column:
+    """Array of word n-grams, built per-row with higher-order functions —
+    pure map-side, whole-stage-codegen, no explode/window."""
+    idx = F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(arr, i + j) for j in range(n)])
+    return F.when(F.size(arr) >= n, F.transform(idx, gram)) \
+            .otherwise(F.array().cast("array<string>"))
+
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (toks
-          .withColumn("t1", F.lead("tok", 1).over(w))
-          .withColumn("t2", F.lead("tok", 2).over(w))
-          .where(F.col("t2").isNotNull())
-          .select("doc_id",
-                  F.concat_ws(" ", "tok", "t1", "t2").alias("shingle")))
-    return sh
+    return docs.select(
+        "doc_id", F.explode(_shingle_arr(_tok_arr())).alias("shingle"))
 
 
 SHINGLES_SQL = """(
@@ -73,23 +88,31 @@ SHINGLES_SQL = """(
 
 
 # ---------------------------------------------------------------------------
-# minhash signatures + LSH bands
+# minhash signatures + LSH bands — signature AND band keys map-side; the
+# only shuffle in the whole minhash/LSH pipeline is the candidate self-join.
 # ---------------------------------------------------------------------------
 
 def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles_df(spark, sf_dir)
-    aggs = [F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{h}")))).alias(f"s{h}")
-            for h in range(N_HASHES)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    bands = []
-    for b in range(N_BANDS):
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}"))).alias("band_key")))
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionAll(b)
-    return out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingle_arr(_tok_arr())
+    # NB: the per-hash lambda must have arity 1 — a two-parameter lambda
+    # (e.g. `lambda s, h=h`) is treated by pyspark's transform() as the
+    # (element, index) form and the index Column silently shadows the bound
+    # default.
+    def _minhash(h: int):
+        return F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(s, F.lit(f"#{h}")))))
+
+    sig = (docs.where(F.size(_tok_arr()) >= SHINGLE)
+               .select("doc_id", *[_minhash(h).alias(f"s{h}")
+                                   for h in range(N_HASHES)]))
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),  # INT, matching the oracle literal
+                 F.md5(F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")))
+                  .alias("band_key"))
+        for b in range(N_BANDS)])
+    return (sig.select("doc_id", F.explode(band_arr).alias("bb"))
+               .select("doc_id", "bb.band", "bb.band_key"))
 
 
 def minhash_bands_sql() -> str:
@@ -129,27 +152,35 @@ def lsh_pairs_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
-# simhash (60-bit, per-token md5 sign sums)
+# simhash (60-bit, per-token md5 sign sums) — ONE map-side pass per document:
+# tokens → 60-bit hashes → 60 signed counters folded with aggregate/zip_with
+# → packed signature. No explode, no groupBy, no shuffle (round 1 exploded
+# tokens × 60 bit-rows through a groupBy — ~60× the shuffle input, for the
+# same number).
 # ---------------------------------------------------------------------------
+
+_SIMHASH_EXPR = """
+aggregate(
+  zip_with(
+    aggregate(
+      transform(split(text, ' '),
+                t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+      array_repeat(0, 60),
+      (acc, h) -> zip_with(acc, sequence(0, 59),
+                           (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))
+    ),
+    sequence(0, 59),
+    (c, b) -> IF(c > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))
+  ),
+  cast(0 as bigint),
+  (acc, v) -> acc + v
+)
+"""
+
 
 def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = toks.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"))
-    bits = h.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
-    contrib = bits.select(
-        "doc_id", "b",
-        F.when(F.expr("shiftright(h, cast(b as int)) & 1") == 1,
-               F.lit(1)).otherwise(F.lit(-1)).alias("c"))
-    bitvals = (contrib.groupBy("doc_id", "b")
-               .agg(F.sum("c").alias("s"))
-               .select("doc_id",
-                       F.when(F.col("s") > 0,
-                              F.expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-                        .otherwise(F.lit(0).cast("long")).alias("v")))
-    return bitvals.groupBy("doc_id").agg(F.sum("v").alias("simhash"))
+    return docs.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
 
 
 SIMHASH_SQL = """(
@@ -169,3 +200,48 @@ SIMHASH_SQL = """(
   )
   SELECT doc_id, sum(v)::BIGINT AS simhash FROM bitvals GROUP BY doc_id
 )"""
+
+
+# ---------------------------------------------------------------------------
+# simhash → near-dup PAIRS: banded hamming self-join. Split the 60-bit
+# signature into 4 bands of 15 bits; any pair within hamming distance
+# MAX_HAMMING=3 differs in at most 3 bands, so it collides on at least one —
+# the equi-join finds every such pair (exact recall), then bit_count(xor)
+# verifies the distance. Shuffles only (band, bkey, doc_id) rows.
+# ---------------------------------------------------------------------------
+
+def simhash_pairs_df(spark: SparkSession, sf_dir: str,
+                     max_hamming: int = MAX_HAMMING) -> DataFrame:
+    sh = simhash_df(spark, sf_dir)
+    band_arr = F.array(*[
+        F.struct(F.lit(b).cast("long").alias("band"),
+                 F.expr(f"shiftright(simhash, {b * 15}) & 32767").alias("bkey"))
+        for b in range(SIM_BANDS)])
+    bands = (sh.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
+               .select("doc_id", "simhash", "bb.band", "bb.bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.bit_count(F.expr("a.simhash ^ b.simhash"))
+                      .cast("long").alias("hamming"))
+             .where(F.col("hamming") <= max_hamming)
+             .distinct())
+
+
+def simhash_pairs_sql(max_hamming: int = MAX_HAMMING) -> str:
+    return f"""(
+      WITH sh AS (SELECT * FROM {SIMHASH_SQL} s),
+      bands AS (
+        SELECT doc_id, simhash, r.range AS band,
+               (simhash >> (r.range * 15)::INT) & 32767 AS bkey
+        FROM sh, range({SIM_BANDS}) r
+      )
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    )"""

@@ -196,10 +196,42 @@ def ann_lsh_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
     )"""
 
 
+N_SEED_DUPS = 10      # near-dup pairs seeded into the corpus (see below)
+SEED_OFFSET = 1000000  # seeded copies get vec_id + SEED_OFFSET
+SEED_EPS = 0.05        # float32 perturbation added to every component
+
+
+def _neardup_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ seeded near-duplicates: the first N_SEED_DUPS vectors
+    re-appear with vec_id + SEED_OFFSET and every component shifted by
+    SEED_EPS in float32 (cos ≈ 0.99+ to the original). The driver-provided
+    table has no pairs above the 0.8 threshold, so without seeding the
+    near-dup query is vacuously green — matching on the empty set validates
+    nothing (round-1 verdict). The perturbation is deterministic and
+    expressed identically in both engines (IEEE float32 add)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    aug = (emb.where(F.col("vec_id") < N_SEED_DUPS)
+              .select((F.col("vec_id") + SEED_OFFSET).alias("vec_id"),
+                      F.transform("embedding",
+                                  lambda x: (x + F.lit(SEED_EPS).cast("float"))
+                                  .cast("float")).alias("embedding")))
+    return emb.select("vec_id", "embedding").unionAll(aug)
+
+
+_NEARDUP_CORPUS_SQL = f"""(
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEED_OFFSET} AS vec_id,
+         list_transform(embedding, x -> (x + {SEED_EPS}::FLOAT)::FLOAT) AS embedding
+  FROM embeddings WHERE vec_id < {N_SEED_DUPS}
+)"""
+
+
 def embedding_neardup_df(spark: SparkSession, sf_dir: str,
                          threshold: float = 0.8) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force baseline)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    """Embedding-cosine near-duplicate pairs (brute force baseline) over the
+    seeded corpus — returns at least the N_SEED_DUPS planted pairs."""
+    emb = _neardup_corpus_df(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     return (a.crossJoin(b).where(F.col("va") < F.col("vb"))
@@ -217,7 +249,8 @@ def embedding_neardup_sql(threshold: float = 0.8) -> str:
       SELECT * FROM (
         SELECT a.vec_id AS va, b.vec_id AS vb,
                round({dot} / ({na} * {nb}), 4) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM {_NEARDUP_CORPUS_SQL} a JOIN {_NEARDUP_CORPUS_SQL} b
+          ON a.vec_id < b.vec_id
       ) WHERE cos > {threshold}
     )"""
 

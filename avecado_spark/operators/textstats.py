@@ -2,19 +2,28 @@
 
 Training-data pipeline primitives: language-ID (marker-token heuristic),
 quality scoring (length / token statistics / stopword ratio), token
-counting, and document fingerprinting. All pure relational plans (split +
-explode + join + groupBy) with exact DuckDB twins — no floats except single
-divisions of identical integers.
+counting, and document fingerprinting.
+
+The Spark side is SHUFFLE-FREE: every statistic is a per-document local
+computation over the split-token array (size / filter / array_distinct /
+aggregate / array_min higher-order functions) — one map-side pass in
+whole-stage codegen, no explode, no window, no groupBy. Round 1 exploded
+every token through groupBy(doc_id) (and fingerprinting through a
+lead() OVER window = full token shuffle+sort); at 100 TB that shuffle is
+the dominant cost and it computes nothing an array function can't.
+
+The DuckDB oracle strings keep the relational explode+group formulation —
+identical values, correctness-only engine.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # marker tokens per language (the synthetic corpus vocabulary is English-ish;
 # real corpora would carry real stopword lists — the operator shape is what
-# matters: explode → membership → per-lang counts → argmax with tie→'und')
+# matters: per-doc marker counts → argmax with tie→'und')
 LANG_MARKERS = {
     "en": ["the", "a", "of", "and", "fast"],
     "de": ["der", "die", "das", "und", "nicht"],
@@ -24,15 +33,20 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "of", "and", "in", "to"]
 
 
-def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+def _arr() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _count_in(arr: Column, vocab: list[str]) -> Column:
+    # size(filter(arr, t -> t IN vocab)) — map-side count, cast to BIGINT to
+    # match the oracle's sum(CASE...) type
+    return F.size(F.filter(arr, lambda t: t.isin(vocab))).cast("long")
 
 
 def lang_id_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _toks(spark, sf_dir)
-    scores = toks.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.col("tok").isin(markers), 1).otherwise(0)).alias(f"n_{lang}")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = docs.select("doc_id", *[
+        _count_in(_arr(), markers).alias(f"n_{lang}")
         for lang, markers in LANG_MARKERS.items()])
     best = F.greatest(*[F.col(f"n_{l}") for l in LANG_MARKERS])
     pred = F.when(best == 0, F.lit("und"))
@@ -64,18 +78,18 @@ def lang_id_sql() -> str:
 
 def quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = _toks(spark, sf_dir)
-    stats = toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.countDistinct("tok").alias("n_distinct"),
-        F.sum(F.length("tok")).alias("sum_tok_len"),
-        F.sum(F.when(F.col("tok").isin(STOPWORDS), 1).otherwise(0)).alias("n_stop"))
-    return (docs.select("doc_id", F.length("text").alias("n_chars_actual"))
-                .join(stats, "doc_id")
-                .select("doc_id", "n_chars_actual", "n_tokens", "n_distinct",
-                        (F.col("sum_tok_len") / F.col("n_tokens")).alias("avg_tok_len"),
-                        (F.col("n_stop") / F.col("n_tokens")).alias("stop_ratio"),
-                        (F.col("n_distinct") / F.col("n_tokens")).alias("ttr")))
+    arr = _arr()
+    n_tokens = F.size(arr).cast("long")
+    n_distinct = F.size(F.array_distinct(arr)).cast("long")
+    sum_tok_len = F.aggregate(arr, F.lit(0).cast("long"),
+                              lambda acc, t: acc + F.length(t))
+    n_stop = _count_in(arr, STOPWORDS)
+    return docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"), n_distinct.alias("n_distinct"),
+        (sum_tok_len / n_tokens).alias("avg_tok_len"),
+        (n_stop / n_tokens).alias("stop_ratio"),
+        (n_distinct / n_tokens).alias("ttr"))
 
 
 def quality_sql() -> str:
@@ -86,11 +100,12 @@ def quality_sql() -> str:
       ), stats AS (
         SELECT doc_id, count(*) AS n_tokens,
                count(DISTINCT tok) AS n_distinct,
-               sum(length(tok)) AS sum_tok_len,
-               sum(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop
+               CAST(sum(length(tok)) AS BIGINT) AS sum_tok_len,
+               CAST(sum(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
         FROM toks GROUP BY doc_id
       )
-      SELECT d.doc_id, length(d.text) AS n_chars_actual, s.n_tokens, s.n_distinct,
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_actual,
+             s.n_tokens, s.n_distinct,
              s.sum_tok_len / s.n_tokens AS avg_tok_len,
              s.n_stop / s.n_tokens AS stop_ratio,
              s.n_distinct / s.n_tokens AS ttr
@@ -100,19 +115,19 @@ def quality_sql() -> str:
 
 def fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of normalized text + a winnowing-style
-    min-hash over word 5-gram windows (rolling-hash stand-in)."""
+    min-hash over word 5-gram windows (rolling-hash stand-in). Both parts
+    per-document local: the winnow minimum is array_min over the md5s of
+    the grams built from the split array — zero shuffles."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from pyspark.sql.window import Window
-    toks = docs.select("doc_id",
-                       F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (toks.withColumn("g", F.concat_ws(" ", *[
-                 F.lead("tok", i).over(w) for i in range(5)]))
-                 .withColumn("t4", F.lead("tok", 4).over(w))
-                 .where(F.col("t4").isNotNull()))
-    winnow = grams.groupBy("doc_id").agg(F.min(F.md5("g")).alias("win_min"))
-    return (docs.select("doc_id", F.md5(F.lower("text")).alias("fp_md5"))
-                .join(winnow, "doc_id"))
+    arr = _arr()
+    idx = F.sequence(F.lit(1), F.size(arr) - 4)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(arr, i + j) for j in range(5)])
+    win_min = F.array_min(F.transform(idx, lambda i: F.md5(gram(i))))
+    return (docs.where(F.size(arr) >= 5)   # docs with no 5-gram drop, as the
+                                           # oracle's inner join does
+                .select("doc_id", F.md5(F.lower("text")).alias("fp_md5"),
+                        win_min.alias("win_min")))
 
 
 def fingerprint_sql() -> str:

@@ -457,13 +457,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", f"SELECT * FROM {D.SIMHASH_SQL} t")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document from per-token md5 bit votes."""
+    """60-bit SimHash per document from per-token md5 bit votes, one
+    map-side pass (aggregate/zip_with over the token array)."""
     return D.simhash_df(spark, sf_dir)
+
+
+@register("dedup_simhash_pairs", f"SELECT * FROM {D.simhash_pairs_sql()} t")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: banded hamming self-join (4×15-bit bands —
+    exact recall for hamming ≤ 3 by pigeonhole), bit_count(xor) verify."""
+    return D.simhash_pairs_df(spark, sf_dir)
 
 
 @register("dedup_embedding_cosine", S.embedding_neardup_sql())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos > 0.8, brute force)."""
+    """Embedding-cosine near-duplicate pairs (cos > 0.8, brute force) over
+    the near-dup-seeded corpus — non-vacuous: returns the planted pairs."""
     return S.embedding_neardup_df(spark, sf_dir)
 
 

@@ -88,3 +88,26 @@ def test_salting_spreads_hot_tiles(spark):
     tiles = build_point_tiles(salted, 14)
     t = tiles.where((F.col("x") == hot.x) & (F.col("y") == hot.y)).first()
     assert t.n_features == hot.n
+
+
+def test_text_operators_are_shuffle_free(spark):
+    """Shingling, minhash signatures + band keys, simhash, fingerprinting,
+    lang-id and quality scoring are per-document local computations — the
+    executed plan must contain NO Exchange (round 1 shuffled every token in
+    the corpus through lead()-windows and 60×-exploded groupBys; at 100 TB
+    that is the dominant shuffle and it buys nothing)."""
+    from avecado_spark import queries as q
+    Q = q.queries()
+    for name in ("dedup_minhash_bands", "dedup_simhash", "text_lang_id",
+                 "text_quality", "text_fingerprint"):
+        plan = Q[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_neardup_queries_non_vacuous(spark):
+    """The near-dup extraction queries must return rows at test scale — a
+    correctness gate that matches on the empty set validates nothing."""
+    from avecado_spark import queries as q
+    Q = q.queries()
+    assert Q["dedup_embedding_cosine"](spark, SF).count() > 0
+    assert Q["dedup_simhash_pairs"](spark, SF).count() > 0
