@@ -379,3 +379,264 @@ def clip_lines_to_box(lines, box):
         ins, _ = split_line_by_polygon(np.asarray(line, dtype=np.float64), ring)
         out.extend(ins)
     return out
+
+
+# ---------------------------------------------------------------------------
+# general polygon ∩ / \ polygon (Greiner–Hormann traversal)
+#
+# Reference parity: adminizer split mode calls bg::intersection /
+# bg::difference against ARBITRARY admin polygons
+# (/root/reference/src/post_process/adminizer.cpp:285-291). The axis-box
+# Sutherland–Hodgman path above stays as the fast path; this clipper covers
+# convex and concave simple clips. Degenerate contacts (vertex exactly on an
+# edge, collinear overlaps) are resolved by containment fallbacks when no
+# proper crossing exists; proper crossings drive the traversal otherwise.
+# ---------------------------------------------------------------------------
+
+_GH_EPS = 1e-12
+
+
+def _ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    r = close_ring(np.asarray(ring, dtype=np.float64))
+    return r if ring_area2(r) >= 0 else r[::-1]
+
+
+def _seg_cross(p0, p1, q0, q1):
+    """Transversal crossing params (t, u) of segments p and q, or None when
+    parallel / collinear / touching only at endpoints."""
+    r = (p1[0] - p0[0], p1[1] - p0[1])
+    s = (q1[0] - q0[0], q1[1] - q0[1])
+    denom = r[0] * s[1] - r[1] * s[0]
+    if abs(denom) <= EPS:
+        return None
+    qp = (q0[0] - p0[0], q0[1] - p0[1])
+    t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+    u = (qp[0] * r[1] - qp[1] * r[0]) / denom
+    return (t, u)
+
+
+_GH_VERT = 1e-9  # params within this of 0/1 snap to the vertex
+
+
+def _crossing_nodes(subj: np.ndarray, clip: np.ndarray):
+    """Candidate intersection nodes between two rings, endpoint contacts
+    INCLUDED (snapped to the vertex and deduplicated): [(i, t, j, u, point)]
+    with t,u in [0,1). Tangential touches are filtered later by the
+    transversality (parity-flip) test in _gh_rings."""
+    ns, nc = len(subj) - 1, len(clip) - 1
+    nodes = {}
+    for i in range(ns):
+        p0, p1 = subj[i], subj[i + 1]
+        for j in range(nc):
+            q0, q1 = clip[j], clip[j + 1]
+            r = _seg_cross(p0, p1, q0, q1)
+            if r is None:
+                continue
+            t, u = r
+            if not (-_GH_VERT <= t <= 1 + _GH_VERT
+                    and -_GH_VERT <= u <= 1 + _GH_VERT):
+                continue
+            i2, t2 = (i, t)
+            if t <= _GH_VERT:
+                t2 = 0.0
+            elif t >= 1 - _GH_VERT:
+                i2, t2 = (i + 1) % ns, 0.0
+            j2, u2 = (j, u)
+            if u <= _GH_VERT:
+                u2 = 0.0
+            elif u >= 1 - _GH_VERT:
+                j2, u2 = (j + 1) % nc, 0.0
+            pt = (subj[i2] if t2 == 0.0 else p0 + (p1 - p0) * t2)
+            nodes[(i2, round(t2, 12), j2, round(u2, 12))] = pt
+    return [(i, t, j, u, pt) for (i, t, j, u), pt in sorted(nodes.items())]
+
+
+def _proper_crossings(subj: np.ndarray, clip: np.ndarray):
+    """Transversal interior crossings only (no endpoint contacts) — used by
+    the hole-attachment logic to ask 'does this ring cut that one?'."""
+    return [(i, t, j, u, pt) for i, t, j, u, pt in _crossing_nodes(subj, clip)
+            if t > 0.0 and u > 0.0]
+
+
+def _augment(ring: np.ndarray, keyed):
+    """Insert intersection points into a ring walk. keyed: list of
+    (edge_idx, param, inter_id) — returns [(point, inter_id|-1), ...] open
+    (no duplicated closing vertex). A node with param 0 sits ON the edge's
+    start vertex and REPLACES it (one geometric point, one entry)."""
+    byedge: dict[int, list] = {}
+    atvert: dict[int, int] = {}
+    for e, t, iid in keyed:
+        if t == 0.0:
+            atvert[e] = iid
+        else:
+            byedge.setdefault(e, []).append((t, iid))
+    seq = []
+    for i in range(len(ring) - 1):
+        seq.append((ring[i], atvert.get(i, -1)))
+        for t, iid in sorted(byedge.get(i, [])):
+            seq.append((ring[i] + (ring[i + 1] - ring[i]) * t, iid))
+    return seq
+
+
+def _gh_rings(subj_ring: np.ndarray, clip_ring: np.ndarray,
+              want_inside: bool) -> list[np.ndarray] | None:
+    """Traversal core over two CCW simple rings. want_inside=True →
+    intersection pieces; False → difference (subject \\ clip) pieces.
+    Returns None when there is no proper crossing (caller decides by
+    containment)."""
+    subj = _ensure_ccw(subj_ring)
+    # complement trick: difference = intersection with the reversed clip,
+    # with "inside" meaning outside the original clip
+    clip = _ensure_ccw(clip_ring)
+    walk_clip = clip if want_inside else clip[::-1]
+    crossings = _crossing_nodes(subj, walk_clip)
+    if not crossings:
+        return None
+    skeys = [(i, t, k) for k, (i, t, j, u, pt) in enumerate(crossings)]
+    ckeys = [(j, u, k) for k, (i, t, j, u, pt) in enumerate(crossings)]
+    sseq = _augment(subj, skeys)
+    cseq = _augment(walk_clip, ckeys)
+    spos = {iid: idx for idx, (_, iid) in enumerate(sseq) if iid >= 0}
+    cpos = {iid: idx for idx, (_, iid) in enumerate(cseq) if iid >= 0}
+
+    def _pred(pt) -> bool:
+        on = points_on_ring(pt.reshape(1, 2), clip)[0]
+        inside = points_in_ring(pt.reshape(1, 2), clip)[0] or on
+        return inside if want_inside else not inside
+
+    # transversality filter: keep a node only where the subject walk flips
+    # the inside predicate (drops tangential vertex touches — the classic
+    # Greiner–Hormann degeneracy), then entry flags from the after-side.
+    ns = len(sseq)
+    entry = {}
+    drop = set()
+    for iid, idx in spos.items():
+        prv = sseq[(idx - 1) % ns][0]
+        nxt = sseq[(idx + 1) % ns][0]
+        before = _pred((prv + sseq[idx][0]) / 2.0)
+        after = _pred((sseq[idx][0] + nxt) / 2.0)
+        if before == after:
+            drop.add(iid)
+        else:
+            entry[iid] = after
+    if drop:
+        sseq = [(p, -1 if iid in drop else iid) for p, iid in sseq]
+        cseq = [(p, -1 if iid in drop else iid) for p, iid in cseq]
+        spos = {iid: idx for idx, (_, iid) in enumerate(sseq) if iid >= 0}
+        cpos = {iid: idx for idx, (_, iid) in enumerate(cseq) if iid >= 0}
+    if not entry:
+        return None
+
+    used = set()
+    out = []
+    for start in sorted(entry):
+        if start in used or not entry[start]:
+            continue
+        pts = []
+        iid = start
+        on_subj = True
+        guard = 4 * (ns + len(cseq)) + 8
+        while guard > 0:
+            guard -= 1
+            used.add(iid)
+            seq, pos = (sseq, spos) if on_subj else (cseq, cpos)
+            idx = pos[iid]
+            n = len(seq)
+            # walk forward to the next intersection on this ring
+            step = 1
+            while True:
+                p, pid = seq[(idx + step) % n]
+                pts.append(p)
+                if pid >= 0:
+                    iid = pid
+                    break
+                step += 1
+            on_subj = not on_subj
+            if iid == start:
+                break
+        if guard <= 0:
+            return None  # tangled degeneracy — caller falls back
+        ring = dedupe_vertices(np.asarray(pts))
+        if len(ring) >= 3:
+            out.append(close_ring(ring))
+    return out
+
+
+def _ring_in_ring(inner: np.ndarray, outer: np.ndarray) -> bool:
+    pts = np.asarray(inner, dtype=np.float64)[:-1]
+    cov = points_in_ring(pts, outer) | points_on_ring(pts, outer)
+    return bool(cov.all())
+
+
+def clip_polygon_general(subject_rings, clip_rings) -> tuple[list, list]:
+    """(inside_polys, outside_polys) of a polygon-with-holes subject against
+    an arbitrary simple polygon clip (no clip holes needed by the adminizer
+    fixtures; clip holes are honored via the hole-algebra below).
+
+    Set algebra over the two GH primitives:
+      inside  = (outerS ∩ outerC)  \\ holesS  \\ holesC
+      outside = (outerS \\ outerC) ∪ (outerS ∩ holesC), all \\ holesS
+    Hole rings that cross a piece are subtracted with GH; holes strictly
+    inside a piece are attached as holes.
+    """
+    souter = _ensure_ccw(np.asarray(subject_rings[0], dtype=np.float64))
+    sholes = [_ensure_ccw(np.asarray(h, dtype=np.float64))
+              for h in subject_rings[1:]]
+    couter = _ensure_ccw(np.asarray(clip_rings[0], dtype=np.float64))
+    choles = [_ensure_ccw(np.asarray(h, dtype=np.float64))
+              for h in clip_rings[1:]]
+
+    def _op(ring_a, ring_b, want_inside) -> list[np.ndarray]:
+        res = _gh_rings(ring_a, ring_b, want_inside)
+        if res is not None:
+            return res
+        a_in_b = _ring_in_ring(ring_a, ring_b)
+        b_in_a = _ring_in_ring(ring_b, ring_a)
+        if want_inside:
+            if a_in_b:
+                return [np.array(ring_a)]
+            if b_in_a:
+                return [np.array(ring_b)]
+            return []
+        if a_in_b:
+            return []
+        # disjoint or b inside a; the hole case is resolved by the caller
+        return [np.array(ring_a)]
+
+    def _sub_holes(pieces: list[np.ndarray], holes: list[np.ndarray]) -> list[list]:
+        """pieces (outer rings) minus hole rings → polygons (ring lists)."""
+        polys = [[p] for p in pieces]
+        for h in holes:
+            nxt = []
+            for poly in polys:
+                outer = poly[0]
+                if _ring_in_ring(h, outer):
+                    crossings = _proper_crossings(_ensure_ccw(outer),
+                                                  _ensure_ccw(h))
+                    if not crossings:
+                        nxt.append(poly + [h])  # strictly interior → hole
+                        continue
+                pieces2 = _op(outer, h, want_inside=False)
+                for p2 in pieces2:
+                    nxt.append([p2] + poly[1:])
+            polys = nxt
+        return polys
+
+    inside_outers = _op(souter, couter, want_inside=True)
+    inside = _sub_holes(inside_outers, sholes + choles)
+
+    outside_outers = _op(souter, couter, want_inside=False)
+    # subject fully covers clip with no crossing → clip becomes a hole
+    if (outside_outers and len(outside_outers) == 1
+            and outside_outers[0] is not None
+            and _ring_in_ring(couter, souter)
+            and not _proper_crossings(_ensure_ccw(souter), _ensure_ccw(couter))
+            and not _ring_in_ring(souter, couter)):
+        outside = _sub_holes([souter], sholes + [couter])
+    else:
+        outside = _sub_holes(outside_outers, sholes)
+    # add back clip holes ∩ subject (a hole in the clip is OUTSIDE the clip)
+    for h in choles:
+        back = _op(souter, h, want_inside=True)
+        outside.extend(_sub_holes(back, sholes))
+    return inside, outside

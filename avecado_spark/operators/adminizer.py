@@ -133,14 +133,14 @@ def _split_part(geom_type: str, part, entry: AdminEntry):
     if geom_type == "LINESTRING":
         ins, outs = G.split_line_by_polygon(part[0], rings)
         return [[a] for a in ins], [[a] for a in outs]
-    # POLYGON
+    # POLYGON: axis-box fast path (Sutherland–Hodgman slabs, all reference
+    # fixtures), Greiner–Hormann general path for arbitrary (convex or
+    # concave) admin polygons — the bg::intersection/bg::difference pair of
+    # the reference (adminizer.cpp:285-291).
     box = _is_axis_box(rings)
-    if box is None:
-        raise NotImplementedError(
-            "polygon/polygon split implemented for axis-aligned admin boxes "
-            "(all reference fixtures); general concave clips are out of scope")
-    ins, outs = G.split_polygon_by_box(part, box)
-    return ins, outs
+    if box is not None:
+        return G.split_polygon_by_box(part, box)
+    return G.clip_polygon_general(part, rings)
 
 
 # ---------------------------------------------------------------------------

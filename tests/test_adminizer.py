@@ -197,3 +197,90 @@ def test_disjoint_admin_polygons():
     for f in out:
         assert len(f["geoms"]) == 1
         assert f["geoms"][0].base_type() == "POINT"
+
+
+# ---------------------------------------------------------------------------
+# general (non-rectangular) admin polygons in split mode — beyond the
+# reference's axis-box fixtures; semantics = bg::intersection/bg::difference
+# (adminizer.cpp:285-291) via the Greiner–Hormann path.
+# ---------------------------------------------------------------------------
+
+TRIANGLE = [("POLYGON((0 0, 8 0, 0 8, 0 0))", "tri_value")]
+LSHAPE = [("POLYGON((1 1, 6 1, 6 2, 3 2, 3 6, 1 6, 1 1))", "l_value")]
+
+
+def _poly_area(features, with_foo):
+    """Total polygon area over output features filtered by foo presence."""
+    total = 0.0
+    for f in features:
+        if ("foo" in f["props"]) != with_foo:
+            continue
+        for g in f["geoms"]:
+            assert g.base_type() == "POLYGON"
+            for part in g.parts:
+                rings = [np.asarray(r) for r in part]
+                from avecado_spark.functions import geometry as G
+                a = abs(G.ring_area2(G.close_ring(rings[0]))) / 2
+                for h in rings[1:]:
+                    a -= abs(G.ring_area2(G.close_ring(h))) / 2
+                total += a
+    return total
+
+
+def _line_len(features, with_foo):
+    total = 0.0
+    for f in features:
+        if ("foo" in f["props"]) != with_foo:
+            continue
+        for g in f["geoms"]:
+            for part in g.parts:
+                arr = np.asarray(part[0])
+                total += float(np.sqrt(((arr[1:] - arr[:-1]) ** 2).sum(axis=1)).sum())
+    return total
+
+
+def test_split_polygon_by_triangle():
+    # square [2,6]² vs triangle x+y<=8: inside = triangle corner of the
+    # square below the hypotenuse (area 8 triangle piece... computed: the
+    # part of [2,6]² with x+y<=8 is a right triangle with legs 4 → area 8)
+    out = run_one("POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))", TRIANGLE, split=True)
+    ain = _poly_area(out, with_foo=True)
+    aout = _poly_area(out, with_foo=False)
+    assert ain == pytest.approx(8.0)
+    assert aout == pytest.approx(8.0)
+    assert any(f["props"].get("foo") == "tri_value" for f in out)
+
+
+def test_split_polygon_by_lshape():
+    # square [0,4]² vs the L: inside area 7 (hand-computed), outside 9
+    out = run_one("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))", LSHAPE, split=True)
+    assert _poly_area(out, True) == pytest.approx(7.0)
+    assert _poly_area(out, False) == pytest.approx(9.0)
+
+
+def test_split_line_by_triangle():
+    # horizontal line y=3 from x=-1 to x=9 crosses x+y=8 at x=5, enters the
+    # triangle at x=0: inside length 5, outside 1 + 4
+    out = run_one("LINESTRING(-1 3, 9 3)", TRIANGLE, split=True)
+    assert _line_len(out, True) == pytest.approx(5.0)
+    assert _line_len(out, False) == pytest.approx(5.0)
+
+
+def test_split_line_by_lshape():
+    # horizontal line y=1.5 from x=0 to x=7: inside the L for x in [1,6]
+    out = run_one("LINESTRING(0 1.5, 7 1.5)", LSHAPE, split=True)
+    assert _line_len(out, True) == pytest.approx(5.0)
+    assert _line_len(out, False) == pytest.approx(2.0)
+
+
+def test_split_polygon_clip_inside_makes_hole():
+    # admin polygon strictly inside the subject: outside part carries a hole
+    # (diamond, not axis-aligned, to exercise the general path rather than
+    # the Sutherland–Hodgman slab fast path)
+    small = [("POLYGON((1.5 1, 2 1.5, 1.5 2, 1 1.5, 1.5 1))", "inner_value")]
+    out = run_one("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))", small, split=True)
+    assert _poly_area(out, True) == pytest.approx(0.5)
+    assert _poly_area(out, False) == pytest.approx(15.5)
+    holed = [f for f in out if "foo" not in f["props"]]
+    assert any(len(part) == 2 for f in holed for g in f["geoms"]
+               for part in g.parts), "outside part should carry the hole ring"
