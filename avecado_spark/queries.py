@@ -310,7 +310,9 @@ def izer_unionize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("x", "y"))
 
 
-@register("izer_generalize_tiles", None)
+@register("izer_generalize_tiles", f"""
+  SELECT 2 AS n_points, count(*) AS n_lines FROM {GEO_SQL} g
+""")
 def izer_generalize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 (SURVEY §2.8): Douglas-Peucker via the izer pipeline. Synthetic
     5-point zigzags (deterministic from page coords) collapse to 2 points."""
@@ -341,7 +343,21 @@ def izer_generalize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("n_points").agg(F.count("*").alias("n_lines")))
 
 
-@register("izer_adminize_split", None)
+@register("izer_adminize_split", f"""
+  WITH g AS (
+    SELECT CAST(trunc(mx_mm / 1000.0) AS BIGINT) AS bx
+    FROM {GEO_SQL} g
+    WHERE mx_mm BETWEEN {CITY_X[0] - 3000000} AND {CITY_X[0] + 3000000}
+      AND my_mm BETWEEN {CITY_Y[0] - 1400000} AND {CITY_Y[0] + 1400000}
+  )
+  SELECT 'core' AS region, count(*) AS n_segments FROM g
+  UNION ALL
+  SELECT 'outside' AS region,
+         CAST(sum(CASE WHEN bx > {CITY_X[0] // 1000 - 2500}
+                        AND bx < {CITY_X[0] // 1000 + 2500}
+                       THEN 2 ELSE 1 END) AS BIGINT) AS n_segments
+  FROM g
+""")
 def izer_adminize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1c (SURVEY §2.3): split-mode adminizer via the izer pipeline —
     east-west lines crossing the city-0 core box split at its boundary
@@ -370,18 +386,56 @@ def izer_adminize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"type": "adminizer", "param_name": "region", "split": "true",
          "datasource": {"inline_rows": [(box_wkt, "core")]}}]}]}
     out = apply_to_tiles(feats, conf)
+    # count PATHS, not features: the splitter folds both outside pieces of
+    # one line into a single MULTILINESTRING feature ('(' count - 1 is the
+    # part count for MULTI*, 1 for plain LINESTRING)
+    n_paths = F.greatest(F.regexp_count(F.col("wkt"), F.lit(r"\(")) - 1,
+                         F.lit(1))
     return (out.groupBy(F.coalesce(F.col("props")["region"], F.lit("outside")).alias("region"))
-               .agg(F.count("*").alias("n_segments")))
+               .agg(F.sum(n_paths).alias("n_segments")))
 
 
-@register("mvt_build_z14", None)
+def _mvt_build_oracle(z: int = 14, extent: int = 4096) -> str:
+    """(z, x, y, n_features, interesting) re-derived independently: counts
+    from the integer tile assignment, the single-feature interestingness
+    flag from the same quantization the encoder uses (util_tile.cpp:44-105
+    reduces, for a one-point layer, to 'some coordinate strictly inside
+    (0, extent)'). Same IEEE double op order as encode.py so px/py agree
+    bit-for-bit."""
+    scale = WORLD_SIZE / float(1 << z)
+    H = 0.5 * WORLD_SIZE
+    return f"""(
+      WITH t AS (
+        SELECT {tile_x_sql('mx_mm', z)} AS x, {tile_y_sql('my_mm', z)} AS y,
+               mx_mm, my_mm
+        FROM {GEO_SQL} g
+      ), q AS (
+        SELECT x, y,
+          CAST(floor((mx_mm/1000.0 - (x * {scale!r} - {H!r})) / {scale!r}
+                     * {extent} + 0.5) AS BIGINT) AS px,
+          CAST(floor((({H!r} - y * {scale!r}) - my_mm/1000.0) / {scale!r}
+                     * {extent} + 0.5) AS BIGINT) AS py
+        FROM t
+      )
+      SELECT {z} AS z, x, y, count(*) AS n_features,
+             CASE WHEN count(*) > 1 THEN TRUE
+                  ELSE max(CASE WHEN (px > 0 AND px < {extent})
+                                  OR (py > 0 AND py < {extent})
+                                THEN 1 ELSE 0 END) = 1 END AS interesting
+      FROM q GROUP BY x, y
+    )"""
+
+
+@register("mvt_build_z14", f"SELECT * FROM {_mvt_build_oracle(14)} t")
 def mvt_build_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/S4 (SURVEY §2.4/§2.1): the full two-phase salted MVT tile build;
-    tile bytes are deterministic (gzip mtime=0), surfaced as md5."""
+    """A1/S4 (SURVEY §2.4/§2.1): the full two-phase salted MVT tile build.
+    (z, x, y, n_features, interesting) are oracle-checked against an
+    independent re-derivation; the tile BYTES are pinned separately by the
+    golden-snapshot pytest (tests/test_mvt.py::test_tile_md5_golden) since
+    protobuf assembly isn't SQL-expressible."""
     from .api import build_tiles
     tiles = build_tiles(pages_df(spark, sf_dir), z=14)
-    return tiles.select("z", "x", "y", "n_features", "interesting",
-                        F.md5(F.col("tile_pbf")).alias("tile_md5"))
+    return tiles.select("z", "x", "y", "n_features", "interesting")
 
 
 # ---------------------------------------------------------------------------

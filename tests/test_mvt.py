@@ -233,3 +233,23 @@ def test_make_vector_tile_offset():
     p0 = mvt.decode_geometry(f0.geometry, 1)[0]
     p1 = mvt.decode_geometry(f1.geometry, 1)[0]
     assert p1[0][0] - p0[0][0] == 10 and p1[1][0] - p0[1][0] == -5
+
+
+def test_tile_md5_golden(spark):
+    """Golden snapshot of the full z14 distributed build's tile BYTES at
+    sf0.001 — the byte-assembly half of mvt_build_z14's correctness (the
+    (x, y, n_features, interesting) half is oracle-checked by the driver).
+    Tiles are deterministic: gzip mtime=0, fixed key/value tables, salted
+    partial tiles merged in salt order. Any codec, quantization, or
+    ordering regression moves this digest."""
+    import hashlib
+    from pyspark.sql import functions as F
+    from avecado_spark.api import build_tiles
+    from avecado_spark.sources.pages import pages_df
+    tiles = build_tiles(pages_df(spark, "/root/testdata/sf0.001"), z=14)
+    rows = tiles.select("x", "y", F.md5("tile_pbf").alias("m")).collect()
+    dig = hashlib.md5("".join(
+        f"{r.x},{r.y},{r.m};" for r in sorted(rows, key=lambda r: (r.x, r.y))
+    ).encode()).hexdigest()
+    assert len(rows) == 3242
+    assert dig == "0c15f024bc5c5f8d8b7cf49881d1b6b9"
