@@ -254,9 +254,11 @@ def build_point_tiles(df: DataFrame, z: int,
                       layer_name: str = "pages",
                       n_salts: int = 16,
                       compression_level: int = 9,
-                      num_partitions: int | None = None) -> DataFrame:
-    """pages with (x, y, salt, mx_mm, my_mm, feature_id, lang) → one row per
-    tile (z, x, y, tile_pbf, n_features, interesting).
+                      num_partitions: int | None = None,
+                      props_cols: tuple = ("lang",),
+                      vocab: dict[str, list] | None = None) -> DataFrame:
+    """pages with (x, y, salt, mx_mm, my_mm, feature_id, <props_cols>) → one
+    row per tile (z, x, y, tile_pbf, n_features, interesting).
 
     Both phases are numpy-offset grouped (no per-group pandas): coordinate
     math is vectorized across the whole Arrow batch; the only python loop
@@ -265,24 +267,81 @@ def build_point_tiles(df: DataFrame, z: int,
     the quantized coords (for a one-point layer the reference classifier
     reduces to "some coordinate strictly inside (0, extent)" —
     util_tile.cpp:44-105 with one distinct x and one distinct y), so phase 2
-    never has to decode tiles."""
+    never has to decode tiles.
+
+    props_cols: categorical string columns carried as MVT tags. vocab maps
+    each to its value list; when None it is computed with one distinct()
+    per column (map-side partial agg, tiny result — a plan-time decision
+    like AQE stats, valid because the fixed global key/value table is what
+    makes partial tiles mergeable by byte concatenation).
+
+    Zoom range: z <= 29 with 16 salts, z = 30 with 8 (the packed key spends
+    2z + log2(n_salts) bits of the 63 available — reference serves up to
+    z=30, mapnik_request_handler.cpp:133).
+    """
     extent = tile_size * path_multiplier
     nparts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     nparts = int(nparts)
+
+    salt_bits = max(1, int(np.ceil(np.log2(max(n_salts, 2)))))
+    if 2 * z + salt_bits > 63:
+        salt_bits = 63 - 2 * z
+        if salt_bits < 1:
+            raise ValueError(f"z={z} > 30 exceeds the packed-key layout")
+        if n_salts > (1 << salt_bits):
+            raise ValueError(
+                f"z={z} leaves {salt_bits} salt bits; use n_salts <= {1 << salt_bits}")
+    if extent > 8191:
+        raise ValueError("payload layout supports extent <= 8191 (13 bits)")
+
+    if vocab is None:
+        if tuple(props_cols) == ("lang",):
+            vocab = {"lang": PAGES_VALUES}  # pinned order: byte-stable tiles
+        else:
+            vocab = {c: sorted(r[0] for r in df.select(c).distinct().collect()
+                               if r[0] is not None)
+                     for c in props_cols}
+    sizes = [len(vocab[c]) for c in props_cols]
+    n_combos = int(np.prod(sizes)) if sizes else 1
+    if n_combos > (1 << 20):
+        raise ValueError("categorical combo space too large to tabulate; "
+                         "split props into separate layers")
+    if n_combos > (1 << (63 - 26)):
+        raise ValueError("combo id does not fit the payload layout")
+
+    # combo id: mixed-radix over props_cols (JVM map-literal lookups)
+    combo_expr = F.lit(0).cast("long")
+    stride = 1
+    for c, size in zip(reversed(props_cols), reversed(sizes)):
+        m = F.create_map(*[x for i, v in enumerate(vocab[c])
+                           for x in (F.lit(v), F.lit(i))])
+        idx = F.coalesce(F.element_at(m, F.col(c)), F.lit(0)).cast("long")
+        combo_expr = combo_expr + idx * F.lit(stride)
+        stride *= size
+
+    # tag bytes per combo: field 2 packed [k0, v0, k1, v1, ...] with value
+    # indices into the concatenated per-column value table
+    voffs = np.cumsum([0] + sizes[:-1]).tolist() if sizes else []
+    tag_table = []
+    for combo in range(n_combos):
+        rem, payload = combo, b""
+        digits = []
+        for size in reversed(sizes):
+            digits.append(rem % size)
+            rem //= size
+        digits.reverse()
+        for k, d in enumerate(digits):
+            payload += _varint(k) + _varint(voffs[k] + d)
+        tag_table.append(b"\x12" + _varint(len(payload)) + payload
+                         if payload else b"")
 
     # JVM-side preparation: quantize to tile-local ints with floor(v+0.5)
     # (the reference encoder's rounding) and pack (x, y, salt) into ONE long
     # key — the shuffle then moves 3 longs per row instead of 7 columns, and
     # sortWithinPartitions radix-sorts a single long. The bit layout keeps
-    # lexicographic (x, y, salt) order: key = x<<18 | y<<4 | salt
-    # (x, y < 2^14 at z<=14; salt < 16). Payload pv packs vid<<26|px<<13|py
-    # (px, py <= extent=4096 fit 13 bits).
-    if z > 14 or n_salts > 16 or extent > 8191:
-        raise ValueError("packed-key layout supports z<=14, n_salts<=16, "
-                         "extent<=8191; widen the layout for deeper zooms")
-    vid_expr = F.lit(0)
-    for i, v in enumerate(PAGES_VALUES):
-        vid_expr = F.when(F.col("lang") == v, F.lit(i)).otherwise(vid_expr)
+    # lexicographic (x, y, salt) order:
+    #   pkey = x << (z + salt_bits) | y << salt_bits | salt
+    # Payload pv packs combo<<26 | px<<13 | py (px, py <= extent fit 13 bits).
     H = 0.5 * WORLD_SIZE_ENC
     scale = WORLD_SIZE_ENC / float(1 << z)
     mxm = F.col("mx_mm") / F.lit(1000.0)
@@ -292,11 +351,11 @@ def build_point_tiles(df: DataFrame, z: int,
     py = F.floor(((F.lit(H) - F.col("y") * F.lit(scale)) - mym) / F.lit(scale)
                  * F.lit(extent) + F.lit(0.5)).cast("long")
     slim = df.select(
-        (F.col("x") * F.lit(1 << 18) + F.col("y") * F.lit(1 << 4)
+        (F.col("x") * F.lit(1 << (z + salt_bits))
+         + F.col("y") * F.lit(1 << salt_bits)
          + F.col("salt")).alias("pkey"),
         F.col("feature_id").alias("fid"),
-        (vid_expr.cast("long") * F.lit(1 << 26) + px * F.lit(1 << 13) + py)
-            .alias("pv"))
+        (combo_expr * F.lit(1 << 26) + px * F.lit(1 << 13) + py).alias("pv"))
 
     p1cols = ["pkey", "fid", "pv"]
 
@@ -305,17 +364,18 @@ def build_point_tiles(df: DataFrame, z: int,
             pv = arrs["pv"].astype(np.int64)
             px = (pv >> 13) & 0x1FFF
             py = pv & 0x1FFF
-            vids = (pv >> 26).tolist()
+            combos = (pv >> 26).tolist()
             inside = ((px > 0) & (px < extent)) | ((py > 0) & (py < extent))
             zx = (px << 1).tolist()  # px, py >= 0 → zigzag is a left shift
             zy = (py << 1).tolist()
             ids = arrs["fid"].astype(np.int64).tolist()
             vc = _varint_cached
+            tt = tag_table
             blocks = []
             for i in range(len(pv)):
                 geom = b"\x09" + vc(zx[i]) + vc(zy[i])
                 body = (b"\x08" + vc(ids[i])
-                        + b"\x12\x02" + bytes((0, vids[i]))
+                        + tt[combos[i]]
                         + b"\x18\x01"
                         + b"\x22" + vc(len(geom)) + geom)
                 blocks.append(b"\x12" + vc(len(body)) + body)
@@ -333,12 +393,14 @@ def build_point_tiles(df: DataFrame, z: int,
                .mapInPandas(phase1, schema=_PARTIAL_SCHEMA))
 
     layer_head = _len_delim(1, layer_name.encode("utf-8"))
-    layer_tail = (b"".join(_len_delim(3, k.encode("utf-8")) for k in PAGES_KEYS)
-                  + b"".join(_len_delim(4, mvt._encode_value(v)) for v in PAGES_VALUES)
+    layer_tail = (b"".join(_len_delim(3, k.encode("utf-8")) for k in props_cols)
+                  + b"".join(_len_delim(4, mvt._encode_value(v))
+                             for c in props_cols for v in vocab[c])
                   + _varint_field(5, extent)
                   + _varint_field(15, mvt.MVT_VERSION))
     from ..functions.mvt import gzip_bytes as _gzb
     p2cols = ["tkey", "fblock", "n_features", "inside1"]
+    ymask = (1 << z) - 1
 
     def phase2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # sorted by pkey → tiles contiguous, partial blocks in salt order
@@ -360,12 +422,12 @@ def build_point_tiles(df: DataFrame, z: int,
             keys = tk[starts]
             yield pd.DataFrame({
                 "z": np.full(len(starts), z, dtype=np.int32),
-                "x": keys >> 14,
-                "y": keys & 0x3FFF,
+                "x": keys >> z,
+                "y": keys & ymask,
                 "tile_pbf": pbfs, "n_features": nfs, "interesting": inter,
             })
 
-    tiled = partial.withColumn("tkey", F.shiftright("pkey", 4))
+    tiled = partial.withColumn("tkey", F.shiftright("pkey", salt_bits))
     # phase2 needs cols ["tkey","fblock","n_features","inside1"]; group key
     # order within a tile follows pkey (salt) because the phase-1 sort order
     # is preserved per partition and we re-sort by pkey here
@@ -434,3 +496,133 @@ def build_feature_tiles(df: DataFrame, izer_config: dict | None = None,
 
     return (df.groupBy("z", "x", "y")
               .applyInPandas(encode_tile_group, schema=_TILE_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase build for FEATURE layers (lines / polygons) — the hot-tile
+# treatment build_point_tiles gives points, applied to heavy geometries.
+# Requires fixed global key/value tables (that is what makes partial tiles
+# mergeable by byte concatenation), so it covers the no-izer path; pipelines
+# that need every feature of a (tile, layer) together (unionizer joins
+# endpoints ACROSS features) must keep whole groups and use
+# build_feature_tiles.
+# ---------------------------------------------------------------------------
+
+_FPARTIAL_SCHEMA = ("z int, x long, y long, layer string, salt int, "
+                    "fblock binary, n_features long, inside1 boolean")
+
+
+def _global_prop_tables(df: DataFrame) -> tuple[list[str], list]:
+    """Fixed global key/value tables from the props map column: one tiny
+    distinct() each (map-side partial agg — same plan-time role as the
+    point path's vocabulary)."""
+    kv = df.select(F.explode_outer("props").alias("k", "v"))
+    keys = sorted(r[0] for r in kv.select("k").distinct().collect()
+                  if r[0] is not None)
+    vals = sorted(r[0] for r in kv.select("v").distinct().collect()
+                  if r[0] is not None)
+    return keys, vals
+
+
+def build_feature_tiles_salted(df: DataFrame,
+                               tile_size: int = DEFAULT_TILE_SIZE,
+                               path_multiplier: int = DEFAULT_PATH_MULT,
+                               buffer_size: int = 0, tolerance: int = 1,
+                               compression_level: int = 9,
+                               n_salts: int = 16,
+                               key_table: list[str] | None = None,
+                               val_table: list | None = None,
+                               num_partitions: int | None = None) -> DataFrame:
+    """(z, x, y, layer, id, props map, wkt) → (z, x, y, tile_pbf,
+    n_features, interesting), two-phase: a hot tile's features spread over
+    n_salts partial encodes (phase 1 does ALL geometry work — WKT parse,
+    clip, quantize, command encode, protobuf feature bytes), then partials
+    merge by byte concatenation per (tile, layer) in phase 2. Feature tags
+    index fixed GLOBAL key/value tables, so blocks are position-independent.
+
+    Skew math: the reference's hot urban tile holds ~p fraction of the
+    corpus; unsalted, one task gets p·N features. Salted, the max task is
+    p·N/n_salts + shuffle of already-encoded bytes (cheap relative to
+    geometry work, which is ~100 bytes/feature vs WKT's ~100 chars)."""
+    from ..functions import wkt as _wkt
+    from ..functions.mvt import gzip_bytes as _gzb
+
+    nparts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    nparts = int(nparts)
+    extent = tile_size * path_multiplier
+    if key_table is None or val_table is None:
+        key_table, val_table = _global_prop_tables(df)
+    kidx = {k: i for i, k in enumerate(key_table)}
+    vidx = {(type(v).__name__, v): i for i, v in enumerate(val_table)}
+
+    salted = df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int"))
+
+    def phase1(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y, layer_name, salt = (int(key[0]), int(key[1]), int(key[2]),
+                                     str(key[3]), int(key[4]))
+        feats = [{"id": int(r.id),
+                  "props": dict(r.props) if r.props is not None else {},
+                  "geom": _wkt.loads(r.wkt)}
+                 for r in pdf.itertuples(index=False)]
+        layer = make_layer(layer_name, feats, z, x, y, tile_size,
+                           path_multiplier, buffer_size, tolerance)
+        if not layer.features:
+            return pd.DataFrame({c: [] for c in
+                                 ("z", "x", "y", "layer", "salt", "fblock",
+                                  "n_features", "inside1")})
+        blocks = []
+        for f in layer.features:
+            # remap local tag indices onto the global tables
+            f.tags = [
+                (kidx[layer.keys[t]] if i % 2 == 0
+                 else vidx[(type(layer.values[t]).__name__, layer.values[t])])
+                for i, t in enumerate(f.tags)]
+            blocks.append(_len_delim(2, mvt._encode_feature(f)))
+        single = mvt.is_interesting(layer) if len(layer.features) == 1 else True
+        return pd.DataFrame({
+            "z": [z], "x": [x], "y": [y], "layer": [layer_name],
+            "salt": [salt], "fblock": [b"".join(blocks)],
+            "n_features": [len(layer.features)], "inside1": [single]})
+
+    partial = (salted.groupBy("z", "x", "y", "layer", "salt")
+                     .applyInPandas(phase1, schema=_FPARTIAL_SCHEMA))
+
+    tail_common = (b"".join(_len_delim(3, k.encode("utf-8")) for k in key_table)
+                   + b"".join(_len_delim(4, mvt._encode_value(v)) for v in val_table)
+                   + _varint_field(5, extent)
+                   + _varint_field(15, mvt.MVT_VERSION))
+    p2cols = ["z", "x", "y", "layer", "fblock", "n_features", "inside1"]
+
+    def phase2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for arrs, starts, ends in _numpy_batches(batches, p2cols, ["z", "x", "y"]):
+            zs = arrs["z"]; xs = arrs["x"]; ys = arrs["y"]
+            lays = arrs["layer"]; fbl = arrs["fblock"]
+            nf = arrs["n_features"].astype(np.int64)
+            ins = arrs["inside1"]
+            out = {"z": [], "x": [], "y": [], "tile_pbf": [],
+                   "n_features": [], "interesting": []}
+            for st, e in zip(starts, ends):
+                tile = b""
+                i = st
+                while i < e:  # layers contiguous (sorted), salts in order
+                    j = i
+                    while j < e and lays[j] == lays[i]:
+                        j += 1
+                    body = (_len_delim(1, str(lays[i]).encode("utf-8"))
+                            + b"".join(fbl[i:j]) + tail_common)
+                    tile += _len_delim(3, body)
+                    i = j
+                if compression_level > 0:
+                    tile = _gzb(tile, compression_level)
+                total = int(nf[st:e].sum())
+                out["z"].append(int(zs[st])); out["x"].append(int(xs[st]))
+                out["y"].append(int(ys[st])); out["tile_pbf"].append(tile)
+                out["n_features"].append(total)
+                out["interesting"].append(True if total > 1 else bool(ins[st]))
+            yield pd.DataFrame(out)
+
+    return (partial
+            .repartition(nparts, "z", "x", "y")
+            .sortWithinPartitions("z", "x", "y", "layer", "salt")
+            .mapInPandas(phase2, schema=_TILE_SCHEMA))

@@ -426,6 +426,16 @@ def _mvt_build_oracle(z: int = 14, extent: int = 4096) -> str:
     )"""
 
 
+@register("mvt_build_z16", f"SELECT * FROM {_mvt_build_oracle(16)} t")
+def mvt_build_z16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-zoom leg of the distributed build (packed key spends 2z+4 bits,
+    good to z=29/16 salts, z=30/8 — reference serves z up to 30,
+    mapnik_request_handler.cpp:133). Same oracle shape as z14."""
+    from .api import build_tiles
+    tiles = build_tiles(pages_df(spark, sf_dir), z=16)
+    return tiles.select("z", "x", "y", "n_features", "interesting")
+
+
 @register("mvt_build_z14", f"SELECT * FROM {_mvt_build_oracle(14)} t")
 def mvt_build_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/S4 (SURVEY §2.4/§2.1): the full two-phase salted MVT tile build.

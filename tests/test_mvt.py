@@ -253,3 +253,37 @@ def test_tile_md5_golden(spark):
     ).encode()).hexdigest()
     assert len(rows) == 3242
     assert dig == "0c15f024bc5c5f8d8b7cf49881d1b6b9"
+
+
+def test_tile_bytes_golden_z16_and_multiprop(spark):
+    """Deep-zoom (z>14) and multi-property builds produce decodable,
+    deterministic tiles: two runs byte-identical; decoded tag pairs map
+    into the concatenated global value table."""
+    from pyspark.sql import functions as F
+    from avecado_spark.functions import mvt
+    from avecado_spark.operators.keys import geocode, with_tile_keys, with_salt
+    from avecado_spark.operators.encode import build_point_tiles
+    from avecado_spark.sources.pages import pages_df
+
+    def build():
+        p = geocode(pages_df(spark, "/root/testdata/sf0.001"))
+        p = with_tile_keys(p, 16).withColumn(
+            "feature_id", F.col("url").substr(32, 20).cast("long"))
+        p = p.withColumn("tier",
+                         F.when(F.col("mx_mm") > 0, "east").otherwise("west"))
+        p = with_salt(p, 16)
+        t = build_point_tiles(p, 16, props_cols=("lang", "tier"))
+        return {(r.x, r.y): bytes(r.tile_pbf) for r in t.collect()}
+
+    a, b = build(), build()
+    assert a == b, "deep-zoom multi-prop build must be deterministic"
+    big = next(v for v in a.values() if len(v) > 200)
+    layer = mvt.decode_tile(big).layers[0]
+    assert layer.keys == ["lang", "tier"]
+    assert layer.values[-2:] == ["east", "west"]
+    for f in layer.features:
+        ks = f.tags[0::2]
+        vs = f.tags[1::2]
+        assert ks == [0, 1]
+        assert layer.values[vs[0]] in ("en", "de", "fr", "es", "zh", "ru", "pt")
+        assert layer.values[vs[1]] in ("east", "west")

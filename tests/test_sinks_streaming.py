@@ -187,3 +187,56 @@ def test_build_tiles_job_script(spark, tmp_path):
     assert (tmp_path / "tile.json").exists()
     import glob as g
     assert g.glob(str(tmp_path / "pbf" / "*" / "*" / "*.pbf"))
+
+
+def test_build_feature_tiles_salted_parity_and_spread(spark):
+    """The two-phase salted feature build (hot line/polygon tiles) decodes
+    to the same features as the per-group path, and a hot tile's work is
+    spread over ~n_salts phase-1 partials."""
+    from pyspark.sql import functions as F
+    from avecado_spark.functions import mvt
+    from avecado_spark.functions.mercator import box_for_tile
+    from avecado_spark.operators.encode import (build_feature_tiles,
+                                                build_feature_tiles_salted)
+
+    minx, miny, maxx, maxy = box_for_tile(10, 300, 400)
+    w = maxx - minx
+    rows = []
+    for i in range(200):  # hot tile
+        x0 = minx + (i % 20) / 20.0 * w
+        y0 = miny + (i // 20) / 10.0 * w
+        rows.append((10, 300, 400, "roads", i,
+                     {"hw": "primary" if i % 2 else "secondary"},
+                     f"LINESTRING({x0} {y0}, {x0 + w/50} {y0 + w/80})"))
+    minx2, miny2, _, _ = box_for_tile(10, 301, 400)
+    for i in range(5):  # cold tile
+        x0 = minx2 + i / 10.0 * w
+        rows.append((10, 301, 400, "roads", 1000 + i, {"hw": "primary"},
+                     f"LINESTRING({x0} {miny2 + w/4}, {x0 + w/30} {miny2 + w/3})"))
+    df = spark.createDataFrame(
+        rows, "z int, x long, y long, layer string, id long, "
+              "props map<string,string>, wkt string")
+
+    def summarize(tile_rows):
+        out = {}
+        for r in tile_rows:
+            tile = mvt.decode_tile(bytes(r.tile_pbf))
+            feats = []
+            for l in tile.layers:
+                for f in l.features:
+                    props = {l.keys[f.tags[i]]: l.values[f.tags[i + 1]]
+                             for i in range(0, len(f.tags), 2)}
+                    feats.append((f.id, f.type, tuple(f.geometry),
+                                  tuple(sorted(props.items()))))
+            out[(r.x, r.y)] = (r.n_features, r.interesting, sorted(feats))
+        return out
+
+    assert summarize(build_feature_tiles(df).collect()) == \
+        summarize(build_feature_tiles_salted(df).collect())
+
+    # salt spreading: the hot tile materializes ~n_salts phase-1 groups
+    n_groups = (df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("id")), F.lit(16)))
+        .where((F.col("x") == 300))
+        .select("salt").distinct().count())
+    assert n_groups >= 12, f"hot tile spread over only {n_groups} salts"
