@@ -1,0 +1,113 @@
+"""HTTP tile fetcher source (S6) + HTTP date parsing (F12).
+
+Reference: /root/reference/src/fetch/http.cpp — a curl-pooled GET per
+{z}/{x}/{y}.pbf URL with gzip sniffing, Last-Modified/Expires header
+parsing (http.cpp:143-186), If-Modified-Since conditional requests
+(http.cpp:725), and status→fetch_status mapping; date strings parsed with
+curl_getdate (http_date_parser.cpp:7-20).
+
+Spark shape: the tile-coordinate DataFrame maps through mapInPandas, each
+executor fetching its partition's URLs with a stdlib urllib opener — a
+distributed fetch with no driver round-trip. Network access is gated: the
+default opener raises unless `allow_network=True`, and tests inject a fake
+opener to pin request shaping (URL substitution, headers, status mapping)
+without sockets — same role as the reference's test/fetcher_test.cpp local
+server.
+"""
+
+from __future__ import annotations
+
+import calendar
+import time
+from email.utils import parsedate_tz
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (callers compose filters)
+
+from .sink import tile_url
+
+_FETCH_SCHEMA = ("z int, x long, y long, status int, tile_pbf binary, "
+                 "last_modified long, expires long")
+
+
+def parse_http_date(s: str | None) -> int | None:
+    """RFC 7231 HTTP date → unix epoch seconds, None when unparseable —
+    the curl_getdate role (reference http_date_parser.cpp:7-20; -1 → error
+    becomes None here). Handles RFC 1123, RFC 850 and asctime forms via
+    email.utils."""
+    if not s:
+        return None
+    tt = parsedate_tz(s.strip())
+    if tt is None:
+        return None
+    tz = tt[9] or 0
+    return calendar.timegm(tt[:9]) - tz
+
+
+def make_http_date(epoch: int) -> str:
+    """Epoch → RFC 1123 GMT string (reference make_http_date,
+    http.cpp:34-44) — used for If-Modified-Since."""
+    return time.strftime("%a, %d %b %Y %H:%M:%S GMT", time.gmtime(epoch))
+
+
+def _default_opener(url: str, headers: dict) -> tuple[int, bytes, dict]:
+    import urllib.request
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return (resp.status, resp.read(), dict(resp.headers))
+    except urllib.error.HTTPError as e:  # 4xx/5xx still carry a status
+        return (e.code, b"", dict(e.headers or {}))
+
+
+def build_requests(coords: pd.DataFrame, url_pattern: str,
+                   if_modified_since: int | None = None) -> list[tuple]:
+    """(z, x, y) rows → [(z, x, y, url, headers)] — the request-shaping
+    step, separated so it is unit-testable without sockets."""
+    headers = {"User-Agent": "avecado-spark/0.1",
+               "Accept-Encoding": "gzip"}
+    if if_modified_since is not None:
+        headers = dict(headers,
+                       **{"If-Modified-Since": make_http_date(if_modified_since)})
+    return [(int(r.z), int(r.x), int(r.y),
+             tile_url(url_pattern, int(r.z), int(r.x), int(r.y)), headers)
+            for r in coords.itertuples(index=False)]
+
+
+def fetch_tiles(coords: DataFrame, url_pattern: str,
+                allow_network: bool = False,
+                if_modified_since: int | None = None,
+                opener=None) -> DataFrame:
+    """Distributed tile fetch: (z, x, y) → (z, x, y, status, tile_pbf,
+    last_modified, expires). status mirrors the reference's fetch_status
+    mapping (200 → bytes, 304 → empty/not-modified, 404 → empty); gzip
+    payloads are passed through as-is (the engine's decode path sniffs the
+    magic, functions/mvt.py).
+
+    Network is OFF by default — pass allow_network=True for a real run, or
+    inject `opener(url, headers) -> (status, bytes, headers)` (tests)."""
+    if opener is None:
+        if not allow_network:
+            raise ValueError("network fetch disabled; pass allow_network=True "
+                             "or inject an opener")
+        opener = _default_opener
+
+    def run(batches):
+        for pdf in batches:
+            reqs = build_requests(pdf, url_pattern, if_modified_since)
+            out = {"z": [], "x": [], "y": [], "status": [], "tile_pbf": [],
+                   "last_modified": [], "expires": []}
+            for z, x, y, url, headers in reqs:
+                status, body, rheaders = opener(url, headers)
+                out["z"].append(z)
+                out["x"].append(x)
+                out["y"].append(y)
+                out["status"].append(int(status))
+                out["tile_pbf"].append(body if status == 200 else b"")
+                out["last_modified"].append(
+                    parse_http_date(rheaders.get("Last-Modified")))
+                out["expires"].append(parse_http_date(rheaders.get("Expires")))
+            yield pd.DataFrame(out)
+
+    return coords.select("z", "x", "y").mapInPandas(run, schema=_FETCH_SCHEMA)

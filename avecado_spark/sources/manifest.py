@@ -104,3 +104,36 @@ def run_resumable_build(spark: SparkSession, tiles: DataFrame, z: int,
     return {"written_partitions": n_new,
             "skipped_partitions": len(done_keys),
             "n_tiles": pend.count()}
+
+
+def read_tiles(spark: SparkSession, out_path: str,
+               part_keys: list[int] | None = None) -> DataFrame:
+    """Read the part_key-partitioned tile table back. A part_key filter is
+    a PARTITION filter (part_key is the physical partition column), so the
+    scan plans only the matching directories — at 10^12-doc scale a serving
+    read of one region touches its buckets, not the table."""
+    t = spark.read.parquet(os.path.join(out_path, "tiles"))
+    if part_keys is not None:
+        t = t.where(F.col("part_key").isin([int(k) for k in part_keys]))
+    return t
+
+
+def part_keys_for_tile_range(z: int, x0: int, x1: int, y0: int, y1: int) -> list[int]:
+    """All part_keys covering the inclusive tile-coordinate rectangle —
+    the serving-side mapping from a viewport to partitions."""
+    shift = max(z - PART_BITS, 0)
+    keys = set()
+    for bx in range(x0 >> shift, (x1 >> shift) + 1):
+        for by in range(y0 >> shift, (y1 >> shift) + 1):
+            keys.add(bx * (1 << PART_BITS) + by)
+    return sorted(keys)
+
+
+def read_tiles_bbox(spark: SparkSession, out_path: str, z: int,
+                    x0: int, x1: int, y0: int, y1: int) -> DataFrame:
+    """Viewport read: partition-pruned by part_key, then exact (x, y) range
+    predicates pushed to parquet row groups within the pruned buckets."""
+    keys = part_keys_for_tile_range(z, x0, x1, y0, y1)
+    t = read_tiles(spark, out_path, keys)
+    return t.where((F.col("z") == z)
+                   & F.col("x").between(x0, x1) & F.col("y").between(y0, y1))

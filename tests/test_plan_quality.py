@@ -111,3 +111,27 @@ def test_neardup_queries_non_vacuous(spark):
     Q = q.queries()
     assert Q["dedup_embedding_cosine"](spark, SF).count() > 0
     assert Q["dedup_simhash_pairs"](spark, SF).count() > 0
+
+
+def test_tile_table_read_is_partition_pruned(spark, tmp_path):
+    """The part_key-partitioned tile table must prune at planning time: a
+    viewport read's scan lists only the matching partition directories
+    (PartitionFilters over part_key), never the full table."""
+    from avecado_spark.api import build_tiles
+    from avecado_spark.sources.pages import pages_df
+    from avecado_spark.sources import manifest as M
+
+    tiles = build_tiles(pages_df(spark, SF), z=10)
+    out = str(tmp_path / "tiletable")
+    M.run_resumable_build(spark, tiles, 10, out, lineage="plan-test")
+
+    some = spark.read.parquet(out + "/tiles").select("x", "y").first()
+    df = M.read_tiles_bbox(spark, out, 10,
+                           int(some.x), int(some.x), int(some.y), int(some.y))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "part_key" in pf, pf
+    # and the exact predicates still reach parquet
+    assert "PushedFilters" in plan
+    assert df.count() >= 1

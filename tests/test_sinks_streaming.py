@@ -240,3 +240,61 @@ def test_build_feature_tiles_salted_parity_and_spread(spark):
         .where((F.col("x") == 300))
         .select("salt").distinct().count())
     assert n_groups >= 12, f"hot tile spread over only {n_groups} salts"
+
+
+def test_fetch_tiles_request_shaping_no_network(spark):
+    """S6/F12: the distributed HTTP tile fetcher — request shaping (URL
+    substitution, If-Modified-Since header), status mapping, and
+    Last-Modified/Expires parsing pinned with an injected opener; the
+    default path refuses to touch the network."""
+    import pytest as _pytest
+    from avecado_spark.sources.fetch import (build_requests, fetch_tiles,
+                                             make_http_date, parse_http_date)
+
+    # date parser: RFC 1123 round-trip + the reference's error convention
+    assert parse_http_date("Sun, 06 Nov 1994 08:49:37 GMT") == 784111777
+    assert make_http_date(784111777) == "Sun, 06 Nov 1994 08:49:37 GMT"
+    assert parse_http_date("not a date") is None
+    assert parse_http_date(None) is None
+
+    coords = spark.createDataFrame(
+        [(14, 100, 200), (14, 101, 200), (14, 102, 200)],
+        "z int, x long, y long")
+
+    with _pytest.raises(ValueError):
+        fetch_tiles(coords, "https://tiles.example/{z}/{x}/{y}.pbf").collect()
+
+    # request shaping pinned driver-side (mapInPandas closures mutate in the
+    # worker process, so assert on build_requests, the unit the runner uses)
+    import pandas as pd
+    reqs = build_requests(
+        pd.DataFrame({"z": [14, 14, 14], "x": [100, 101, 102],
+                      "y": [200, 200, 200]}),
+        "https://tiles.example/{z}/{x}/{y}.pbf", if_modified_since=784111777)
+    assert [u for _, _, _, u, _ in reqs] == [
+        "https://tiles.example/14/100/200.pbf",
+        "https://tiles.example/14/101/200.pbf",
+        "https://tiles.example/14/102/200.pbf"]
+    assert all(h["If-Modified-Since"] == "Sun, 06 Nov 1994 08:49:37 GMT"
+               and h["Accept-Encoding"] == "gzip" for *_, h in reqs)
+
+    def fake_opener(url, headers):
+        assert headers.get("If-Modified-Since") == "Sun, 06 Nov 1994 08:49:37 GMT"
+        if url.endswith("100/200.pbf"):
+            return (200, b"\x1a\x05tile!", {
+                "Last-Modified": "Sun, 06 Nov 1994 08:49:37 GMT",
+                "Expires": "Mon, 07 Nov 1994 08:49:37 GMT"})
+        if url.endswith("101/200.pbf"):
+            return (304, b"", {})
+        return (404, b"", {})
+
+    out = {(r.x, r.y): r for r in fetch_tiles(
+        coords, "https://tiles.example/{z}/{x}/{y}.pbf",
+        if_modified_since=784111777, opener=fake_opener).collect()}
+    assert out[(100, 200)].status == 200
+    assert bytes(out[(100, 200)].tile_pbf) == b"\x1a\x05tile!"
+    assert out[(100, 200)].last_modified == 784111777
+    assert out[(100, 200)].expires == 784111777 + 86400
+    assert out[(101, 200)].status == 304
+    assert out[(102, 200)].status == 404
+    assert bytes(out[(102, 200)].tile_pbf) == b""
