@@ -271,8 +271,6 @@ def adminize_points(df: DataFrame, admin_rows: list[tuple[int, float, float, flo
     idxs = np.array([r[0] for r in rows], dtype=np.int64)
     boxes = np.array([r[1:5] for r in rows], dtype=np.float64)
     values = [r[5] for r in rows]
-    cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
-    cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
 
     from pyspark.sql.types import StringType, StructField, StructType
     # note: StructType.add mutates self — build a fresh one
@@ -283,7 +281,13 @@ def adminize_points(df: DataFrame, admin_rows: list[tuple[int, float, float, flo
             xs = pdf[x_col].to_numpy(dtype=np.float64)
             ys = pdf[y_col].to_numpy(dtype=np.float64)
             if mode == "knn":
-                d2 = (xs[:, None] - cx[None, :]) ** 2 + (ys[:, None] - cy[None, :]) ** 2
+                # true box distance (STRtree.nearest contract): 0 inside,
+                # else the clamped axis gaps — not the centroid shortcut
+                dx = np.maximum(0.0, np.maximum(boxes[None, :, 0] - xs[:, None],
+                                                xs[:, None] - boxes[None, :, 2]))
+                dy = np.maximum(0.0, np.maximum(boxes[None, :, 1] - ys[:, None],
+                                                ys[:, None] - boxes[None, :, 3]))
+                d2 = dx * dx + dy * dy
                 best = np.argmin(d2, axis=1)  # ties → lowest idx (rows sorted)
                 pdf[out_col] = [values[b] for b in best]
             else:

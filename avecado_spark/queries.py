@@ -245,8 +245,10 @@ def j1b_pip_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("j2_knn_nearest", f"""
   SELECT url, val AS admin FROM (
     SELECT g.url, b.val,
-           (CAST(g.mx_mm - (b.minx + b.maxx) // 2 AS DOUBLE) * CAST(g.mx_mm - (b.minx + b.maxx) // 2 AS DOUBLE)
-          + CAST(g.my_mm - (b.miny + b.maxy) // 2 AS DOUBLE) * CAST(g.my_mm - (b.miny + b.maxy) // 2 AS DOUBLE)) AS d2,
+           (CAST(greatest(0, b.minx - g.mx_mm, g.mx_mm - b.maxx) AS DOUBLE)
+            * CAST(greatest(0, b.minx - g.mx_mm, g.mx_mm - b.maxx) AS DOUBLE)
+          + CAST(greatest(0, b.miny - g.my_mm, g.my_mm - b.maxy) AS DOUBLE)
+            * CAST(greatest(0, b.miny - g.my_mm, g.my_mm - b.maxy) AS DOUBLE)) AS d2,
            b.idx
     FROM {GEO_SQL} g CROSS JOIN {_BOXES_SQL}
     QUALIFY row_number() OVER (PARTITION BY g.url ORDER BY d2, b.idx) = 1
@@ -254,9 +256,8 @@ def j1b_pip_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def j2_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (SURVEY §2.3): kNN (k=1) classification against the admin table —
-    nearest box centroid by squared euclidean distance, ties by index
-    (the reference's within/disjoint trichotomy generalized to
-    STRtree.nearest per the north rule)."""
+    nearest box by true box distance (0 inside, clamped axis gaps outside —
+    the STRtree.nearest geometry-distance contract), ties by index."""
     g = _geo(spark, sf_dir).select("url", "mx_mm", "my_mm")
     return adminize_points(g, ADMIN_BOXES, mode="knn").select(
         "url", F.col("admin"))
