@@ -110,6 +110,10 @@ def lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vector pair is a candidate if it shares a bucket in ANY band (standard
     LSH OR-amplification; keeps candidate sets non-degenerate)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _lsh_buckets_for(spark, emb)
+
+
+def _lsh_buckets_for(spark: SparkSession, emb: DataFrame) -> DataFrame:
     comp = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
     planes = _planes_df(spark)
     proj = (comp.join(F.broadcast(planes), "d")
@@ -126,11 +130,12 @@ def lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.groupBy("vec_id", "band").agg(F.sum("bit").alias("bucket"))
 
 
-LSH_BUCKETS_SQL = f"""(
+def _lsh_buckets_sql(table: str = "embeddings") -> str:
+    return f"""(
   WITH comp AS (
     SELECT vec_id, unnest(embedding) AS v,
            generate_subscripts(embedding, 1) - 1 AS d
-    FROM embeddings
+    FROM {table} e
   ), proj AS (
     SELECT c.vec_id, p.j, sum(c.v::DOUBLE * p.w) AS p
     FROM comp c JOIN {_PLANES_SQL} p ON c.d = p.d
@@ -142,6 +147,9 @@ LSH_BUCKETS_SQL = f"""(
   )
   SELECT vec_id, band, sum(bit)::BIGINT AS bucket FROM bits GROUP BY vec_id, band
 )"""
+
+
+LSH_BUCKETS_SQL = _lsh_buckets_sql("embeddings")
 
 
 def ann_lsh_df(spark: SparkSession, sf_dir: str,
@@ -251,6 +259,52 @@ def embedding_neardup_sql(threshold: float = 0.8) -> str:
                round({dot} / ({na} * {nb}), 4) AS cos
         FROM {_NEARDUP_CORPUS_SQL} a JOIN {_NEARDUP_CORPUS_SQL} b
           ON a.vec_id < b.vec_id
+      ) WHERE cos > {threshold}
+    )"""
+
+
+def embedding_neardup_lsh_df(spark: SparkSession, sf_dir: str,
+                             threshold: float = 0.8) -> DataFrame:
+    """Embedding near-dup pairs, SCALE path: LSH bucket equi-join replaces
+    the brute-force cross join — only pairs sharing a hyperplane-sign
+    bucket in some band are scored. Near-identical vectors agree on every
+    plane sign, so planted near-dups always collide (recall 1.0 for the
+    cos→1 regime dedup targets); the candidate set is near-linear instead
+    of quadratic."""
+    emb = _neardup_corpus_df(spark, sf_dir)
+    buckets = _lsh_buckets_for(spark, emb)
+    embb = emb.join(buckets, "vec_id")
+    a = embb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+                    F.col("band").alias("ba"), F.col("bucket").alias("ka"))
+    b = embb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+                    F.col("band").alias("bb"), F.col("bucket").alias("kb"))
+    cand = (a.join(b, (F.col("ba") == F.col("bb")) & (F.col("ka") == F.col("kb"))
+                   & (F.col("va") < F.col("vb")))
+             .select("va", "vb", "ea", "eb").distinct())
+    return (cand.select("va", "vb",
+                        F.round(_dot(F.col("ea"), F.col("eb"))
+                                / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4)
+                         .alias("cos"))
+                .where(F.col("cos") > threshold))
+
+
+def embedding_neardup_lsh_sql(threshold: float = 0.8) -> str:
+    dot = DOT_SQL.format(a="ea", b="eb")
+    na = NORM_SQL.format(a="ea")
+    nb = NORM_SQL.format(a="eb")
+    buckets = _lsh_buckets_sql(_NEARDUP_CORPUS_SQL)
+    return f"""(
+      WITH embb AS (
+        SELECT e.vec_id, e.embedding, b.band, b.bucket
+        FROM {_NEARDUP_CORPUS_SQL} e JOIN {buckets} b USING (vec_id)
+      ), cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+               a.embedding AS ea, b.embedding AS eb
+        FROM embb a JOIN embb b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      )
+      SELECT * FROM (
+        SELECT va, vb, round({dot} / ({na} * {nb}), 4) AS cos FROM cand
       ) WHERE cos > {threshold}
     )"""
 

@@ -536,9 +536,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding_cosine", S.embedding_neardup_sql())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos > 0.8, brute force) over
-    the near-dup-seeded corpus — non-vacuous: returns the planted pairs."""
+    """Embedding-cosine near-duplicate pairs (cos > 0.8, brute force
+    BASELINE) over the near-dup-seeded corpus — non-vacuous: returns the
+    planted pairs. Scale path: dedup_embedding_lsh."""
     return S.embedding_neardup_df(spark, sf_dir)
+
+
+@register("dedup_embedding_lsh", S.embedding_neardup_lsh_sql())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, SCALE path: LSH bucket equi-join replaces
+    the O(n²) cross join; near-identical vectors always share buckets, so
+    dedup recall is exact in the cos→1 regime."""
+    return S.embedding_neardup_lsh_df(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -89,3 +89,61 @@ def test_tile_gzip_roundtrip(payload_strings, level):
     rt = mvt.decode_tile(data)
     assert rt.layers[0].keys == layer.keys
     assert len(rt.layers[0].features) == len(layer.features)
+
+
+# ---------------------------------------------------------------------------
+# general polygon clipper properties
+# ---------------------------------------------------------------------------
+
+def _area_polys(polys):
+    from avecado_spark.functions.geometry import close_ring, ring_area2
+    total = 0.0
+    for poly in polys:
+        a = abs(ring_area2(close_ring(np.asarray(poly[0], float)))) / 2
+        for h in poly[1:]:
+            a -= abs(ring_area2(close_ring(np.asarray(h, float)))) / 2
+        total += a
+    return total
+
+
+def _convex_ring(cx, cy, radii):
+    """Convex ring from sorted angles around (cx, cy)."""
+    n = len(radii)
+    angs = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    pts = np.stack([cx + np.array(radii) * np.cos(angs),
+                    cy + np.array(radii) * np.sin(angs)], axis=1)
+    return pts
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.tuples(st.integers(-6, 6), st.integers(-6, 6)),          # clip center
+    st.lists(st.integers(2, 9), min_size=3, max_size=7),        # clip radii
+    st.tuples(st.integers(-8, 0), st.integers(-8, 0),           # subject box
+              st.integers(1, 16), st.integers(1, 16)),
+)
+def test_clip_polygon_general_conserves_area(c, radii, box):
+    """inside + outside areas partition the subject exactly, for random
+    convex clips (integer coords → vertex-on-edge degeneracies included)
+    against random rectangles; and the axis-box fast path agrees with the
+    general path on axis-box clips."""
+    from avecado_spark.functions.geometry import (clip_polygon_general,
+                                                  split_polygon_by_box)
+    cx, cy = c
+    x0, y0, w, h = box
+    subj = [np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                      [x0, y0 + h], [x0, y0]], float)]
+    clip = [_convex_ring(cx, cy, radii)]
+    ins, outs = clip_polygon_general(subj, clip)
+    a_in, a_out = _area_polys(ins), _area_polys(outs)
+    a_subj = _area_polys([subj])
+    assert a_in >= -1e-9 and a_out >= -1e-9
+    assert abs((a_in + a_out) - a_subj) <= 1e-6 * max(a_subj, 1.0)
+
+    # axis-box clip: general path agrees with the Sutherland–Hodgman slabs
+    bclip = [np.array([[cx - 3, cy - 2], [cx + 3, cy - 2],
+                       [cx + 3, cy + 2], [cx - 3, cy + 2]], float)]
+    gi, go = clip_polygon_general(subj, bclip)
+    bi, bo = split_polygon_by_box(subj, (cx - 3, cy - 2, cx + 3, cy + 2))
+    assert abs(_area_polys(gi) - _area_polys(bi)) <= 1e-6 * max(a_subj, 1.0)
+    assert abs(_area_polys(go) - _area_polys(bo)) <= 1e-6 * max(a_subj, 1.0)
