@@ -298,3 +298,24 @@ def test_fetch_tiles_request_shaping_no_network(spark):
     assert out[(101, 200)].status == 304
     assert out[(102, 200)].status == 404
     assert bytes(out[(102, 200)].tile_pbf) == b""
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """applyInPandasWithState session operator == the oracle-checked batch
+    sessionization when run to completion (availableNow) — the custom
+    stateful-operator surface of SURVEY §2.9."""
+    from avecado_spark import queries as q
+    from avecado_spark.streaming.events import (run_available_now_update,
+                                                sessionize_stream)
+    import shutil
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = {r.user_id: (r.n_sessions, r.n_events)
+             for r in q.queries()["events_sessionize"](spark, sf).collect()}
+    with tempfile.TemporaryDirectory() as d:
+        # file streaming sources require a directory
+        shutil.copy(f"{sf}/events.parquet", os.path.join(d, "events.parquet"))
+        stream_rows = run_available_now_update(
+            sessionize_stream(spark, d), "sess_test")
+    stream = {r.user_id: (r.n_sessions, r.n_events) for r in stream_rows}
+    assert stream == batch
