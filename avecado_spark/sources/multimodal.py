@@ -31,7 +31,9 @@ def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic opaque payloads standing in for crawled media bytes."""
     return spark.range(n).select(
         F.col("id").alias("media_id"),
-        F.when(F.col("id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
+        F.when(F.col("id") % 4 == 3, F.lit("video"))
+         .when(F.col("id") % 2 == 0, F.lit("image"))
+         .otherwise(F.lit("audio")).alias("kind"),
         F.encode(F.concat(F.lit("payload-"), F.md5(F.col("id").cast("string"))), "utf-8")
          .cast("binary").alias("payload"),
         F.struct((F.col("id") % 64 + 16).cast("int").alias("width"),
@@ -94,3 +96,63 @@ def media_features(df: DataFrame, target: int = 32) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "features": feats})
 
     return df.mapInPandas(run, schema="media_id long, features array<float>")
+
+
+# ---------------------------------------------------------------------------
+# video: frame sampling (the fourth charter op: decode / feature-extract /
+# resize / FRAME-SAMPLE). The container decode is STUBBED like decode_image;
+# the Spark-side shape — one input row fanning out to k frame rows through
+# mapInPandas, frame indices deterministic from the sampling stride — is
+# real and tested.
+# ---------------------------------------------------------------------------
+
+def decode_video_frame(payload: bytes, frame_idx: int, width: int, height: int,
+                       deterministic_fake: bool = False) -> np.ndarray:
+    """STUB: real frame extraction needs a video codec not present in this
+    container. The fake path derives a (h, w, 3) uint8 frame from the
+    payload digest + frame index — deterministic, so downstream plumbing
+    (sampling stride, per-frame features) is exercised end to end."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "video codec not available in this container; "
+            "pass deterministic_fake=True for the test path")
+    import hashlib
+    seed = int.from_bytes(
+        hashlib.md5(payload + frame_idx.to_bytes(4, "little")).digest()[:8],
+        "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def sample_frames(df: DataFrame, stride_s: float = 2.0, fps: float = 24.0,
+                  duration_s: float = 10.0, target: int = 32) -> DataFrame:
+    """Frame sampling over video rows: every stride_s seconds of a
+    duration_s clip → frame indices [0, fps*stride_s, 2*fps*stride_s, ...];
+    each sampled frame is decoded (fake), resized, and feature-extracted.
+    One input row → k output rows, all inside one Arrow batch pass —
+    the partitioning story is identical to media_features (payload bytes
+    never shuffle; the fan-out happens map-side)."""
+    from typing import Iterator
+    import pandas as pd
+    idxs = [int(i * fps * stride_s)
+            for i in range(int(duration_s / stride_s))]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "features": []}
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video":
+                    continue
+                w, h = int(r.meta["width"]), int(r.meta["height"])
+                for fi in idxs:
+                    img = decode_video_frame(bytes(r.payload), fi, w, h,
+                                             deterministic_fake=True)
+                    img = resize_nearest(img, target, target)
+                    out["media_id"].append(int(r.media_id))
+                    out["frame_idx"].append(fi)
+                    out["features"].append(
+                        extract_features(img).astype(float).tolist())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="media_id long, frame_idx int, features array<double>")

@@ -319,3 +319,26 @@ def test_sessionize_stream_matches_batch(spark):
             sessionize_stream(spark, d), "sess_test")
     stream = {r.user_id: (r.n_sessions, r.n_events) for r in stream_rows}
     assert stream == batch
+
+
+def test_video_frame_sampling(spark):
+    """Video frame-sample plumbing: one video row fans out to k frame rows
+    map-side (stride-derived indices), deterministic fake decode, real
+    resize + feature shapes; the codec itself is stubbed."""
+    import pytest as _pytest
+    from avecado_spark.sources.multimodal import (decode_video_frame,
+                                                  sample_frames,
+                                                  synth_media_df)
+    media = synth_media_df(spark, 32)
+    n_videos = media.where(F.col("kind") == "video").count()
+    assert n_videos == 8
+    frames = sample_frames(media, stride_s=2.0, fps=24.0, duration_s=10.0)
+    rows = frames.collect()
+    assert len(rows) == n_videos * 5          # 10s / 2s stride
+    assert sorted({r.frame_idx for r in rows}) == [0, 48, 96, 144, 192]
+    assert all(len(r.features) == 16 for r in rows)
+    rows2 = frames.collect()                   # deterministic
+    assert sorted((r.media_id, r.frame_idx, tuple(r.features)) for r in rows) \
+        == sorted((r.media_id, r.frame_idx, tuple(r.features)) for r in rows2)
+    with _pytest.raises(NotImplementedError):
+        decode_video_frame(b"x", 0, 4, 4)
