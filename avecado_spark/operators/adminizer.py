@@ -306,3 +306,43 @@ def adminize_points(df: DataFrame, admin_rows: list[tuple[int, float, float, flo
             yield pdf
 
     return df.mapInPandas(probe, schema=schema)
+
+
+def adminize_points_rings(df: DataFrame, polygons: list[tuple[int, list, str]],
+                          x_col: str = "mx_mm", y_col: str = "my_mm",
+                          out_col: str = "admin") -> DataFrame:
+    """Broadcast point-in-POLYGON join for general (non-box) admin rings,
+    mode first: value of the lowest-index polygon strictly containing the
+    point by the crossing-number test (points_in_ring — the same division
+    expression the DuckDB oracle evaluates, so parity is exact in float64).
+
+    polygons: [(idx, ring [(x, y), ...], value)]. The probe is an
+    Arrow-batched mapInPandas over a closure-shipped ring table — the
+    general-geometry sibling of adminize_points' box path; at larger admin
+    tables the STRtree bbox prefilter bounds the per-point ring tests."""
+    polys = sorted(polygons)
+    rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
+    values = [v for _, _, v in polys]
+    boxes = np.array([G.bbox(r) for r in rings])
+
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
+
+    def probe(batches):
+        for pdf in batches:
+            pts = np.stack([pdf[x_col].to_numpy(dtype=np.float64),
+                            pdf[y_col].to_numpy(dtype=np.float64)], axis=1)
+            hit = np.zeros((len(pts), len(rings)), dtype=bool)
+            for j, ring in enumerate(rings):
+                bb = boxes[j]
+                cand = ((pts[:, 0] >= bb[0]) & (pts[:, 0] <= bb[2]) &
+                        (pts[:, 1] >= bb[1]) & (pts[:, 1] <= bb[3]))
+                if cand.any():
+                    hit[cand, j] = G.points_in_ring(pts[cand], ring)
+            any_hit = hit.any(axis=1)
+            first = np.argmax(hit, axis=1)
+            pdf[out_col] = [values[f] if h else None
+                            for h, f in zip(any_hit, first)]
+            yield pdf
+
+    return df.mapInPandas(probe, schema=schema)

@@ -242,6 +242,54 @@ def j1b_pip_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adminize_points(g, ADMIN_BOXES, mode="collect").select("url", "admin")
 
 
+# general (non-box) admin polygons: a pentagon and a triangle around city 0,
+# integer vertices, no axis-parallel edges (so the strict crossing-number
+# test has no boundary coincidences on integer points)
+_CX0, _CY0 = CITY_X[0], CITY_Y[0]
+ADMIN_RINGS = [
+    (0, [(_CX0 + 2000000000, _CY0 + 300000001),
+         (_CX0 + 600000007, _CY0 + 1900000003),
+         (_CX0 - 1700000003, _CY0 + 1100000009),
+         (_CX0 - 1500000011, _CY0 - 1300000007),
+         (_CX0 + 900000013, _CY0 - 1700000021)], "pentagon0"),
+    (1, [(_CX0 + 2500000019, _CY0 - 500000003),
+         (_CX0 + 100000003, _CY0 + 2200000001),
+         (_CX0 - 2600000009, _CY0 - 900000017)], "triangle1"),
+]
+
+_EDGES_SQL = "(VALUES " + ", ".join(
+    f"({idx}, {ring[i][0]}, {ring[i][1]}, "
+    f"{ring[(i + 1) % len(ring)][0]}, {ring[(i + 1) % len(ring)][1]}, '{val}')"
+    for idx, ring, val in ADMIN_RINGS for i in range(len(ring))
+) + ") AS e(idx, ax, ay, bx, by, val)"
+
+
+@register("j1d_pip_polygon", f"""
+  WITH crossings AS (
+    SELECT g.url, e.idx, e.val,
+           CASE WHEN (e.ay > g.my_mm) != (e.by > g.my_mm)
+                 AND g.mx_mm < e.ax + CAST(g.my_mm - e.ay AS DOUBLE)
+                                      * (e.bx - e.ax) / (e.by - e.ay)
+                THEN 1 ELSE 0 END AS c
+    FROM {GEO_SQL} g CROSS JOIN {_EDGES_SQL}
+  ), inside AS (
+    SELECT url, idx, val FROM crossings
+    GROUP BY url, idx, val HAVING sum(c) % 2 = 1
+  )
+  SELECT g.url, min_by(i.val, i.idx) AS admin
+  FROM {GEO_SQL} g LEFT JOIN inside i USING (url)
+  GROUP BY g.url
+""")
+def j1d_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with GENERAL admin polygons (pentagon + triangle, concavity-ready
+    crossing-number test, no boxes): broadcast map-side probe, lowest-index
+    containing polygon wins. The oracle evaluates the IDENTICAL crossing
+    expression edge-by-edge in SQL — float64 parity by construction."""
+    g = _geo(spark, sf_dir).select("url", "mx_mm", "my_mm")
+    from .operators.adminizer import adminize_points_rings
+    return adminize_points_rings(g, ADMIN_RINGS).select("url", "admin")
+
+
 @register("j2_knn_nearest", f"""
   SELECT url, val AS admin FROM (
     SELECT g.url, b.val,
