@@ -313,7 +313,7 @@ def gzip_bytes(data: bytes, level: int = 9) -> bytes:
     return co.compress(data) + co.flush()
 
 
-def tile_to_gzip(tile: MvtTile, compression_level: int = 9) -> bytes:
+def tile_to_gzip(tile: MvtTile, compression_level: int = 6) -> bytes:
     """Gzip framing per reference src/tile.cpp:49-72 (GZIP format).
     compression_level 0 → raw protobuf (same switch as the reference).
     mtime=0 for deterministic bytes."""

@@ -252,7 +252,7 @@ def test_tile_md5_golden(spark):
         f"{r.x},{r.y},{r.m};" for r in sorted(rows, key=lambda r: (r.x, r.y))
     ).encode()).hexdigest()
     assert len(rows) == 3242
-    assert dig == "0c15f024bc5c5f8d8b7cf49881d1b6b9"
+    assert dig == "2708e43246f50ecb801057e5631eb4c8"
 
 
 def test_tile_bytes_golden_z16_and_multiprop(spark):
