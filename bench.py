@@ -3,7 +3,7 @@
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Headline queries over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] (default 32).
+local[$SPARK_GRAFT_CPUS] (default 16 — see CPUS note).
 
   tile_build_z14 — full pipeline: pages synth → geocode (Arrow UDF) →
                    integer tile keys → two-phase salted MVT encode → bytes.
@@ -26,7 +26,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default 16, not 32: this sandbox's kernel collapses JVM thread concurrency
+# beyond ~8-16 threads (local[32] measures 20-30% SLOWER than local[16] on
+# the identical build; see BENCH/BASELINE.md environment note). Override
+# with SPARK_GRAFT_CPUS.
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 
 
 def _session(cpus: int):
