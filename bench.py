@@ -11,9 +11,10 @@ local[$SPARK_GRAFT_CPUS] (default 16 — see CPUS note).
   pip_first      — broadcast point-in-polygon join, first-match mode.
   dedup/sim/text/events — training-data suite representatives.
 
---scaling runs tile_build_z14 at local[8] and local[32] on identical input
-and writes BENCH/BASELINE.md with throughputs + scaling efficiency
-(the sandbox evidence for the north rule's N→4N criterion).
+--scaling runs tile_build_z14 at pinned local[N] and local[4N] (default
+N=2; see BENCH/BASELINE.md) on identical input and writes BENCH/BASELINE.md
+with throughputs, scaling efficiency, and the JVM + memory-bandwidth
+ceiling controls (the sandbox evidence for the north rule's N→4N criterion).
 """
 
 from __future__ import annotations

@@ -114,3 +114,21 @@ def test_render_tile_png_deterministic():
     d1 = render_tile_png(_full_cover_tile(), {"layer": FILL})
     d2 = render_tile_png(_full_cover_tile(), {"layer": FILL})
     assert d1 == d2
+
+
+def test_raster_digest_golden(spark):
+    """Cross-round golden for the raster leg: digest of all z6 PNG md5s at
+    sf0.001 — any rasterizer/PNG-encoder regression moves it."""
+    import hashlib
+    from pyspark.sql import functions as F
+    from avecado_spark.api import build_tiles
+    from avecado_spark.operators.raster import render_tiles
+    from avecado_spark.sources.pages import pages_df
+    tiles = build_tiles(pages_df(spark, "/root/testdata/sf0.001"), z=6)
+    pngs = render_tiles(tiles, styles={"pages": (0x51, 0x21, 0x4D, 0xFF)})
+    rows = pngs.select("x", "y", F.md5("png").alias("m")).collect()
+    dig = hashlib.md5("".join(
+        f"{r.x},{r.y},{r.m};" for r in sorted(rows, key=lambda r: (r.x, r.y))
+    ).encode()).hexdigest()
+    assert len(rows) == 2048
+    assert dig == "652346f422835caa026566cbbde5bdb4"
