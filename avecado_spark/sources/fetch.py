@@ -111,3 +111,72 @@ def fetch_tiles(coords: DataFrame, url_pattern: str,
             yield pd.DataFrame(out)
 
     return coords.select("z", "x", "y").mapInPandas(run, schema=_FETCH_SCHEMA)
+
+
+def fetch_tiles_overzoom(coords: DataFrame, url_pattern: str,
+                         max_zoom: int, mask_zoom: int | None = None,
+                         allow_network: bool = False,
+                         opener=None) -> DataFrame:
+    """Overzoom fetch (reference fetch/overzoom.cpp:14-47): requests above
+    max_zoom are zoomed OUT to max_zoom (x, y right-shifted); a 404 at an
+    effective z above mask_zoom retries once at mask_zoom. Output carries
+    the requested (z, x, y) plus the effective (eff_z, eff_x, eff_y) that
+    served it — the distributed twin of the serving-side ancestor
+    fallback (pyramid.overzoom_join is the table-side analog)."""
+    eff = coords.select(
+        "z", "x", "y",
+        F.least(F.col("z"), F.lit(max_zoom)).alias("eff_z"),
+        F.expr(f"shiftright(x, int(greatest(z - {max_zoom}, 0)))").alias("eff_x"),
+        F.expr(f"shiftright(y, int(greatest(z - {max_zoom}, 0)))").alias("eff_y"))
+    fetched = (eff.select(F.col("eff_z").alias("z"),
+                          F.col("eff_x").alias("x"),
+                          F.col("eff_y").alias("y")).distinct())
+    first = fetch_tiles(fetched, url_pattern, allow_network=allow_network,
+                        opener=opener)
+    if mask_zoom is not None:
+        misses = (first.where((F.col("status") == 404)
+                              & (F.col("z") > mask_zoom))
+                  .select("z", "x", "y"))
+        masked = (misses.select(F.lit(mask_zoom).alias("nz"),
+                                F.expr(f"shiftright(x, int(z - {mask_zoom}))").alias("nx"),
+                                F.expr(f"shiftright(y, int(z - {mask_zoom}))").alias("ny"),
+                                F.col("z").alias("oz"),
+                                F.col("x").alias("ox"),
+                                F.col("y").alias("oy"))
+                  .withColumnRenamed("nz", "z")
+                  .withColumnRenamed("nx", "x")
+                  .withColumnRenamed("ny", "y"))
+        retried = (fetch_tiles(masked.select("z", "x", "y").distinct(),
+                               url_pattern, allow_network=allow_network,
+                               opener=opener)
+                   .withColumnRenamed("z", "mz")
+                   .withColumnRenamed("x", "mx")
+                   .withColumnRenamed("y", "my"))
+        remap = (masked.join(retried, (masked.z == retried.mz)
+                             & (masked.x == retried.mx)
+                             & (masked.y == retried.my))
+                 .select(F.col("oz").alias("z"), F.col("ox").alias("x"),
+                         F.col("oy").alias("y"), "status", "tile_pbf",
+                         "last_modified", "expires",
+                         F.col("mz").alias("served_z"),
+                         F.col("mx").alias("served_x"),
+                         F.col("my").alias("served_y")))
+        kept = (first.where(~((F.col("status") == 404)
+                              & (F.col("z") > mask_zoom)))
+                .select("z", "x", "y", "status", "tile_pbf",
+                        "last_modified", "expires",
+                        F.col("z").alias("served_z"),
+                        F.col("x").alias("served_x"),
+                        F.col("y").alias("served_y")))
+        first = kept.unionAll(remap)
+    else:
+        first = first.select("z", "x", "y", "status", "tile_pbf",
+                             "last_modified", "expires",
+                             F.col("z").alias("served_z"),
+                             F.col("x").alias("served_x"),
+                             F.col("y").alias("served_y"))
+    return (eff.join(first, (eff.eff_z == first.z) & (eff.eff_x == first.x)
+                     & (eff.eff_y == first.y))
+               .select(eff.z, eff.x, eff.y, "status", "tile_pbf",
+                       "last_modified", "expires",
+                       "served_z", "served_x", "served_y"))

@@ -156,3 +156,46 @@ def sample_frames(df: DataFrame, stride_s: float = 2.0, fps: float = 24.0,
 
     return df.mapInPandas(
         run, schema="media_id long, frame_idx int, features array<double>")
+
+
+# ---------------------------------------------------------------------------
+# audio: decode (stubbed) + frame-energy features
+# ---------------------------------------------------------------------------
+
+def decode_audio(payload: bytes, n_samples: int = 4096,
+                 deterministic_fake: bool = False) -> np.ndarray:
+    """STUB: real decode needs an audio codec not present in this
+    container. Fake path: deterministic int16 waveform from the payload
+    digest."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "audio codec not available in this container; "
+            "pass deterministic_fake=True for the test path")
+    import hashlib
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(-32768, 32768, size=n_samples, dtype=np.int16)
+
+
+def audio_features(df: DataFrame, n_frames: int = FEATURE_DIM) -> DataFrame:
+    """Frame-energy features for audio rows: decode (fake) → split the
+    waveform into n_frames windows → RMS energy per window. Same map-side
+    Arrow shape as media_features; payload bytes never shuffle."""
+    from typing import Iterator
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "features": []}
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                wave = decode_audio(bytes(r.payload),
+                                    deterministic_fake=True).astype(np.float64)
+                frames = wave.reshape(n_frames, -1)
+                rms = np.sqrt((frames ** 2).mean(axis=1))
+                out["media_id"].append(int(r.media_id))
+                out["features"].append(rms.tolist())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema="media_id long, features array<double>")

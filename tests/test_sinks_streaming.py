@@ -342,3 +342,51 @@ def test_video_frame_sampling(spark):
         == sorted((r.media_id, r.frame_idx, tuple(r.features)) for r in rows2)
     with _pytest.raises(NotImplementedError):
         decode_video_frame(b"x", 0, 4, 4)
+
+
+def test_fetch_tiles_overzoom(spark):
+    """Overzoom fetch semantics (reference fetch/overzoom.cpp): z>max_zoom
+    zooms out to max_zoom; a 404 above mask_zoom retries at mask_zoom."""
+    from avecado_spark.sources.fetch import fetch_tiles_overzoom
+
+    def opener(url, headers):
+        # tiles exist at z6 everywhere and at z8 only for x<300
+        parts = url.rsplit("/", 3)
+        z, x = int(parts[1]), int(parts[2])
+        if z == 6 or (z == 8 and x < 300):
+            return (200, f"tile-{url.rsplit('/',3)[1:]}".encode(), {})
+        return (404, b"", {})
+
+    coords = spark.createDataFrame(
+        [(10, 1000, 1000),   # above max_zoom → zoom out to z8 x=250: hit
+         (10, 1400, 1000),   # z8 x=350: 404 → mask z6 x=21: hit
+         (8, 100, 100)],     # direct hit
+        "z int, x long, y long")
+    out = {(r.z, r.x, r.y): r for r in fetch_tiles_overzoom(
+        coords, "https://t.example/{z}/{x}/{y}.pbf",
+        max_zoom=8, mask_zoom=6, opener=opener).collect()}
+    assert out[(10, 1000, 1000)].status == 200
+    assert out[(10, 1000, 1000)].served_z == 8
+    assert out[(10, 1400, 1000)].status == 200
+    assert out[(10, 1400, 1000)].served_z == 6
+    assert out[(10, 1400, 1000)].served_x == 1400 >> 4
+    assert out[(8, 100, 100)].served_z == 8
+
+
+def test_audio_features(spark):
+    """Audio leg of the multimodal plumbing: stubbed codec, deterministic
+    fake waveform, RMS frame energies with a fixed feature shape."""
+    import pytest as _pytest
+    from avecado_spark.sources.multimodal import (audio_features, decode_audio,
+                                                  synth_media_df)
+    media = synth_media_df(spark, 32)
+    n_audio = media.where(F.col("kind") == "audio").count()
+    rows = audio_features(media).collect()
+    assert len(rows) == n_audio
+    assert all(len(r.features) == 16 for r in rows)
+    assert all(f >= 0 for r in rows for f in r.features)
+    rows2 = audio_features(media).collect()
+    assert sorted((r.media_id, tuple(r.features)) for r in rows) == \
+        sorted((r.media_id, tuple(r.features)) for r in rows2)
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"x")
