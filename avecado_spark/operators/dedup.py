@@ -90,36 +90,56 @@ SHINGLES_SQL = """(
 # ---------------------------------------------------------------------------
 # minhash signatures + LSH bands — signature AND band keys map-side; the
 # only shuffle in the whole minhash/LSH pipeline is the candidate self-join.
+#
+# Hash family: ONE md5 per shingle, split into two 60-bit halves (x, y);
+# h_i(s) = (x + i·y) mod M61 — the classic one-hash linear-tabulation
+# family (pairwise-independent per i), 8× less hashing than md5(s+"#i")
+# per hash. x + 7y < 2^63, so the arithmetic is exact BIGINT in both
+# engines; minimum taken over int64 instead of hex strings.
 # ---------------------------------------------------------------------------
+
+M61 = (1 << 61) - 1  # Mersenne prime
+
+
+def _minhash_sigs_expr(sh) -> "F.Column":
+    """All N_HASHES minima folded in ONE aggregate pass so the md5 runs
+    once per shingle (separate array_min(transform(...)) columns would each
+    re-evaluate the hash — Catalyst does not CSE across lambda bodies)."""
+    xy = F.transform(sh, lambda s: F.struct(
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("x"),
+        F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long").alias("y")))
+    init = F.array_repeat(F.lit(M61).cast("long"), N_HASHES)
+    return F.aggregate(
+        xy, init,
+        lambda acc, p: F.zip_with(
+            acc, F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda m, i: F.least(m, F.pmod(p.x + i * p.y, F.lit(M61)))))
+
 
 def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = _shingle_arr(_tok_arr())
-    # NB: the per-hash lambda must have arity 1 — a two-parameter lambda
-    # (e.g. `lambda s, h=h`) is treated by pyspark's transform() as the
-    # (element, index) form and the index Column silently shadows the bound
-    # default.
-    def _minhash(h: int):
-        return F.array_min(F.transform(
-            sh, lambda s: F.md5(F.concat(s, F.lit(f"#{h}")))))
-
     sig = (docs.where(F.size(_tok_arr()) >= SHINGLE)
-               .select("doc_id", *[_minhash(h).alias(f"s{h}")
-                                   for h in range(N_HASHES)]))
+               .select("doc_id", _minhash_sigs_expr(sh).alias("sigs")))
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),  # INT, matching the oracle literal
-                 F.md5(F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")))
-                  .alias("band_key"))
+                 F.md5(F.concat_ws(
+                     "#", F.element_at("sigs", 2 * b + 1),
+                     F.element_at("sigs", 2 * b + 2))).alias("band_key"))
         for b in range(N_BANDS)])
     return (sig.select("doc_id", F.explode(band_arr).alias("bb"))
                .select("doc_id", "bb.band", "bb.band_key"))
 
 
 def minhash_bands_sql() -> str:
+    x = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+    y = "('0x' || substr(md5(shingle), 16, 15))::BIGINT"
     mins = ", ".join(
-        f"min(md5(shingle || '#{h}')) AS s{h}" for h in range(N_HASHES))
+        f"min(({x} + {i} * {y}) % {M61}) AS s{i}" for i in range(N_HASHES))
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(s{2*b} || s{2*b+1}) AS band_key FROM sig"
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(s{2*b} AS VARCHAR) || '#' || CAST(s{2*b+1} AS VARCHAR)) AS band_key "
+        f"FROM sig"
         for b in range(N_BANDS))
     return f"""(
       WITH sig AS (
@@ -130,7 +150,11 @@ def minhash_bands_sql() -> str:
 
 
 def lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = minhash_bands_df(spark, sf_dir)
+    # persist: the self-join references the bands subtree twice and Catalyst
+    # would recompute the full signature pipeline per side (at corpus scale
+    # the signature table is materialized/checkpointed for exactly this
+    # reason)
+    bands = minhash_bands_df(spark, sf_dir).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -217,8 +241,9 @@ def simhash_pairs_df(spark: SparkSession, sf_dir: str,
         F.struct(F.lit(b).cast("long").alias("band"),
                  F.expr(f"shiftright(simhash, {b * 15}) & 32767").alias("bkey"))
         for b in range(SIM_BANDS)])
+    # persist: the self-join would recompute the map-side simhash twice
     bands = (sh.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
-               .select("doc_id", "simhash", "bb.band", "bb.bkey"))
+               .select("doc_id", "simhash", "bb.band", "bb.bkey").persist())
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bkey") == F.col("b.bkey"))
