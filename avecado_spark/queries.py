@@ -318,25 +318,55 @@ def j2_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _city_line_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-page road segments near city 0, grid-snapped so
     endpoints coincide and the unionizer has real work to do. Coordinates in
-    mercator meters (WKT), tile keys at z12."""
+    mercator meters (WKT), tile keys at z12. Duplicate segments (same
+    snapped endpoints) dedupe to the MIN (tile-key, id) row — a groupBy
+    min, not dropDuplicates, so the surviving tile assignment is
+    deterministic and oracle-derivable."""
     g = _geo(spark, sf_dir)
     c = g.where((F.col("mx_mm").between(CITY_X[0] - 1500000, CITY_X[0] + 1500000))
                 & (F.col("my_mm").between(CITY_Y[0] - 1500000, CITY_Y[0] + 1500000)))
-    c = (c.withColumn("sx", ((F.col("mx_mm") / 100000).cast("long") * 100).cast("double"))
-          .withColumn("sy", ((F.col("my_mm") / 100000).cast("long") * 100).cast("double")))
+    c = (c.withColumn("sx", (F.col("mx_mm") / 100000).cast("long") * 100)
+          .withColumn("sy", (F.col("my_mm") / 100000).cast("long") * 100)
+          .withColumn("tx", tile_x_expr("mx_mm", 12))
+          .withColumn("ty", tile_y_expr("my_mm", 12)))
+    d = (c.groupBy("sx", "sy")
+          .agg(F.min(F.col("tx") * 4096 + F.col("ty")).alias("k"),
+               F.min(F.col("url").substr(32, 20).cast("long")).alias("id")))
     wkt = F.concat(F.lit("LINESTRING("),
-                   F.col("sx").cast("long"), F.lit(" "), F.col("sy").cast("long"),
-                   F.lit(", "),
-                   (F.col("sx") + 100).cast("long"), F.lit(" "), F.col("sy").cast("long"),
-                   F.lit(")"))
-    return (c.select(F.lit(12).alias("z"),
-                     tile_x_expr("mx_mm", 12).alias("x"),
-                     tile_y_expr("my_mm", 12).alias("y"),
-                     F.lit("roads").alias("layer"),
-                     F.col("url").substr(32, 20).cast("long").alias("id"),
-                     F.create_map(F.lit("a"), F.lit("yes")).alias("props"),
-                     wkt.alias("wkt"))
-             .dropDuplicates(["wkt"]))
+                   F.col("sx"), F.lit(" "), F.col("sy"), F.lit(", "),
+                   F.col("sx") + 100, F.lit(" "), F.col("sy"), F.lit(")"))
+    return d.select(F.lit(12).alias("z"),
+                    F.expr("k div 4096").alias("x"),
+                    F.pmod(F.col("k"), F.lit(4096)).alias("y"),
+                    F.lit("roads").alias("layer"),
+                    F.col("id"),
+                    F.create_map(F.lit("a"), F.lit("yes")).alias("props"),
+                    wkt.alias("wkt"))
+
+
+@register("mvt_feature_salted_z12", f"""
+  WITH c AS (
+    SELECT CAST(trunc(mx_mm / 100000.0) AS BIGINT) * 100 AS sx,
+           CAST(trunc(my_mm / 100000.0) AS BIGINT) * 100 AS sy,
+           {tile_x_sql('mx_mm', 12)} AS tx, {tile_y_sql('my_mm', 12)} AS ty
+    FROM {GEO_SQL} g
+    WHERE mx_mm BETWEEN {CITY_X[0] - 1500000} AND {CITY_X[0] + 1500000}
+      AND my_mm BETWEEN {CITY_Y[0] - 1500000} AND {CITY_Y[0] + 1500000}
+  ), d AS (
+    SELECT sx, sy, min(tx * 4096 + ty) AS k FROM c GROUP BY sx, sy
+  )
+  SELECT k // 4096 AS x, k % 4096 AS y, count(*) AS n_features
+  FROM d GROUP BY 1, 2
+""")
+def mvt_feature_salted_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase FEATURE (linestring) tile build, oracle-checked:
+    per-tile feature counts equal the deduped snapped-segment counts by
+    construction (buffer_size=8 px keeps every <=200 m snap displacement
+    inside the buffered clip box, so no feature is culled)."""
+    from .operators.encode import build_feature_tiles_salted
+    feats = _city_line_features(spark, sf_dir)
+    tiles = build_feature_tiles_salted(feats, buffer_size=8)
+    return tiles.select("x", "y", "n_features")
 
 
 @register("izer_unionize_tiles", None)
