@@ -111,10 +111,13 @@ class STRtree:
         return pi, bi
 
     def nearest(self, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
-        """kNN (k=1) by box-center squared euclidean distance, ties broken by
-        lowest index (STRtree.nearest role in the north rule's kNN join)."""
+        """kNN (k=1) by TRUE box distance (0 inside; clamped axis gaps
+        outside — the boost STRtree.nearest geometry-distance contract),
+        ties broken by lowest index."""
         b = self.leaf_boxes
-        cx = (b[:, 0] + b[:, 2]) / 2.0
-        cy = (b[:, 1] + b[:, 3]) / 2.0
-        d2 = (xs[:, None] - cx[None, :]) ** 2 + (ys[:, None] - cy[None, :]) ** 2
+        dx = np.maximum(0.0, np.maximum(b[None, :, 0] - xs[:, None],
+                                        xs[:, None] - b[None, :, 2]))
+        dy = np.maximum(0.0, np.maximum(b[None, :, 1] - ys[:, None],
+                                        ys[:, None] - b[None, :, 3]))
+        d2 = dx * dx + dy * dy
         return np.argmin(d2, axis=1)

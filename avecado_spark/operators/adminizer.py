@@ -276,10 +276,22 @@ def adminize_points(df: DataFrame, admin_rows: list[tuple[int, float, float, flo
     # note: StructType.add mutates self — build a fresh one
     schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
 
+    # dense rows×boxes masks are ideal for small admin tables; above this
+    # many cells, chunk the point axis so the mask stays ~32 MB
+    _CHUNK_CELLS = 4_000_000
+
     def probe(batches):
         for pdf in batches:
             xs = pdf[x_col].to_numpy(dtype=np.float64)
             ys = pdf[y_col].to_numpy(dtype=np.float64)
+            if len(xs) * max(len(boxes), 1) > _CHUNK_CELLS:
+                step = max(1, _CHUNK_CELLS // max(len(boxes), 1))
+                outs = []
+                for s in range(0, len(xs), step):
+                    sub = pdf.iloc[s:s + step].copy()
+                    outs.extend(probe([sub]))
+                yield from outs
+                continue
             if mode == "knn":
                 # true box distance (STRtree.nearest contract): 0 inside,
                 # else the clamped axis gaps — not the centroid shortcut

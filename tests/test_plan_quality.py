@@ -135,3 +135,28 @@ def test_tile_table_read_is_partition_pruned(spark, tmp_path):
     # and the exact predicates still reach parquet
     assert "PushedFilters" in plan
     assert df.count() >= 1
+
+
+def test_adminize_points_chunked_probe_matches_dense(spark):
+    """Large admin tables switch the broadcast PIP probe to point-chunked
+    masks (bounded memory); results must equal the dense-path/brute answer."""
+    import random
+
+    import numpy as np
+
+    from avecado_spark.operators import adminizer as A
+    rows = [(i, i * 10.0, 0.0, i * 10.0 + 8, 8.0, f"v{i}") for i in range(900)]
+    random.seed(7)
+    pts = [(float(random.randint(-50, 9200)), float(random.randint(-5, 15)))
+           for _ in range(20000)]
+    df = spark.createDataFrame(pts, "mx_mm double, my_mm double")
+    got = sorted((r.mx_mm, r.my_mm, r.admin)
+                 for r in A.adminize_points(df, rows, mode="first").collect())
+    boxes = np.array([r[1:5] for r in sorted(rows)])
+    vals = [r[5] for r in sorted(rows)]
+    exp = []
+    for x, y in pts:
+        hit = np.nonzero((x >= boxes[:, 0]) & (x <= boxes[:, 2])
+                         & (y >= boxes[:, 1]) & (y <= boxes[:, 3]))[0]
+        exp.append((x, y, vals[hit[0]] if len(hit) else None))
+    assert got == sorted(exp)
