@@ -160,3 +160,27 @@ def test_adminize_points_chunked_probe_matches_dense(spark):
                          & (y >= boxes[:, 1]) & (y <= boxes[:, 3]))[0]
         exp.append((x, y, vals[hit[0]] if len(hit) else None))
     assert got == sorted(exp)
+
+
+def test_bucketed_tile_join_avoids_shuffle(spark, tmp_path):
+    """Co-located joins via bucketing: two tables bucketed by the tile key
+    join WITHOUT an Exchange on either side — at 100 TB this is how
+    repeated tile-keyed joins (tiles ⋈ stats, tiles ⋈ requests) avoid
+    re-shuffling the big fact table every query."""
+    from avecado_spark import queries as q
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    counts = q.queries()["tile_assign_z14"](spark, SF)
+    (counts.write.mode("overwrite").bucketBy(8, "x", "y").sortBy("x", "y")
+           .saveAsTable("t_counts"))
+    (counts.selectExpr("x", "y", "n_docs * 2 AS other")
+           .write.mode("overwrite").bucketBy(8, "x", "y").sortBy("x", "y")
+           .saveAsTable("t_other"))
+    j = spark.table("t_counts").join(spark.table("t_other"), ["x", "y"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert j.count() > 0
+    spark.sql("DROP TABLE IF EXISTS t_counts")
+    spark.sql("DROP TABLE IF EXISTS t_other")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
