@@ -126,33 +126,52 @@ def ancestor_tile(z, x, y, max_z):
 # Spark Column expressions (declarative path — Catalyst-optimizable)
 # ---------------------------------------------------------------------------
 
+# a (= shifted mercator mm) < WORLD_MM < 2^36, so a * 2^z stays below 2^63
+# only for z <= _SPLIT_Z. Deeper zooms use the exact two-step decomposition
+#   floor(a*2^z / W) = q1 * 2^(z-k) + floor(r1 * 2^(z-k) / W)
+# with q1 = (a*2^k) div W, r1 = (a*2^k) mod W  (identity: a*2^z =
+# (q1*W + r1) * 2^(z-k); first summand integral). Every intermediate fits:
+# a*2^k < 2^(36+k), r1 < W < 2^36, r1*2^(z-k) < 2^(36+z-k) — pick k = 14
+# (z <= 30 → both < 2^52). Same operator set (div/%) in both engines.
+_SPLIT_Z = 27
+_SPLIT_K = 14
+
+
+def _tile_div(a_expr: str, z: int, div: str, mod: str) -> str:
+    if z <= _SPLIT_Z:
+        return f"((({a_expr}) * {1 << z}) {div} {WORLD_MM})"
+    k, rest = _SPLIT_K, z - _SPLIT_K
+    ak = f"(({a_expr}) * {1 << k})"
+    return (f"((({ak}) {div} {WORLD_MM}) * {1 << rest}"
+            f" + ((({ak}) {mod} {WORLD_MM}) * {1 << rest}) {div} {WORLD_MM})")
+
+
 def tile_x_expr(mx_mm_expr: str, z: int) -> Column:
     """Tile x from integer mercator millimeters. Pure bigint math so the
-    DuckDB oracle is bit-identical: ((mx+W/2) * 2^z) div W.
+    DuckDB oracle is bit-identical: ((mx+W/2) * 2^z) div W, with the exact
+    two-step split above z=27 (the single product would overflow int64).
 
     Takes a SQL expression string (not a Column) because Spark's integer
     division is the `div` operator — double `/` would lose exactness for
     products above 2^53. Operands are guaranteed positive (synthesis clamps
     mx to (-W/2, W/2)), so truncating div == floor in both Spark and DuckDB.
     """
-    n = 1 << z
-    return F.expr(f"((({mx_mm_expr}) + {HALF_WORLD_MM}L) * {n}L) div {WORLD_MM}L")
+    return F.expr(_tile_div(f"(({mx_mm_expr}) + {HALF_WORLD_MM}L)", z,
+                            "div", "%"))
 
 
 def tile_y_expr(my_mm_expr: str, z: int) -> Column:
-    n = 1 << z
-    return F.expr(f"(({HALF_WORLD_MM}L - ({my_mm_expr})) * {n}L) div {WORLD_MM}L")
+    return F.expr(_tile_div(f"({HALF_WORLD_MM}L - ({my_mm_expr}))", z,
+                            "div", "%"))
 
 
 def tile_x_sql(mx_mm_expr: str, z: int) -> str:
     """DuckDB-oracle twin of tile_x_expr (// is bigint division there)."""
-    n = 1 << z
-    return f"(((({mx_mm_expr}) + {HALF_WORLD_MM}) * {n}) // {WORLD_MM})"
+    return _tile_div(f"(({mx_mm_expr}) + {HALF_WORLD_MM})", z, "//", "%")
 
 
 def tile_y_sql(my_mm_expr: str, z: int) -> str:
-    n = 1 << z
-    return f"((({HALF_WORLD_MM} - ({my_mm_expr})) * {n}) // {WORLD_MM})"
+    return _tile_div(f"({HALF_WORLD_MM} - ({my_mm_expr}))", z, "//", "%")
 
 
 def box_for_tile_cols(z: Column, x: Column, y: Column):

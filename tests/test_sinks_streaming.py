@@ -390,3 +390,35 @@ def test_audio_features(spark):
         sorted((r.media_id, tuple(r.features)) for r in rows2)
     with _pytest.raises(NotImplementedError):
         decode_audio(b"x")
+
+
+def test_deep_zoom_packed_key_layout(spark):
+    """z=29 (and z=30 with 8 salts) packed keys reconstruct exact tile
+    coordinates: the build's (x, y, n_features) equals the declarative
+    integer tile assignment at the same zoom."""
+    from pyspark.sql import functions as F
+    from avecado_spark.functions.mercator import tile_x_expr, tile_y_expr
+    from avecado_spark.operators.encode import build_point_tiles
+    from avecado_spark.operators.keys import geocode, with_tile_keys, with_salt
+    from avecado_spark.sources.pages import pages_df
+    import pytest as _pytest
+
+    pages = pages_df(spark, "/root/testdata/sf0.001").limit(2000)
+    g = geocode(pages)
+    for z, n_salts in ((29, 16), (30, 8)):
+        p = with_tile_keys(g, z).withColumn(
+            "feature_id", F.col("url").substr(32, 20).cast("long"))
+        p = with_salt(p, n_salts)
+        built = {(r.x, r.y): r.n_features
+                 for r in build_point_tiles(p, z, n_salts=n_salts).collect()}
+        expect = {(r.x, r.y): r.n for r in
+                  g.select(tile_x_expr("mx_mm", z).alias("x"),
+                           tile_y_expr("my_mm", z).alias("y"))
+                   .groupBy("x", "y").agg(F.count("*").alias("n")).collect()}
+        assert built == expect, f"z={z} layout broken"
+    # z=30 with 16 salts does not fit 63 bits → explicit error
+    p = with_tile_keys(g, 30).withColumn(
+        "feature_id", F.col("url").substr(32, 20).cast("long"))
+    p = with_salt(p, 16)
+    with _pytest.raises(ValueError):
+        build_point_tiles(p, 30, n_salts=16)
