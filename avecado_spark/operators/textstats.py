@@ -148,3 +148,32 @@ def fingerprint_sql() -> str:
       SELECT d.doc_id, md5(lower(d.text)) AS fp_md5, w.win_min
       FROM documents d JOIN winnow w USING (doc_id)
     )"""
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum
+# (the GPT-2-style pre-split shape restricted to the ASCII subset where
+# Java regex and RE2 agree byte-for-byte)
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (training-data pipeline primitive):
+    whitespace tokens and BPE-ish pre-tokens — both per-document local
+    (size over split / regexp_extract_all), zero shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = _arr()
+    return docs.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+         .cast("long").alias("n_bpe_tokens"))
+
+
+def token_count_sql() -> str:
+    return f"""(
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens
+      FROM documents
+    )"""

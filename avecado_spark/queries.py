@@ -658,6 +658,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_df(spark, sf_dir)
 
 
+@register("text_token_count", T.token_count_sql())
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokens (GPT-2-style
+    pre-split on the ASCII subset where Java regex == RE2), both map-side."""
+    return T.token_count_df(spark, sf_dir)
+
+
 @register("text_fingerprint", T.fingerprint_sql())
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint_df(spark, sf_dir)
