@@ -375,7 +375,13 @@ def izer_unionize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed izer pipeline (groupBy(z,x,y,layer).applyInPandas — the
     izer_base.hpp:14-21 correspondence). Grid-snapped segments chain into
     longer linestrings; output is per-tile feature counts after the
-    fixpoint (unionizer.cpp:537-563)."""
+    fixpoint (unionizer.cpp:537-563).
+
+    No oracle by design: the reference's score-map dedup quirk caps unions
+    at one per distinct score per round (≤3 with the greedy scorer) under
+    max_iterations — a stateful fixpoint not expressible in SQL. Semantics
+    are pinned instead by the 12 ported unionizer fixtures
+    (tests/test_unionizer.py)."""
     from .plans.pipeline import apply_to_tiles
     feats = _city_line_features(spark, sf_dir)
     conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
