@@ -213,6 +213,12 @@ def test_build_feature_tiles_salted_parity_and_spread(spark):
         x0 = minx2 + i / 10.0 * w
         rows.append((10, 301, 400, "roads", 1000 + i, {"hw": "primary"},
                      f"LINESTRING({x0} {miny2 + w/4}, {x0 + w/30} {miny2 + w/3})"))
+    # a polygon layer in the hot tile exercises the ring clip + global tag
+    # remap on the salted path too
+    px0, py0 = minx + w / 4, miny + w / 4
+    rows.append((10, 300, 400, "water", 5000, {"cls": "lake"},
+                 f"POLYGON(({px0} {py0},{px0 + w/8} {py0},"
+                 f"{px0 + w/8} {py0 + w/8},{px0} {py0 + w/8},{px0} {py0}))"))
     df = spark.createDataFrame(
         rows, "z int, x long, y long, layer string, id long, "
               "props map<string,string>, wkt string")
