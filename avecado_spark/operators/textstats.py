@@ -84,11 +84,17 @@ def quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_tok_len = F.aggregate(arr, F.lit(0).cast("long"),
                               lambda acc, t: acc + F.length(t))
     n_stop = _count_in(arr, STOPWORDS)
+    n_chars = F.length("text").cast("long")
+    # punctuation = chars outside [A-Za-z0-9 ] (ASCII subset where Java
+    # regex and RE2 agree; DuckDB twin needs the 'g' flag)
+    n_punct = (n_chars - F.length(
+        F.regexp_replace("text", "[^A-Za-z0-9 ]", "")).cast("long"))
     return docs.select(
-        "doc_id", F.length("text").cast("long").alias("n_chars_actual"),
+        "doc_id", n_chars.alias("n_chars_actual"),
         n_tokens.alias("n_tokens"), n_distinct.alias("n_distinct"),
         (sum_tok_len / n_tokens).alias("avg_tok_len"),
         (n_stop / n_tokens).alias("stop_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
         (n_distinct / n_tokens).alias("ttr"))
 
 
@@ -108,6 +114,9 @@ def quality_sql() -> str:
              s.n_tokens, s.n_distinct,
              s.sum_tok_len / s.n_tokens AS avg_tok_len,
              s.n_stop / s.n_tokens AS stop_ratio,
+             (CAST(length(d.text) AS BIGINT)
+              - CAST(length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT))
+               / CAST(length(d.text) AS BIGINT) AS punct_ratio,
              s.n_distinct / s.n_tokens AS ttr
       FROM documents d JOIN stats s USING (doc_id)
     )"""
