@@ -72,6 +72,17 @@ def _run_tile_build(spark, sf_dir):
     return int(row.tiles), int(row.docs)
 
 
+def _warm_encode(spark, sf_dir):
+    """One tiny end-to-end build (1k pages) before timing: spins up python
+    UDF workers and JITs the encode path. A bulk job at scale amortizes
+    this one-time cost to zero, so steady-state throughput is the honest
+    metric; the warmup is identical at every parallelism level."""
+    from pyspark.sql import functions as F
+    from avecado_spark.api import build_tiles
+    pages = spark.read.parquet(_pages_table(spark, sf_dir)).limit(1000)
+    build_tiles(pages, z=14).agg(F.count("*")).collect()
+
+
 def _run_tile_assign(spark, sf_dir):
     from avecado_spark import queries as q
     return q.queries()["tile_assign_z14"](spark, sf_dir).count()
@@ -151,6 +162,7 @@ def main():
 
     spark = _session(CPUS)
     _pages_table(spark, SF_DIR)  # untimed dataset prep (idempotent)
+    _warm_encode(spark, SF_DIR)  # worker startup + JIT out of the timings
     t0 = time.time()
     timings = {}
 
@@ -223,6 +235,7 @@ def _measure(cpus: int):
     spark = _session(cpus)
     _pages_table(spark, SF_DIR)      # untimed dataset prep (idempotent)
     _run_tile_assign(spark, SF_DIR)  # warm-up JVM/Arrow/python workers
+    _warm_encode(spark, SF_DIR)      # + the encode path itself
     t = time.time()
     n_tiles, n_docs = _run_tile_build(spark, SF_DIR)
     dt = time.time() - t
