@@ -338,8 +338,8 @@ def split_polygon_by_box(rings, box) -> tuple[list, list]:
     The outside part is decomposed into up to four rectangular slabs
     (left, right, bottom-middle, top-middle), each clipped with
     Sutherland–Hodgman — exact for the axis-aligned admin fixtures the
-    reference tests use; general concave clips raise NotImplementedError
-    upstream in the adminizer operator.
+    reference tests use; general (convex or concave) clip polygons route to
+    clip_polygon_general (Greiner–Hormann) in the adminizer operator.
     Holes in the subject are clipped against the same regions.
     """
     minx, miny, maxx, maxy = box
@@ -540,6 +540,11 @@ def _gh_rings(subj_ring: np.ndarray, clip_ring: np.ndarray,
             guard -= 1
             used.add(iid)
             seq, pos = (sseq, spos) if on_subj else (cseq, cpos)
+            if iid not in pos:
+                # two crossing nodes snapped to one vertex (_augment keeps a
+                # single id per vertex) — degenerate contact; fall back to
+                # the caller's containment decision, same as the guard path
+                return None
             idx = pos[iid]
             n = len(seq)
             # walk forward to the next intersection on this ring
@@ -618,7 +623,11 @@ def clip_polygon_general(subject_rings, clip_rings) -> tuple[list, list]:
                         continue
                 pieces2 = _op(outer, h, want_inside=False)
                 for p2 in pieces2:
-                    nxt.append([p2] + poly[1:])
+                    # only holes that actually lie inside this piece travel
+                    # with it (a crossing hole splits the outer into pieces
+                    # that don't all contain every pre-existing hole)
+                    nxt.append([p2] + [h2 for h2 in poly[1:]
+                                       if _ring_in_ring(h2, p2)])
             polys = nxt
         return polys
 

@@ -150,11 +150,18 @@ def minhash_bands_sql() -> str:
 
 
 def lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: the self-join references the bands subtree twice and Catalyst
-    # would recompute the full signature pipeline per side (at corpus scale
-    # the signature table is materialized/checkpointed for exactly this
-    # reason)
-    bands = minhash_bands_df(spark, sf_dir).persist()
+    # localCheckpoint: the self-join references the bands subtree twice and
+    # Catalyst would recompute the full signature pipeline per side.
+    # Unlike persist() (pinned in the CacheManager until an explicit
+    # unpersist), checkpoint blocks are released by the ContextCleaner when
+    # the plan is GC'd, so repeated invocations don't accumulate storage.
+    # At corpus scale, write the signatures to a table instead —
+    # jobs/dedup_signatures.py + lsh_pairs_from_table().
+    bands = minhash_bands_df(spark, sf_dir).localCheckpoint(eager=False)
+    return _pairs_from_bands(bands)
+
+
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -163,6 +170,15 @@ def lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
+
+
+def lsh_pairs_from_table(spark: SparkSession, bands_path: str) -> DataFrame:
+    """Scale variant: candidate pairs from a MATERIALIZED band table
+    (written by jobs/dedup_signatures.py). At 10^12 docs the signature
+    pipeline runs once, lands in parquet partitioned by band, and every
+    downstream consumer (pair extraction, incremental re-dedup, audits)
+    joins from storage instead of recomputing text-side hashing."""
+    return _pairs_from_bands(spark.read.parquet(bands_path))
 
 
 def lsh_pairs_sql() -> str:
@@ -241,9 +257,17 @@ def simhash_pairs_df(spark: SparkSession, sf_dir: str,
         F.struct(F.lit(b).cast("long").alias("band"),
                  F.expr(f"shiftright(simhash, {b * 15}) & 32767").alias("bkey"))
         for b in range(SIM_BANDS)])
-    # persist: the self-join would recompute the map-side simhash twice
+    # localCheckpoint (not persist): the self-join would recompute the
+    # map-side simhash twice; checkpoint blocks are GC-cleaned, cached
+    # blocks are not. Scale path: simhash_pairs_from_table below.
     bands = (sh.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
-               .select("doc_id", "simhash", "bb.band", "bb.bkey").persist())
+               .select("doc_id", "simhash", "bb.band", "bb.bkey")
+               .localCheckpoint(eager=False))
+    return _simhash_pairs_from_bands(bands, max_hamming)
+
+
+def _simhash_pairs_from_bands(bands: DataFrame,
+                              max_hamming: int = MAX_HAMMING) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bkey") == F.col("b.bkey"))
@@ -254,6 +278,14 @@ def simhash_pairs_df(spark: SparkSession, sf_dir: str,
                       .cast("long").alias("hamming"))
              .where(F.col("hamming") <= max_hamming)
              .distinct())
+
+
+def simhash_pairs_from_table(spark: SparkSession, bands_path: str,
+                             max_hamming: int = MAX_HAMMING) -> DataFrame:
+    """Scale variant of simhash_pairs_df over a materialized band table
+    (jobs/dedup_signatures.py)."""
+    return _simhash_pairs_from_bands(spark.read.parquet(bands_path),
+                                     max_hamming)
 
 
 def simhash_pairs_sql(max_hamming: int = MAX_HAMMING) -> str:

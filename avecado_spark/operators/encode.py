@@ -305,7 +305,12 @@ def build_point_tiles(df: DataFrame, z: int,
                                if r[0] is not None)
                      for c in props_cols}
     sizes = [len(vocab[c]) for c in props_cols]
-    n_combos = int(np.prod(sizes)) if sizes else 1
+    # each column gets one extra SENTINEL digit (== size) for null /
+    # out-of-vocab values: the sentinel emits NO tag bytes for that column
+    # (the reference's untagged feature), instead of silently borrowing the
+    # first vocab value's tag
+    radixes = [s + 1 for s in sizes]
+    n_combos = int(np.prod(radixes)) if radixes else 1
     if n_combos > (1 << 20):
         raise ValueError("categorical combo space too large to tabulate; "
                          "split props into separate layers")
@@ -315,25 +320,30 @@ def build_point_tiles(df: DataFrame, z: int,
     # combo id: mixed-radix over props_cols (JVM map-literal lookups)
     combo_expr = F.lit(0).cast("long")
     stride = 1
-    for c, size in zip(reversed(props_cols), reversed(sizes)):
+    for c, size, radix in zip(reversed(props_cols), reversed(sizes),
+                              reversed(radixes)):
         m = F.create_map(*[x for i, v in enumerate(vocab[c])
                            for x in (F.lit(v), F.lit(i))])
-        idx = F.coalesce(F.element_at(m, F.col(c)), F.lit(0)).cast("long")
+        idx = F.coalesce(F.element_at(m, F.col(c)),
+                         F.lit(size)).cast("long")  # sentinel = size
         combo_expr = combo_expr + idx * F.lit(stride)
-        stride *= size
+        stride *= radix
 
     # tag bytes per combo: field 2 packed [k0, v0, k1, v1, ...] with value
-    # indices into the concatenated per-column value table
+    # indices into the concatenated per-column value table; sentinel digits
+    # contribute no (k, v) pair
     voffs = np.cumsum([0] + sizes[:-1]).tolist() if sizes else []
     tag_table = []
     for combo in range(n_combos):
         rem, payload = combo, b""
         digits = []
-        for size in reversed(sizes):
-            digits.append(rem % size)
-            rem //= size
+        for radix in reversed(radixes):
+            digits.append(rem % radix)
+            rem //= radix
         digits.reverse()
         for k, d in enumerate(digits):
+            if d == sizes[k]:  # sentinel → untagged for this column
+                continue
             payload += _varint(k) + _varint(voffs[k] + d)
         tag_table.append(b"\x12" + _varint(len(payload)) + payload
                          if payload else b"")
@@ -516,15 +526,14 @@ _FPARTIAL_SCHEMA = ("z int, x long, y long, layer string, salt int, "
 
 
 def _global_prop_tables(df: DataFrame) -> tuple[list[str], list]:
-    """Fixed global key/value tables from the props map column: one tiny
-    distinct() each (map-side partial agg — same plan-time role as the
-    point path's vocabulary)."""
+    """Fixed global key/value tables from the props map column, in ONE scan:
+    explode → a single agg with two collect_sets (map-side partial agg,
+    tiny result — same plan-time role as the point path's vocabulary).
+    At scale, pass key_table/val_table explicitly and skip the scan."""
     kv = df.select(F.explode_outer("props").alias("k", "v"))
-    keys = sorted(r[0] for r in kv.select("k").distinct().collect()
-                  if r[0] is not None)
-    vals = sorted(r[0] for r in kv.select("v").distinct().collect()
-                  if r[0] is not None)
-    return keys, vals
+    row = kv.agg(F.collect_set("k").alias("ks"),
+                 F.collect_set("v").alias("vs")).first()
+    return sorted(row["ks"]), sorted(row["vs"])
 
 
 def build_feature_tiles_salted(df: DataFrame,

@@ -273,8 +273,10 @@ def embedding_neardup_lsh_df(spark: SparkSession, sf_dir: str,
     of quadratic."""
     emb = _neardup_corpus_df(spark, sf_dir)
     buckets = _lsh_buckets_for(spark, emb)
-    # persist: the self-join references the bucketed corpus twice
-    embb = emb.join(buckets, "vec_id").persist()
+    # localCheckpoint (not persist): the self-join references the bucketed
+    # corpus twice; checkpoint blocks are ContextCleaner-released when the
+    # plan is GC'd, persist() would pin them in the CacheManager forever
+    embb = emb.join(buckets, "vec_id").localCheckpoint(eager=False)
     a = embb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
                     F.col("band").alias("ba"), F.col("bucket").alias("ka"))
     b = embb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),

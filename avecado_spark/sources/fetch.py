@@ -52,6 +52,7 @@ def make_http_date(epoch: int) -> str:
 
 
 def _default_opener(url: str, headers: dict) -> tuple[int, bytes, dict]:
+    import urllib.error
     import urllib.request
     req = urllib.request.Request(url, headers=headers)
     try:
@@ -59,6 +60,11 @@ def _default_opener(url: str, headers: dict) -> tuple[int, bytes, dict]:
             return (resp.status, resp.read(), dict(resp.headers))
     except urllib.error.HTTPError as e:  # 4xx/5xx still carry a status
         return (e.code, b"", dict(e.headers or {}))
+    except (urllib.error.URLError, OSError):
+        # transport failure (DNS, refused, timeout) — map to a per-tile
+        # synthetic status like the reference's fetch_status (server_error)
+        # so one unreachable tile doesn't abort the distributed fetch
+        return (599, b"", {})
 
 
 def build_requests(coords: pd.DataFrame, url_pattern: str,
