@@ -113,6 +113,34 @@ def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return inside
 
 
+def ring_distance2(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Squared distance from each point to a polygon ring: 0.0 strictly
+    inside (crossing-number), else the minimum squared point-segment
+    distance over the ring's edges — the boost STRtree.nearest
+    geometry-distance contract for polygons (reference adminizer.cpp
+    J2 trichotomy). The float64 op ORDER here is pinned: the SQL oracle
+    evaluates the identical expression edge-by-edge, so parity is exact."""
+    ring = close_ring(np.asarray(ring, dtype=np.float64))
+    a, b = ring[:-1], ring[1:]
+    x, y = pts[:, 0].astype(np.float64), pts[:, 1].astype(np.float64)
+    best = np.full(len(pts), np.inf)
+    for i in range(len(a)):
+        ax, ay = a[i]
+        bx, by = b[i]
+        dx = bx - ax
+        dy = by - ay
+        seg2 = dx * dx + dy * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((x - ax) * dx + (y - ay) * dy) / seg2
+        t = np.minimum(1.0, np.maximum(0.0, t))
+        cx = ax + t * dx
+        cy = ay + t * dy
+        ed2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+        best = np.minimum(best, ed2)
+    best[points_in_ring(pts, ring)] = 0.0
+    return best
+
+
 def points_cover(pts: np.ndarray, rings) -> np.ndarray:
     """bg::intersects(point, polygon): inside or on boundary."""
     res = points_in_ring(pts, rings[0])

@@ -110,6 +110,58 @@ class STRtree:
         pi, bi = np.nonzero(hit)
         return pi, bi
 
+    def knn_candidates(self, xs: np.ndarray, ys: np.ndarray,
+                       beam: int = 8):
+        """Vectorized kNN candidate generation: beam descent over the packed
+        levels, carrying a pruning CERTIFICATE. For each point, returns a
+        fixed-width slate of nearest-leaf candidates
+
+            (leaf_idx (n, C) int64, original ids, -1 = padding,
+             lb (n, C) squared box distance, +inf at padding,
+             min_pruned_lb (n,) — the smallest lower bound among subtrees
+             the beam discarded; if the caller's k-th best EXACT distance is
+             strictly below this, the k-NN result is provably exact, else
+             the caller must fall back to a full scan for that point)
+
+        Cost: O(levels · beam · NODE_CAP) box tests per point instead of
+        O(n_leaves) — the tree descent the reference's bgi::rtree nearest
+        runs per point (adminizer.cpp:331-385), vectorized across a whole
+        Arrow batch level-by-level."""
+        n = len(xs)
+        if self.n == 0 or n == 0:
+            return (np.full((n, 1), -1, dtype=np.int64),
+                    np.full((n, 1), np.inf), np.full(n, np.inf))
+
+        def _lb(boxes_at, idx, valid):
+            b = boxes_at[np.where(valid, idx, 0)]
+            dx = np.maximum(0.0, np.maximum(b[..., 0] - xs[:, None],
+                                            xs[:, None] - b[..., 2]))
+            dy = np.maximum(0.0, np.maximum(b[..., 1] - ys[:, None],
+                                            ys[:, None] - b[..., 3]))
+            d = dx * dx + dy * dy
+            d[~valid] = np.inf
+            return d
+
+        min_pruned = np.full(n, np.inf)
+        cand = np.zeros((n, 1), dtype=np.int64)  # node ids at current level
+        lb = _lb(self.levels[0], cand, np.ones((n, 1), dtype=bool))
+        for lvl in range(1, len(self.levels)):
+            ch = (cand[:, :, None] * NODE_CAP
+                  + np.arange(NODE_CAP)[None, None, :]).reshape(n, -1)
+            valid = ((ch < len(self.levels[lvl]))
+                     & np.repeat(np.isfinite(lb), NODE_CAP, axis=1))
+            lb = _lb(self.levels[lvl], ch, valid)
+            cand = ch
+            if lvl < len(self.levels) - 1 and lb.shape[1] > beam:
+                part = np.argpartition(lb, beam - 1, axis=1)
+                pruned_lb = np.take_along_axis(lb, part[:, beam:], axis=1)
+                min_pruned = np.minimum(min_pruned, pruned_lb.min(axis=1))
+                cand = np.take_along_axis(cand, part[:, :beam], axis=1)
+                lb = np.take_along_axis(lb, part[:, :beam], axis=1)
+        pad = ~np.isfinite(lb)
+        leaf = np.where(pad, -1, self.order[np.where(pad, 0, cand)])
+        return leaf, lb, min_pruned
+
     def nearest(self, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
         """kNN (k=1) by TRUE box distance (0 inside; clamped axis gaps
         outside — the boost STRtree.nearest geometry-distance contract),

@@ -260,17 +260,19 @@ def adminize_points(df: DataFrame, admin_rows: list[tuple[int, float, float, flo
                     out_col: str = "admin") -> DataFrame:
     """Broadcast point-in-polygon join for axis-aligned admin boxes.
 
-    admin_rows: [(idx, minx, miny, maxx, maxy, value)] — the packed index is
-    tiny, so it ships as a closure constant (same role as the reference's
-    per-thread rtree; a Spark broadcast variable for larger tables).
+    admin_rows: [(idx, minx, miny, maxx, maxy, value)] — ships as a Spark
+    broadcast variable (one torrent transfer per executor; same role as the
+    reference's per-thread rtree, and scales to 10^4-10^5 boxes where a
+    per-task closure pickle would not).
     mode 'first' → lowest-idx containing box; 'collect' → all values
-    ascending joined by delimiter; 'knn' → value of nearest box centroid
-    (squared euclidean, ties by idx — STRtree.nearest role).
+    ascending joined by delimiter; 'knn' → value of nearest box by TRUE box
+    distance (0 inside, clamped axis gaps outside; ties by idx —
+    STRtree.nearest role).
     """
     rows = sorted(admin_rows)
-    idxs = np.array([r[0] for r in rows], dtype=np.int64)
-    boxes = np.array([r[1:5] for r in rows], dtype=np.float64)
-    values = [r[5] for r in rows]
+    bc = df.sparkSession.sparkContext.broadcast(
+        (np.array([r[1:5] for r in rows], dtype=np.float64).reshape(-1, 4),
+         [r[5] for r in rows]))
 
     from pyspark.sql.types import StringType, StructField, StructType
     # note: StructType.add mutates self — build a fresh one
@@ -281,6 +283,7 @@ def adminize_points(df: DataFrame, admin_rows: list[tuple[int, float, float, flo
     _CHUNK_CELLS = 4_000_000
 
     def probe(batches):
+        boxes, values = bc.value
         for pdf in batches:
             xs = pdf[x_col].to_numpy(dtype=np.float64)
             ys = pdf[y_col].to_numpy(dtype=np.float64)
@@ -328,33 +331,176 @@ def adminize_points_rings(df: DataFrame, polygons: list[tuple[int, list, str]],
     point by the crossing-number test (points_in_ring — the same division
     expression the DuckDB oracle evaluates, so parity is exact in float64).
 
-    polygons: [(idx, ring [(x, y), ...], value)]. The probe is an
-    Arrow-batched mapInPandas over a closure-shipped ring table — the
-    general-geometry sibling of adminize_points' box path; at larger admin
-    tables the STRtree bbox prefilter bounds the per-point ring tests."""
+    polygons: [(idx, ring [(x, y), ...], value)]. The ring table ships as a
+    Spark BROADCAST variable (one torrent transfer per executor, not one
+    closure pickle per task — the 10^4-polygon ADM2 case). The probe runs
+    the exact crossing test ONLY on (point, ring) candidate pairs from the
+    vectorized bbox prefilter (STRtree.query_points semantics: dense box
+    matrix beats tree descent in numpy, functions/strtree.py note), so per
+    batch the exact work is O(hits · ring_len), not O(points · polygons)."""
     polys = sorted(polygons)
-    rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
-    values = [v for _, _, v in polys]
-    boxes = np.array([G.bbox(r) for r in rings])
+    bc = df.sparkSession.sparkContext.broadcast(
+        ([np.asarray(r, dtype=np.float64) for _, r, _ in polys],
+         [v for _, _, v in polys],
+         np.array([G.bbox(np.asarray(r, dtype=np.float64))
+                   for _, r, _ in polys]).reshape(-1, 4)))
 
     from pyspark.sql.types import StringType, StructField, StructType
     schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
 
     def probe(batches):
+        rings, values, boxes = bc.value
         for pdf in batches:
             pts = np.stack([pdf[x_col].to_numpy(dtype=np.float64),
                             pdf[y_col].to_numpy(dtype=np.float64)], axis=1)
-            hit = np.zeros((len(pts), len(rings)), dtype=bool)
-            for j, ring in enumerate(rings):
-                bb = boxes[j]
-                cand = ((pts[:, 0] >= bb[0]) & (pts[:, 0] <= bb[2]) &
-                        (pts[:, 1] >= bb[1]) & (pts[:, 1] <= bb[3]))
-                if cand.any():
-                    hit[cand, j] = G.points_in_ring(pts[cand], ring)
-            any_hit = hit.any(axis=1)
-            first = np.argmax(hit, axis=1)
-            pdf[out_col] = [values[f] if h else None
-                            for h, f in zip(any_hit, first)]
+            n = len(pts)
+            # first-match = LOWEST idx → track the current best (min) index
+            best = np.full(n, len(rings), dtype=np.int64)
+            pi, bi = _box_candidates(pts, boxes)
+            for j in np.unique(bi):
+                sel = pi[bi == j]
+                sel = sel[best[sel] > j]  # already matched a lower idx
+                if len(sel) == 0:
+                    continue
+                ins = G.points_in_ring(pts[sel], rings[j])
+                best[sel[ins]] = np.minimum(best[sel[ins]], j)
+            pdf[out_col] = [values[b] if b < len(rings) else None
+                            for b in best]
             yield pdf
+
+    return df.mapInPandas(probe, schema=schema)
+
+
+def _box_candidates(pts: np.ndarray, boxes: np.ndarray,
+                    chunk_cells: int = 8_000_000):
+    """(point_idx, box_idx) pairs where the point lies in the box — the
+    vectorized bbox prefilter, chunked over the point axis so the dense
+    mask stays ~64 MB even at 10^4 admin polygons."""
+    outs_p, outs_b = [], []
+    step = max(1, chunk_cells // max(len(boxes), 1))
+    for s in range(0, len(pts), step):
+        x = pts[s:s + step, 0]
+        y = pts[s:s + step, 1]
+        hit = ((x[:, None] >= boxes[None, :, 0]) & (x[:, None] <= boxes[None, :, 2]) &
+               (y[:, None] >= boxes[None, :, 1]) & (y[:, None] <= boxes[None, :, 3]))
+        pi, bi = np.nonzero(hit)
+        outs_p.append(pi + s)
+        outs_b.append(bi)
+    return np.concatenate(outs_p), np.concatenate(outs_b)
+
+
+def adminize_points_knn_rings(df: DataFrame,
+                              polygons: list[tuple[int, list, str]],
+                              k: int = 1,
+                              x_col: str = "mx_mm", y_col: str = "my_mm",
+                              out_col: str = "admin",
+                              rank_col: str = "rank") -> DataFrame:
+    """k-nearest admin POLYGONS for every point — the general-geometry J2
+    (reference adminizer.cpp:331-385 STRtree.nearest trichotomy): distance
+    to a polygon is 0 strictly inside, else the min point-segment distance
+    over its ring edges (functions/geometry.ring_distance2, float64 op
+    order pinned to the SQL oracle). Ties by ascending polygon idx. Output:
+    k rows per input row with (out_col, rank_col), rank 1-based by
+    (distance, idx).
+
+    Scale shape (10^9 points × 10^4 polygons): the polygon table AND its
+    packed STRtree ship as one Spark broadcast; per point chunk the probe
+    runs the tree's vectorized beam descent (STRtree.knn_candidates — the
+    bgi::rtree nearest descent of adminizer.cpp:331-385, level-by-level
+    across the whole batch) to get a fixed-width slate of candidate leaves
+    with a pruning CERTIFICATE. Candidates are narrowed further by bbox
+    lower bound ≤ k-th smallest vertex-distance upper bound (any polygon
+    with lb > that threshold has exact > the k best — strict, so tie-safe),
+    exact ring distances run only on the survivors, and a point whose k-th
+    exact distance is not strictly below the smallest pruned-subtree lower
+    bound falls back to the dense scan (provably-exact kNN, never
+    approximate). Exact work is O(k·ring_len) per point; bound work is
+    O(levels · beam · 16), independent of the polygon count."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    polys = sorted(polygons)
+    rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
+    boxes = np.array([G.bbox(r) for r in rings]).reshape(-1, 4)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (rings,
+         [v for _, _, v in polys],
+         boxes,
+         np.array([r[0] for r in rings]),  # representative vertex per poly
+         STRtree(boxes)))
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, StringType()),
+                           StructField(rank_col, LongType())])
+
+    _CHUNK = 4096          # points per descent chunk (bounds the slates)
+    _DENSE_M = 64          # below this, dense exact beats the tree
+
+    def _dense_topk(pts, rings, m, kk):
+        d2 = np.empty((len(pts), m))
+        for j in range(m):
+            d2[:, j] = G.ring_distance2(pts, rings[j])
+        return np.argsort(d2, axis=1, kind="stable")[:, :kk]
+
+    def probe(batches):
+        rings, values, boxes, v0, tree = bc.value
+        m = len(rings)
+        kk = min(k, m)
+        beam = max(8, kk)
+        BIG = np.iinfo(np.int64).max
+        for pdf in batches:
+            xall = pdf[x_col].to_numpy(dtype=np.float64)
+            yall = pdf[y_col].to_numpy(dtype=np.float64)
+            n = len(xall)
+            order_out = np.empty((n, kk), dtype=np.int64)
+            for s in range(0, n, _CHUNK):
+                x = xall[s:s + _CHUNK]
+                y = yall[s:s + _CHUNK]
+                pts = np.stack([x, y], axis=1)
+                if m <= _DENSE_M:
+                    order_out[s:s + len(x)] = _dense_topk(pts, rings, m, kk)
+                    continue
+                leaf, lb, min_pruned = tree.knn_candidates(x, y, beam=beam)
+                pad = leaf < 0
+                # upper bound per candidate: distance to one ring vertex
+                lv = np.where(pad, 0, leaf)
+                ub = ((x[:, None] - v0[lv, 0]) ** 2
+                      + (y[:, None] - v0[lv, 1]) ** 2)
+                ub[pad] = np.inf
+                thresh = np.partition(ub, kk - 1, axis=1)[:, kk - 1]
+                use = (lb <= thresh[:, None]) & ~pad
+                pi, ci = np.nonzero(use)
+                lj = leaf[pi, ci]
+                # exact ring distance for survivors, grouped by polygon
+                d2c = np.full(leaf.shape, np.inf)
+                o = np.argsort(lj, kind="stable")
+                pi, ci, lj = pi[o], ci[o], lj[o]
+                ulj, st = np.unique(lj, return_index=True)
+                en = np.append(st[1:], len(lj))
+                for t in range(len(ulj)):
+                    rows = pi[st[t]:en[t]]
+                    cols = ci[st[t]:en[t]]
+                    d2c[rows, cols] = G.ring_distance2(pts[rows],
+                                                       rings[int(ulj[t])])
+                # per-row sort by (d2, polygon idx): reorder columns by idx
+                # first, then STABLE argsort on d2 → ties break ascending
+                io = np.argsort(np.where(pad, BIG, leaf), axis=1,
+                                kind="stable")
+                leaf_s = np.take_along_axis(leaf, io, axis=1)
+                d2_s = np.take_along_axis(d2c, io, axis=1)
+                sel = np.argsort(d2_s, axis=1, kind="stable")[:, :kk]
+                top = np.take_along_axis(leaf_s, sel, axis=1)
+                dk = np.take_along_axis(d2_s, sel, axis=1)[:, -1]
+                # certificate: k-th exact strictly under every pruned
+                # subtree's lower bound, else dense rescan for that point
+                bad = np.flatnonzero(~(dk < min_pruned))
+                if len(bad):
+                    top[bad] = _dense_topk(pts[bad], rings, m, kk)
+                order_out[s:s + len(x)] = top
+            out = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
+            out[out_col] = [values[j] for j in order_out.ravel()]
+            out[rank_col] = np.tile(np.arange(1, kk + 1, dtype=np.int64), n)
+            yield out
 
     return df.mapInPandas(probe, schema=schema)

@@ -311,6 +311,73 @@ def j2_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", F.col("admin"))
 
 
+# kNN against GENERAL polygons: the two j1d rings plus a quadrilateral
+# around city 1 (idx 2) so top-2 of 3 is a genuine selection
+_CX1, _CY1 = CITY_X[1], CITY_Y[1]
+KNN_RINGS = ADMIN_RINGS + [
+    (2, [(_CX1 + 1800000007, _CY1 + 200000003),
+         (_CX1 - 300000011, _CY1 + 1600000009),
+         (_CX1 - 2100000013, _CY1 - 400000019),
+         (_CX1 + 500000021, _CY1 - 1900000023)], "quad2"),
+]
+
+_KNN_EDGES_SQL = "(VALUES " + ", ".join(
+    f"({idx}, {ring[i][0]}, {ring[i][1]}, "
+    f"{ring[(i + 1) % len(ring)][0]}, {ring[(i + 1) % len(ring)][1]}, '{val}')"
+    for idx, ring, val in KNN_RINGS for i in range(len(ring))
+) + ") AS e(idx, ax, ay, bx, by, val)"
+
+# squared point-segment distance, float64 op order IDENTICAL to
+# geometry.ring_distance2 (sub in BIGINT then cast — exact below 2^53;
+# every subsequent op is one IEEE double op per side)
+_SEG_T = """least(1.0, greatest(0.0,
+      (CAST(g.mx_mm - e.ax AS DOUBLE) * CAST(e.bx - e.ax AS DOUBLE)
+       + CAST(g.my_mm - e.ay AS DOUBLE) * CAST(e.by - e.ay AS DOUBLE))
+      / (CAST(e.bx - e.ax AS DOUBLE) * CAST(e.bx - e.ax AS DOUBLE)
+         + CAST(e.by - e.ay AS DOUBLE) * CAST(e.by - e.ay AS DOUBLE))))"""
+
+
+@register("j2_knn_rings", f"""
+  WITH ed AS (
+    SELECT g.url, e.idx, e.val,
+           CASE WHEN (e.ay > g.my_mm) != (e.by > g.my_mm)
+                 AND g.mx_mm < e.ax + CAST(g.my_mm - e.ay AS DOUBLE)
+                                      * (e.bx - e.ax) / (e.by - e.ay)
+                THEN 1 ELSE 0 END AS c,
+           (CAST(g.mx_mm AS DOUBLE)
+              - (CAST(e.ax AS DOUBLE) + {_SEG_T} * CAST(e.bx - e.ax AS DOUBLE)))
+           * (CAST(g.mx_mm AS DOUBLE)
+              - (CAST(e.ax AS DOUBLE) + {_SEG_T} * CAST(e.bx - e.ax AS DOUBLE)))
+         + (CAST(g.my_mm AS DOUBLE)
+              - (CAST(e.ay AS DOUBLE) + {_SEG_T} * CAST(e.by - e.ay AS DOUBLE)))
+           * (CAST(g.my_mm AS DOUBLE)
+              - (CAST(e.ay AS DOUBLE) + {_SEG_T} * CAST(e.by - e.ay AS DOUBLE)))
+           AS ed2
+    FROM {GEO_SQL} g CROSS JOIN {_KNN_EDGES_SQL}
+  ), per_poly AS (
+    SELECT url, idx, val,
+           CASE WHEN sum(c) % 2 = 1 THEN 0.0 ELSE min(ed2) END AS d2
+    FROM ed GROUP BY url, idx, val
+  )
+  SELECT url, CAST(rank AS BIGINT) AS rank, val AS admin FROM (
+    SELECT url, val,
+           row_number() OVER (PARTITION BY url ORDER BY d2, idx) AS rank
+    FROM per_poly
+  ) WHERE rank <= 2
+""")
+def j2_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 COMPLETE (SURVEY §2.3, reference adminizer.cpp:331-385): k-nearest
+    admin POLYGONS (k=2) by ring distance — 0 strictly inside
+    (crossing-number), else min point-segment distance over ring edges;
+    ties by ascending index. Broadcast probe with bbox/vertex bound pruning
+    (operators/adminizer.adminize_points_knn_rings); the oracle evaluates
+    the identical IEEE expression edge-by-edge in SQL."""
+    g = _geo(spark, sf_dir).select("url", "mx_mm", "my_mm")
+    from .operators.adminizer import adminize_points_knn_rings
+    return adminize_points_knn_rings(g, KNN_RINGS, k=2).select(
+        "url", "rank", "admin")
+
+
 # ---------------------------------------------------------------------------
 # izer pipelines + MVT build (non-SQL-expressible → rows-only checks)
 # ---------------------------------------------------------------------------

@@ -96,6 +96,37 @@ def _run_pip_first(spark, sf_dir):
     return qs["j1a_pip_first"](spark, sf_dir).count()
 
 
+def _bench_polys_10k(n_side=100):
+    """10^4 hexagonal admin polygons tiling the mercator plane — the
+    ADM2-sized table for the broadcast kNN probe bench."""
+    import numpy as np
+    world = 40075016680000.0  # mm
+    spacing = world / n_side
+    ang = np.linspace(0.0, 2 * np.pi, 7)[:-1] + 0.3
+    hx = (0.35 * spacing) * np.cos(ang)
+    hy = (0.35 * spacing) * np.sin(ang)
+    polys = []
+    i = 0
+    for gy in range(n_side):
+        for gx in range(n_side):
+            cx = -world / 2 + (gx + 0.5) * spacing
+            cy = -world / 2 + (gy + 0.5) * spacing
+            polys.append((i, [(cx + dx, cy + dy) for dx, dy in zip(hx, hy)],
+                          f"adm{i}"))
+            i += 1
+    return polys
+
+
+def _run_pip_knn_10k(spark, sf_dir):
+    """Broadcast kNN (k=2) of every page against 10^4 general polygons —
+    the scale probe (bound-pruned exact ring distances)."""
+    from avecado_spark.operators.adminizer import adminize_points_knn_rings
+    from avecado_spark.operators.keys import geocode
+    pages = spark.read.parquet(_pages_table(spark, sf_dir))
+    g = geocode(pages).select("url", "mx_mm", "my_mm")
+    return adminize_points_knn_rings(g, _bench_polys_10k(), k=2).count()
+
+
 def _profile_stages(cpus: int):
     """Per-stage wall time of the tile build via cumulative cut points:
     T1 = scan+synth+geocode+quantize (slim.count, pre-shuffle),
@@ -177,6 +208,10 @@ def main():
     t = time.time()
     if _run_pip_first(spark, SF_DIR) is not None:
         timings["pip_first"] = round(time.time() - t, 3)
+
+    t = time.time()
+    _run_pip_knn_10k(spark, SF_DIR)
+    timings["pip_knn_10k"] = round(time.time() - t, 3)
 
     from avecado_spark import queries as q
     qs = q.queries()

@@ -284,3 +284,87 @@ def test_split_polygon_clip_inside_makes_hole():
     holed = [f for f in out if "foo" not in f["props"]]
     assert any(len(part) == 2 for f in holed for g in f["geoms"]
                for part in g.parts), "outside part should carry the hole ring"
+
+
+# ---------------------------------------------------------------------------
+# Spark-scale probes at 10^4 admin polygons: the pruned broadcast paths must
+# match a driver-side dense numpy reference (the ADM2-sized case the
+# closure-pickled 5-polygon fixtures never exercised).
+# ---------------------------------------------------------------------------
+
+def _synthetic_polys(n_side=100, spacing=10.0, r=3.0):
+    """n_side^2 small hexagons on a grid — 10^4 disjoint admin polygons."""
+    polys = []
+    ang = np.linspace(0.0, 2 * np.pi, 7)[:-1] + 0.3  # avoid axis alignment
+    hx = r * np.cos(ang)
+    hy = r * np.sin(ang)
+    i = 0
+    for gy in range(n_side):
+        for gx in range(n_side):
+            cx, cy = gx * spacing, gy * spacing
+            polys.append((i, [(cx + dx, cy + dy) for dx, dy in zip(hx, hy)],
+                          f"p{i}"))
+            i += 1
+    return polys
+
+
+def _synthetic_points(n=800, extent=1000.0):
+    # deterministic low-discrepancy points: some inside hexagons, some in
+    # the gaps, some outside the grid entirely
+    ks = np.arange(n, dtype=np.float64)
+    x = (ks * 137.508) % (extent * 1.1) - extent * 0.05
+    y = (ks * 57.295) % (extent * 1.1) - extent * 0.05
+    return np.stack([x, y], axis=1)
+
+
+def test_knn_rings_pruned_matches_dense_10k(spark):
+    from avecado_spark.functions import geometry as G
+    from avecado_spark.operators.adminizer import adminize_points_knn_rings
+
+    polys = _synthetic_polys()
+    pts = _synthetic_points()
+    k = 3
+
+    import pandas as pd
+    pdf = pd.DataFrame({"pid": np.arange(len(pts)),
+                        "mx_mm": pts[:, 0], "my_mm": pts[:, 1]})
+    df = spark.createDataFrame(pdf).repartition(8)
+    got = (adminize_points_knn_rings(df, polys, k=k)
+           .select("pid", "rank", "admin").collect())
+    got_map = {(r.pid, r.rank): r.admin for r in got}
+    assert len(got) == len(pts) * k
+
+    # dense reference: exact ring distance to ALL polygons, stable argsort
+    rings = [np.asarray(p[1], dtype=np.float64) for p in polys]
+    d2 = np.empty((len(pts), len(polys)))
+    for j, ring in enumerate(rings):
+        d2[:, j] = G.ring_distance2(pts, ring)
+    order = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    for i in range(len(pts)):
+        for rk in range(k):
+            assert got_map[(i, rk + 1)] == f"p{order[i, rk]}", (i, rk)
+
+
+def test_points_rings_pruned_matches_dense_10k(spark):
+    from avecado_spark.functions import geometry as G
+    from avecado_spark.operators.adminizer import adminize_points_rings
+
+    polys = _synthetic_polys()
+    pts = _synthetic_points()
+
+    import pandas as pd
+    pdf = pd.DataFrame({"pid": np.arange(len(pts)),
+                        "mx_mm": pts[:, 0], "my_mm": pts[:, 1]})
+    df = spark.createDataFrame(pdf).repartition(8)
+    got = {r.pid: r.admin
+           for r in adminize_points_rings(df, polys).select("pid", "admin").collect()}
+
+    rings = [np.asarray(p[1], dtype=np.float64) for p in polys]
+    hit = np.zeros((len(pts), len(rings)), dtype=bool)
+    for j, ring in enumerate(rings):
+        hit[:, j] = G.points_in_ring(pts, ring)
+    any_hit = hit.any(axis=1)
+    first = np.argmax(hit, axis=1)
+    for i in range(len(pts)):
+        expect = f"p{first[i]}" if any_hit[i] else None
+        assert got[i] == expect, i
