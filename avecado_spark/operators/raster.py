@@ -51,6 +51,83 @@ def png_decode_size(data: bytes) -> tuple[int, int]:
     return w, h
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Pure-numpy PNG decoder — the matching half of png_encode: 8-bit
+    depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), all
+    five scanline filters (None/Sub/Up/Average/Paeth), no interlace.
+    Returns (h, w, channels) uint8. Sub is a per-channel cumulative sum
+    mod 256 (vectorized); Average/Paeth walk pixels with the channel axis
+    vectorized."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = []
+    w = h = channels = None
+    while pos + 8 <= len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", payload)
+            if depth != 8 or inter != 0:
+                raise NotImplementedError(
+                    "png_decode supports 8-bit non-interlaced PNGs")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    out = np.empty((h, w, channels), dtype=np.uint8)
+    prev = np.zeros((w, channels), dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=off + 1).reshape(w, channels)
+        if f == 0:            # None
+            cur = line.copy()
+        elif f == 1:          # Sub: recon = prefix-sum per channel mod 256
+            cur = np.cumsum(line, axis=0, dtype=np.uint64).astype(np.uint8)
+        elif f == 2:          # Up (uint8 addition wraps mod 256)
+            cur = line + prev
+        elif f == 3:          # Average (sequential in x, vector in channel)
+            cur = np.empty_like(line)
+            left = np.zeros(channels, dtype=np.uint16)
+            for x in range(w):
+                cur[x] = line[x] + ((left + prev[x]) >> 1).astype(np.uint8)
+                left = cur[x].astype(np.uint16)
+        elif f == 4:          # Paeth
+            cur = np.empty_like(line)
+            left = np.zeros(channels, dtype=np.int16)
+            ul = np.zeros(channels, dtype=np.int16)
+            for x in range(w):
+                up = prev[x].astype(np.int16)
+                p = left + up - ul
+                pa, pb, pc = (np.abs(p - left), np.abs(p - up),
+                              np.abs(p - ul))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up, ul))
+                cur[x] = line[x] + pred.astype(np.uint8)
+                left = cur[x].astype(np.int16)
+                ul = up
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
 # ---------------------------------------------------------------------------
 # scanline polygon fill (even-odd, pixel centers)
 # ---------------------------------------------------------------------------

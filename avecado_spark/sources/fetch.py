@@ -119,6 +119,32 @@ def fetch_tiles(coords: DataFrame, url_pattern: str,
     return coords.select("z", "x", "y").mapInPandas(run, schema=_FETCH_SCHEMA)
 
 
+def fetch_from_tilejson(coords: DataFrame, tilejson_text: str | bytes,
+                        allow_network: bool = False,
+                        opener=None) -> DataFrame:
+    """TileJSON-driven distributed fetch — the make_tilejson_fetcher wiring
+    (reference tilejson.cpp:132-149): the document's first `tiles` URL
+    pattern (http.cpp:742 uses m_url_patterns[0]), `maxzoom` (default 22,
+    the reference's conf.get default) and optional `maskLevel` drive the
+    overzoom fetcher. Gzipped documents are sniffed and decompressed
+    (tilejson.cpp:115-121); maskLevel is accepted as int or string (the
+    reference serializes it as a string, tilejson.cpp make_tilejson)."""
+    from .sink import parse_tilejson
+    if isinstance(tilejson_text, (bytes, bytearray)):
+        buf = bytes(tilejson_text)
+        if buf[:2] == b"\x1f\x8b":  # gzip magic (tilejson.cpp:83-96)
+            import gzip
+            buf = gzip.decompress(buf)
+        tilejson_text = buf.decode("utf-8")
+    doc = parse_tilejson(tilejson_text)
+    max_zoom = int(doc.get("maxzoom", 22))
+    mask = doc.get("maskLevel")
+    mask_zoom = int(mask) if mask is not None else None
+    return fetch_tiles_overzoom(coords, doc["tiles"][0], max_zoom,
+                                mask_zoom=mask_zoom,
+                                allow_network=allow_network, opener=opener)
+
+
 def fetch_tiles_overzoom(coords: DataFrame, url_pattern: str,
                          max_zoom: int, mask_zoom: int | None = None,
                          allow_network: bool = False,

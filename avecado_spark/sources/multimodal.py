@@ -43,13 +43,25 @@ def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
 
 def decode_image(payload: bytes, width: int, height: int,
                  deterministic_fake: bool = False) -> np.ndarray:
-    """STUB: real decode requires an image codec library not present in
-    this container. The fake path derives a (h, w, 3) uint8 array from a
-    sha256 keystream of the payload — deterministic, shape-correct."""
+    """Image decode → (h, w, 3) uint8. PNG payloads decode FOR REAL via the
+    in-repo pure-numpy decoder (operators/raster.png_decode — IHDR/IDAT,
+    filters 0-4; grayscale expanded, alpha dropped; the PNG's own header
+    dims win over the metadata). Other formats (JPEG/WebP/...) need a codec
+    library not present in this container: NotImplementedError unless
+    deterministic_fake=True, which derives a shape-correct array from a
+    sha256 keystream of the payload."""
+    if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        from ..operators.raster import png_decode
+        img = png_decode(bytes(payload))
+        if img.shape[2] == 1:        # gray → RGB
+            return np.repeat(img, 3, axis=2)
+        if img.shape[2] == 2:        # gray+alpha → RGB
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        return img[:, :, :3]         # RGB / RGBA (alpha dropped)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not installed); pass "
-            "deterministic_fake=True for the seeded stand-in")
+            "non-PNG image decode requires PIL/opencv (not installed); "
+            "pass deterministic_fake=True for the seeded stand-in")
     need = width * height * 3
     out = bytearray()
     counter = 0

@@ -428,3 +428,35 @@ def test_deep_zoom_packed_key_layout(spark):
     p = with_salt(p, 16)
     with _pytest.raises(ValueError):
         build_point_tiles(p, 30, n_salts=16)
+
+
+def test_fetch_from_tilejson(spark):
+    """TileJSON-driven overzoom fetch (reference make_tilejson_fetcher,
+    tilejson.cpp:132-149): the document's tiles pattern + maxzoom +
+    maskLevel reproduce the overzoom truth table through the config path;
+    gzipped documents are sniffed."""
+    import gzip
+    from avecado_spark.sources.fetch import fetch_from_tilejson
+    from avecado_spark.sources.sink import make_tilejson
+
+    def opener(url, headers):
+        parts = url.rsplit("/", 3)
+        z, x = int(parts[1]), int(parts[2])
+        if z == 6 or (z == 8 and x < 300):
+            return (200, b"tile", {})
+        return (404, b"", {})
+
+    doc = make_tilejson("pages", "https://t.example", 0, 8, mask_level=6)
+    coords = spark.createDataFrame(
+        [(10, 1000, 1000),   # above maxzoom → zoom out to z8 x=250: hit
+         (10, 1400, 1000),   # z8 x=350: 404 → maskLevel z6: hit
+         (8, 100, 100)],
+        "z int, x long, y long")
+    for payload in (doc, gzip.compress(doc.encode("utf-8"))):
+        out = {(r.z, r.x, r.y): r for r in
+               fetch_from_tilejson(coords, payload, opener=opener).collect()}
+        assert out[(10, 1000, 1000)].status == 200
+        assert out[(10, 1000, 1000)].served_z == 8
+        assert out[(10, 1400, 1000)].status == 200
+        assert out[(10, 1400, 1000)].served_z == 6
+        assert out[(8, 100, 100)].served_z == 8
