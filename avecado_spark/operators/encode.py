@@ -536,7 +536,48 @@ def _global_prop_tables(df: DataFrame) -> tuple[list[str], list]:
     return sorted(row["ks"]), sorted(row["vs"])
 
 
+def _izer_static_prop_tables(izer_config: dict) -> tuple[list[str], list]:
+    """Keys/values an izer pipeline can ADD to feature props, derived
+    statically from the config (no data scan): an adminizer writes
+    param_name → one of its datasource values. Raises for pipelines whose
+    additions are not statically enumerable or that need whole
+    (tile, layer) groups — those must use build_feature_tiles's fused
+    single-group path instead of the salted split:
+
+      * unionizer — joins endpoints ACROSS features (a salt slice only
+        sees its share of the group), and tag accumulation sums values;
+      * collect-mode adminizer — emits delimiter-joined value COMBINATIONS
+        (combinatorial, not a static table).
+    """
+    from ..plans.pipeline import parse_inline_csv
+    keys: set[str] = set()
+    vals: set = set()
+    for _layer, ranges in izer_config.items():
+        for rng in ranges:
+            for izer in rng["process"]:
+                t = izer["type"]
+                if t == "unionizer":
+                    raise ValueError(
+                        "unionizer needs whole (tile, layer) groups; use "
+                        "build_feature_tiles(izer_config=...) — the fused "
+                        "one-shuffle group path")
+                if t == "adminizer":
+                    if str(izer.get("collect", "false")) == "true":
+                        raise ValueError(
+                            "collect-mode adminizer emits joined value "
+                            "combinations (no static value table); use "
+                            "build_feature_tiles(izer_config=...)")
+                    keys.add(izer["param_name"])
+                    ds = izer.get("datasource", {})
+                    rows = (list(ds["inline_rows"]) if "inline_rows" in ds
+                            else parse_inline_csv(ds.get("inline", "")))
+                    vals.update(v for _w, v in rows)
+                # generalizer / labelizer: geometry-only, no prop additions
+    return sorted(keys), sorted(vals)
+
+
 def build_feature_tiles_salted(df: DataFrame,
+                               izer_config: dict | None = None,
                                tile_size: int = DEFAULT_TILE_SIZE,
                                path_multiplier: int = DEFAULT_PATH_MULT,
                                buffer_size: int = 0, tolerance: int = 1,
@@ -555,15 +596,32 @@ def build_feature_tiles_salted(df: DataFrame,
     Skew math: the reference's hot urban tile holds ~p fraction of the
     corpus; unsalted, one task gets p·N features. Salted, the max task is
     p·N/n_salts + shuffle of already-encoded bytes (cheap relative to
-    geometry work, which is ~100 bytes/feature vs WKT's ~100 chars)."""
+    geometry work, which is ~100 bytes/feature vs WKT's ~100 chars).
+
+    izer_config: FEATURE-LOCAL post-processors (generalizer, first/split
+    adminizer, labelizer) fuse INTO phase 1 — each processes features
+    independently, so running them per (tile, layer, salt) slice equals
+    running them per whole (tile, layer) group, and the izer+encode
+    pipeline costs the same two exchanges as the plain salted build (vs
+    three for apply_to_tiles → build). Prop keys/values the izers add are
+    derived statically from the config (no extra scan). Group-coupled
+    izers (unionizer, collect-mode adminizer) are rejected with a pointer
+    to build_feature_tiles's fused whole-group path."""
     from ..functions import wkt as _wkt
     from ..functions.mvt import gzip_bytes as _gzb
 
     nparts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     nparts = int(nparts)
     extent = tile_size * path_multiplier
+    izer_keys: list = []
+    izer_vals: list = []
+    if izer_config:
+        izer_keys, izer_vals = _izer_static_prop_tables(izer_config)
     if key_table is None or val_table is None:
         key_table, val_table = _global_prop_tables(df)
+    if izer_config:
+        key_table = sorted(set(key_table) | set(izer_keys))
+        val_table = sorted(set(val_table) | set(izer_vals))
     kidx = {k: i for i, k in enumerate(key_table)}
     vidx = {(type(v).__name__, v): i for i, v in enumerate(val_table)}
 
@@ -577,6 +635,15 @@ def build_feature_tiles_salted(df: DataFrame,
                   "props": dict(r.props) if r.props is not None else {},
                   "geom": _wkt.loads(r.wkt)}
                  for r in pdf.itertuples(index=False)]
+        if izer_config:
+            from ..plans.pipeline import PostProcessor
+            proc = PostProcessor(izer_config)
+            izer_feats = [{"id": f["id"], "props": f["props"],
+                           "geoms": [f["geom"]]} for f in feats]
+            izer_feats, _ = proc.process_layer(izer_feats, layer_name, z,
+                                               tile_size)
+            feats = [{"id": f["id"], "props": f["props"], "geom": gm}
+                     for f in izer_feats for gm in f["geoms"]]
         layer = make_layer(layer_name, feats, z, x, y, tile_size,
                            path_multiplier, buffer_size, tolerance)
         if not layer.features:

@@ -436,6 +436,50 @@ def mvt_feature_salted_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select("x", "y", "n_features")
 
 
+# the city-0 center snapped to the 100 m segment grid; the split edge sits
+# 50 m east of it so exactly the sx == _FUSE_CX0 segment column crosses
+_FUSE_CX0 = int(CITY_X[0] / 100000) * 100
+_FUSE_EDGE = _FUSE_CX0 + 50
+
+
+@register("mvt_izer_fused_z12", f"""
+  WITH c AS (
+    SELECT CAST(trunc(mx_mm / 100000.0) AS BIGINT) * 100 AS sx,
+           CAST(trunc(my_mm / 100000.0) AS BIGINT) * 100 AS sy,
+           {tile_x_sql('mx_mm', 12)} AS tx, {tile_y_sql('my_mm', 12)} AS ty
+    FROM {GEO_SQL} g
+    WHERE mx_mm BETWEEN {CITY_X[0] - 1500000} AND {CITY_X[0] + 1500000}
+      AND my_mm BETWEEN {CITY_Y[0] - 1500000} AND {CITY_Y[0] + 1500000}
+  ), d AS (
+    SELECT sx, min(tx * 4096 + ty) AS k FROM c GROUP BY sx, sy
+  )
+  SELECT k // 4096 AS x, k % 4096 AS y,
+         CAST(sum(CASE WHEN sx = {_FUSE_CX0} THEN 2 ELSE 1 END) AS BIGINT)
+           AS n_features
+  FROM d GROUP BY 1, 2
+""")
+def mvt_izer_fused_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Izer pipeline FUSED into the salted two-phase encode — one job,
+    two exchanges total (phase-1 group, phase-2 merge; the unfused
+    apply_to_tiles → build pair costs three): a split-mode adminizer runs
+    inside phase 1 (feature-local, so per-salt slices are exact), its added
+    prop key/value enter the global tag tables statically from the config.
+    Oracle: a segment column crossing the admin edge splits into 2 features
+    (inside+outside), everything else stays 1 — per-tile n_features is
+    SQL-derivable from the snapped grid."""
+    from .operators.encode import build_feature_tiles_salted
+    feats = _city_line_features(spark, sf_dir)
+    big = 30000000  # > mercator half-world in meters: the box spans all y
+    box_wkt = (f"POLYGON(({_FUSE_EDGE} {-big}, {_FUSE_EDGE + 6000000} {-big}, "
+               f"{_FUSE_EDGE + 6000000} {big}, {_FUSE_EDGE} {big}, "
+               f"{_FUSE_EDGE} {-big}))")
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "adminizer", "param_name": "region", "split": "true",
+         "datasource": {"inline_rows": [(box_wkt, "core")]}}]}]}
+    tiles = build_feature_tiles_salted(feats, izer_config=conf, buffer_size=8)
+    return tiles.select("x", "y", "n_features")
+
+
 @register("izer_unionize_tiles", None)
 def izer_unionize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/U3 (SURVEY §2.3/§2.7): per-(tile, layer) unionizer via the
