@@ -40,6 +40,11 @@ def spark_session(master: str | None = None, app: str = "avecado_spark",
           .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
           .config("spark.sql.execution.arrow.pyspark.enabled", "true")
           .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+          # sandbox tables are a few MB per file; the default 128m packs the
+          # whole scan into 1-2 tasks and the map side never parallelizes.
+          # Real deployments should keep the default (override via env).
+          .config("spark.sql.files.maxPartitionBytes",
+                  os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
           .config("spark.sql.parquet.filterPushdown", "true"))
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -54,10 +54,15 @@ def _pages_table(spark, sf_dir: str) -> str:
     are test-harness cost, not engine cost)."""
     from avecado_spark.sources.pages import pages_df
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/avecado_bench_pages_{tag}_m{BENCH_MULT}"
+    path = f"/tmp/avecado_bench_pages_{tag}_m{BENCH_MULT}_v2"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        pages_df(spark, sf_dir, multiplier=BENCH_MULT).write.mode(
-            "overwrite").parquet(path)
+        # 64 files: a parquet row group is the atomic split unit, and the
+        # synthesizer's upstream produces ONE row group per file — written
+        # as 2 files the scan could never exceed 2 tasks at ANY core count
+        # (a real 100 TB table has thousands of row groups; this makes the
+        # sandbox table behave like one)
+        pages_df(spark, sf_dir, multiplier=BENCH_MULT).repartition(64) \
+            .write.mode("overwrite").parquet(path)
     return path
 
 
