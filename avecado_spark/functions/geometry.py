@@ -650,12 +650,12 @@ def clip_polygon_general(subject_rings, clip_rings) -> tuple[list, list]:
                         nxt.append(poly + [h])  # strictly interior → hole
                         continue
                 pieces2 = _op(outer, h, want_inside=False)
-                for p2 in pieces2:
-                    # only holes that actually lie inside this piece travel
-                    # with it (a crossing hole splits the outer into pieces
-                    # that don't all contain every pre-existing hole)
-                    nxt.append([p2] + [h2 for h2 in poly[1:]
-                                       if _ring_in_ring(h2, p2)])
+                # a crossing hole splits the outer into pieces that don't
+                # all contain every previously-attached hole (and a piece
+                # boundary can even cut through one) — re-subtract the
+                # carried holes against each new piece instead of copying
+                # them verbatim
+                nxt.extend(_sub_holes(pieces2, poly[1:]))
             polys = nxt
         return polys
 

@@ -18,14 +18,17 @@ Index: packed STRtree over polygon bboxes, exact geometry re-check on
 candidates (adminizer.cpp:620, :728-742, :594-602) — here a numpy STRtree
 broadcast to executors.
 
-Two surfaces:
+Surfaces:
   * `adminize_features` — exact row-level reference semantics over Geom
     features (used by the izer pipeline and the ported fixture tests).
-  * `adminize_points` — the Spark-scale broadcast spatial join for the
-    pages table (billions of points vs a small admin table): driver builds
-    the packed index, broadcasts it, probes inside an Arrow-batched
-    mapInPandas with fully vectorized numpy candidate tests. No shuffle:
-    the admin side is broadcast, the probe is map-side only.
+  * `adminize_points` / `adminize_points_rings` — the Spark-scale broadcast
+    PIP joins for the pages table (billions of points vs an admin table up
+    to ~10^5 entries): driver ships the table as a Spark broadcast, probes
+    inside Arrow-batched mapInPandas with vectorized numpy candidate
+    tests. No shuffle: the admin side is broadcast, the probe map-side.
+  * `adminize_points_knn_rings` — exact k-nearest-polygon classification
+    (the J2 STRtree.nearest contract) via the packed tree's certified beam
+    descent; see its docstring for the bound/pruning math.
 """
 
 from __future__ import annotations

@@ -219,6 +219,182 @@ def render_tile_png(tile_bytes: bytes | None, styles: dict[str, tuple],
     return png_encode(render_tile(tile_bytes, styles, background, tile_size))
 
 
+# ---------------------------------------------------------------------------
+# styled renderer — the Mapnik-rule config surface for the raster leg
+# (reference render_vector_tile.cpp:25-59 loads a full Mapnik style and
+# applies it per layer; this is the JSON subset a styled map needs beyond
+# flat fills: draw-ordered rules, tag filters, alpha compositing, stroked
+# line widths, point markers)
+# ---------------------------------------------------------------------------
+
+def parse_color(s) -> np.ndarray:
+    """'#rrggbb' / '#rrggbbaa' (or an (r,g,b[,a]) tuple) → uint8 RGBA."""
+    if isinstance(s, (tuple, list, np.ndarray)):
+        v = list(s) + [255] * (4 - len(s))
+        return np.array(v[:4], dtype=np.uint8)
+    t = s.lstrip("#")
+    if len(t) == 6:
+        t += "ff"
+    if len(t) != 8:
+        raise ValueError(f"bad color {s!r}")
+    return np.array([int(t[i:i + 2], 16) for i in (0, 2, 4, 6)],
+                    dtype=np.uint8)
+
+
+def _blend_into(img: np.ndarray, mask: np.ndarray, rgba: np.ndarray) -> None:
+    """src-over composite rgba into img where mask (premultiplied-free
+    integer math; a=255 reduces to assignment)."""
+    a = int(rgba[3])
+    if a == 0 or not mask.any():
+        return
+    if a == 255:
+        img[mask] = rgba
+        return
+    dst = img[mask].astype(np.uint16)
+    src = rgba.astype(np.uint16)
+    out = dst.copy()
+    out[:, :3] = (src[:3] * a + dst[:, :3] * (255 - a) + 127) // 255
+    out[:, 3] = np.minimum(255, a + (dst[:, 3] * (255 - a) + 127) // 255)
+    img[mask] = out.astype(np.uint8)
+
+
+def _mask_polygon(shape, rings) -> np.ndarray:
+    m = np.zeros((*shape, 4), dtype=np.uint8)
+    fill_polygon(m, rings, (255, 255, 255, 255))
+    return m[:, :, 3] > 0
+
+
+def _mask_line(shape, pts: np.ndarray, width: float) -> np.ndarray:
+    """Stroke mask: pixel centers within width/2 of any segment (exact
+    point-segment distance over the pixel grid near each segment's bbox)."""
+    h, w = shape
+    mask = np.zeros(shape, dtype=bool)
+    r = max(width / 2.0, 0.5)
+    for i in range(len(pts) - 1):
+        (x0, y0), (x1, y1) = pts[i], pts[i + 1]
+        lo_x = max(int(np.floor(min(x0, x1) - r)), 0)
+        hi_x = min(int(np.ceil(max(x0, x1) + r)) + 1, w)
+        lo_y = max(int(np.floor(min(y0, y1) - r)), 0)
+        hi_y = min(int(np.ceil(max(y0, y1) + r)) + 1, h)
+        if lo_x >= hi_x or lo_y >= hi_y:
+            continue
+        gx = np.arange(lo_x, hi_x) + 0.5
+        gy = (np.arange(lo_y, hi_y) + 0.5)[:, None]
+        dx, dy = x1 - x0, y1 - y0
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0:
+            d2 = (gx - x0) ** 2 + (gy - y0) ** 2
+        else:
+            t = np.clip(((gx - x0) * dx + (gy - y0) * dy) / seg2, 0.0, 1.0)
+            d2 = (gx - (x0 + t * dx)) ** 2 + (gy - (y0 + t * dy)) ** 2
+        mask[lo_y:hi_y, lo_x:hi_x] |= d2 <= r * r
+    return mask
+
+
+def _mask_points(shape, pts: np.ndarray, radius: float) -> np.ndarray:
+    h, w = shape
+    mask = np.zeros(shape, dtype=bool)
+    r = max(radius, 0.5)
+    for x0, y0 in pts:
+        lo_x = max(int(np.floor(x0 - r)), 0)
+        hi_x = min(int(np.ceil(x0 + r)) + 1, w)
+        lo_y = max(int(np.floor(y0 - r)), 0)
+        hi_y = min(int(np.ceil(y0 + r)) + 1, h)
+        if lo_x >= hi_x or lo_y >= hi_y:
+            continue
+        gx = np.arange(lo_x, hi_x) + 0.5
+        gy = (np.arange(lo_y, hi_y) + 0.5)[:, None]
+        mask[lo_y:hi_y, lo_x:hi_x] |= \
+            (gx - x0) ** 2 + (gy - y0) ** 2 <= r * r
+    return mask
+
+
+def _feature_props(layer, feat) -> dict:
+    t = feat.tags
+    return {layer.keys[t[i]]: layer.values[t[i + 1]]
+            for i in range(0, len(t) - 1, 2)}
+
+
+def _match(filt: dict | None, props: dict) -> bool:
+    """Rule filter: {'key': k, 'equals': v} or {'key': k, 'in': [...]} —
+    the [key] = value Mapnik rule filters the reference styles use."""
+    if not filt:
+        return True
+    v = props.get(filt["key"])
+    if "equals" in filt:
+        return v == filt["equals"]
+    if "in" in filt:
+        return v in filt["in"]
+    return v is not None  # bare key filter: presence
+
+
+def render_tile_styled(tile_bytes: bytes | None, style: dict,
+                       tile_size: int = 256) -> np.ndarray:
+    """Render with a Mapnik-rule style document:
+
+        {"background": "#rrggbb[aa]",
+         "layers": [                     # draw order
+           {"layer": <name>, "filter": {"key": k, "equals"|"in": v}?,
+            "polygon": {"fill": color}?,
+            "line":    {"stroke": color, "width": px}?,
+            "point":   {"fill": color, "radius": px}?}, ...]}
+
+    Rules apply in document order (painter's algorithm); colors composite
+    src-over, so translucent fills layer like Mapnik's. A rule draws only
+    features whose geometry type matches its symbolizer(s) and whose tags
+    pass the filter."""
+    bg = parse_color(style.get("background", "#8cc63f"))
+    img = np.empty((tile_size, tile_size, 4), dtype=np.uint8)
+    img[:, :] = bg
+    if not tile_bytes:
+        return img
+    tile = mvt.decode_tile(bytes(tile_bytes))
+    by_name = {l.name: l for l in tile.layers}
+    shape = (tile_size, tile_size)
+    for rule in style.get("layers", []):
+        layer = by_name.get(rule["layer"])
+        if layer is None:
+            continue
+        scale = tile_size / float(layer.extent)
+        filt = rule.get("filter")
+        for feat in layer.features:
+            if not _match(filt, _feature_props(layer, feat)):
+                continue
+            paths = mvt.decode_geometry(feat.geometry, feat.type)
+            px = [np.column_stack([xs, ys]) * scale for xs, ys in paths]
+            if feat.type == mvt.GEOM_POLYGON and "polygon" in rule:
+                _blend_into(img, _mask_polygon(shape, px),
+                            parse_color(rule["polygon"]["fill"]))
+            elif feat.type == mvt.GEOM_LINESTRING and "line" in rule:
+                c = parse_color(rule["line"]["stroke"])
+                wd = float(rule["line"].get("width", 1.0))
+                for p in px:
+                    _blend_into(img, _mask_line(shape, p, wd), c)
+            elif feat.type == mvt.GEOM_POINT and "point" in rule:
+                c = parse_color(rule["point"]["fill"])
+                rad = float(rule["point"].get("radius", 1.0))
+                for p in px:
+                    _blend_into(img, _mask_points(shape, p, rad), c)
+    return img
+
+
+def render_tiles_styled(df, style: dict, tile_size: int = 256):
+    """Spark surface for the styled renderer: (z, x, y, tile_pbf, ...) →
+    (z, x, y, png binary); one Arrow batch pass, tiles independent."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "z": pdf["z"], "x": pdf["x"], "y": pdf["y"],
+                "png": [png_encode(render_tile_styled(b, style, tile_size))
+                        for b in pdf["tile_pbf"]],
+            })
+
+    return df.select("z", "x", "y", "tile_pbf").mapInPandas(
+        run, schema="z int, x long, y long, png binary")
+
+
 def render_tiles(df, styles: dict[str, tuple],
                  background: tuple = (0x8C, 0xC6, 0x3F, 0xFF),
                  tile_size: int = 256):

@@ -2,9 +2,10 @@
 
 A 100 TB training pipeline carries image/audio/video as `binary` columns
 with struct metadata; the Spark-side plumbing (schema, partitioning, Arrow
-batch shape, UDF signatures) is real and tested here, while the actual
-codec step is STUBBED — the image/audio libraries are not present in this
-container. `decode_image` raises NotImplementedError unless
+batch shape, UDF signatures) is real and tested here. PNG images decode
+FOR REAL via the in-repo pure-numpy decoder (operators/raster.png_decode);
+other codecs (JPEG/WebP, audio, video containers) are STUBBED — those
+libraries are not in this container — and raise NotImplementedError unless
 `deterministic_fake=True`, which produces a seeded fake decode so the
 downstream plumbing (resize → feature-extract shape) is exercised end to
 end without the codec.

@@ -368,3 +368,33 @@ def test_points_rings_pruned_matches_dense_10k(spark):
     for i in range(len(pts)):
         expect = f"p{first[i]}" if any_hit[i] else None
         assert got[i] == expect, i
+
+
+def test_clip_general_hole_straddling_piece_cut():
+    """A clip hole that cuts the subject into pieces across a
+    previously-attached subject hole: carried holes must be RE-SUBTRACTED
+    against each new piece (copying them verbatim attaches a hole to a
+    piece that only partially contains it).
+    inside = S − (hc∩S) − hs_below = 100 − 10 − 1 = 89;
+    outside = (hc∩S) − (hs∩hc) = 10 − 1 = 9."""
+    from avecado_spark.functions import geometry as g
+
+    def ring(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                        dtype=float)
+
+    S = ring(0, 0, 10, 10)
+    hs = ring(1, 4.5, 3, 5.5)   # subject hole, attached first
+    hc = ring(-1, 5, 11, 6)     # clip hole: splits S into bottom+top
+    out_in, out_out = g.clip_polygon_general([S, hs], [S, hc])
+
+    def area(polys):
+        tot = 0.0
+        for p in polys:
+            tot += abs(g.ring_area2(g.close_ring(np.asarray(p[0])))) / 2.0
+            for h in p[1:]:
+                tot -= abs(g.ring_area2(g.close_ring(np.asarray(h)))) / 2.0
+        return tot
+
+    assert area(out_in) == pytest.approx(89.0)
+    assert area(out_out) == pytest.approx(9.0)

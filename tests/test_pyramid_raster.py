@@ -225,3 +225,92 @@ def test_decode_image_real_png_and_media_features(spark):
     assert d.shape == (40, 30, 3)
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xffJPEGish", 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# styled renderer (Mapnik-rule JSON subset)
+# ---------------------------------------------------------------------------
+
+def _styled_tile():
+    """One tile, three layers: water polygon covering all, roads (two lines
+    with different 'highway' tags), pois (one point at center)."""
+    water = mvt.MvtLayer(name="water", extent=256)
+    ring = [(-1, -1), (257, -1), (257, 257), (-1, 257), (-1, -1)]
+    xs = np.array([p[0] for p in ring]); ys = np.array([p[1] for p in ring])
+    water.features.append(mvt.MvtFeature(
+        id=1, type=mvt.GEOM_POLYGON,
+        geometry=mvt.encode_geometry([(xs, ys)], mvt.GEOM_POLYGON)))
+
+    roads = mvt.MvtLayer(name="roads", extent=256,
+                         keys=["highway"], values=["primary", "service"])
+    roads.features.append(mvt.MvtFeature(
+        id=2, type=mvt.GEOM_LINESTRING, tags=[0, 0],
+        geometry=mvt.encode_geometry(
+            [(np.array([10, 240]), np.array([64, 64]))], mvt.GEOM_LINESTRING)))
+    roads.features.append(mvt.MvtFeature(
+        id=3, type=mvt.GEOM_LINESTRING, tags=[0, 1],
+        geometry=mvt.encode_geometry(
+            [(np.array([10, 240]), np.array([192, 192]))], mvt.GEOM_LINESTRING)))
+
+    pois = mvt.MvtLayer(name="pois", extent=256)
+    pois.features.append(mvt.MvtFeature(
+        id=4, type=mvt.GEOM_POINT,
+        geometry=mvt.encode_geometry(
+            [(np.array([128]), np.array([128]))], mvt.GEOM_POINT)))
+    return mvt.tile_to_gzip(mvt.MvtTile(layers=[water, roads, pois]))
+
+
+def test_styled_translucent_fill_composites():
+    from avecado_spark.operators.raster import render_tile_styled
+    style = {"background": "#000000",
+             "layers": [{"layer": "water", "polygon": {"fill": "#ff000080"}}]}
+    img = render_tile_styled(_styled_tile(), style)
+    # src-over 0x80 red over black: (255*128 + 0*127 + 127)//255 = 128
+    assert (img[:, :, 0] == 128).all()
+    assert (img[:, :, 1] == 0).all() and (img[:, :, 2] == 0).all()
+
+
+def test_styled_filter_selects_features():
+    from avecado_spark.operators.raster import render_tile_styled
+    style = {"background": "#000000",
+             "layers": [{"layer": "roads",
+                         "filter": {"key": "highway", "equals": "primary"},
+                         "line": {"stroke": "#ffffff", "width": 3}}]}
+    img = render_tile_styled(_styled_tile(), style)
+    assert (img[64, 100] == (255, 255, 255, 255)).all()   # primary drawn
+    assert (img[192, 100] == (0, 0, 0, 255)).all()        # service filtered
+
+
+def test_styled_line_width():
+    from avecado_spark.operators.raster import render_tile_styled
+    style = {"background": "#000000",
+             "layers": [{"layer": "roads",
+                         "line": {"stroke": "#ffffff", "width": 7}}]}
+    img = render_tile_styled(_styled_tile(), style)
+    col = img[:, 100, 0] == 255  # vertical slice through the y=64 line
+    rows = np.flatnonzero(col[:128])
+    assert 6 <= len(rows) <= 8                  # ~7 px of coverage
+    assert abs(int(rows.mean()) - 64) <= 1      # centered on the line
+
+
+def test_styled_point_radius_and_order():
+    from avecado_spark.operators.raster import render_tile_styled
+    style = {"background": "#000000",
+             "layers": [
+                 {"layer": "water", "polygon": {"fill": "#0000ff"}},
+                 {"layer": "pois", "point": {"fill": "#ffff00", "radius": 5}}]}
+    img = render_tile_styled(_styled_tile(), style)
+    assert (img[128, 128] == (255, 255, 0, 255)).all()    # marker on top
+    assert (img[128, 140] == (0, 0, 255, 255)).all()      # water below
+    disk = (img[:, :, 0] == 255) & (img[:, :, 1] == 255)
+    assert 60 <= disk.sum() <= 90                         # ~pi*5^2 = 78 px
+
+
+def test_styled_empty_tile_and_unknown_layer():
+    from avecado_spark.operators.raster import render_tile_styled
+    style = {"background": "#8cc63f",
+             "layers": [{"layer": "nope", "polygon": {"fill": "#ffffff"}}]}
+    img = render_tile_styled(None, style)
+    assert (img == np.array((0x8C, 0xC6, 0x3F, 0xFF), dtype=np.uint8)).all()
+    img2 = render_tile_styled(_styled_tile(), style)
+    assert (img2 == np.array((0x8C, 0xC6, 0x3F, 0xFF), dtype=np.uint8)).all()
