@@ -149,15 +149,35 @@ def minhash_bands_sql() -> str:
     )"""
 
 
+_PERSIST_LATEST: dict[str, DataFrame] = {}
+
+
+def persist_latest(tag: str, df: DataFrame) -> DataFrame:
+    """persist() with a one-generation cache: re-invoking the same builder
+    unpersists the PREVIOUS invocation's blocks first, so repeated queries
+    in one session hold at most one cached copy per operator (the round-2
+    advisor's leak), while the self-join still reads the subtree once.
+    (localCheckpoint would be GC-cleaned but measures ~5x slower here: the
+    RDD conversion materializes every column serialized and blocks AQE
+    across the boundary.) At corpus scale, materialize to a table instead —
+    jobs/dedup_signatures.py + *_from_table()."""
+    prev = _PERSIST_LATEST.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _PERSIST_LATEST[tag] = df
+    return df
+
+
 def lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint: the self-join references the bands subtree twice and
-    # Catalyst would recompute the full signature pipeline per side.
-    # Unlike persist() (pinned in the CacheManager until an explicit
-    # unpersist), checkpoint blocks are released by the ContextCleaner when
-    # the plan is GC'd, so repeated invocations don't accumulate storage.
-    # At corpus scale, write the signatures to a table instead —
-    # jobs/dedup_signatures.py + lsh_pairs_from_table().
-    bands = minhash_bands_df(spark, sf_dir).localCheckpoint(eager=False)
+    # persist via the one-generation cache: the self-join references the
+    # bands subtree twice and Catalyst would recompute the full signature
+    # pipeline per side
+    bands = persist_latest(f"minhash_bands:{sf_dir}",
+                           minhash_bands_df(spark, sf_dir))
     return _pairs_from_bands(bands)
 
 
@@ -257,12 +277,12 @@ def simhash_pairs_df(spark: SparkSession, sf_dir: str,
         F.struct(F.lit(b).cast("long").alias("band"),
                  F.expr(f"shiftright(simhash, {b * 15}) & 32767").alias("bkey"))
         for b in range(SIM_BANDS)])
-    # localCheckpoint (not persist): the self-join would recompute the
-    # map-side simhash twice; checkpoint blocks are GC-cleaned, cached
-    # blocks are not. Scale path: simhash_pairs_from_table below.
-    bands = (sh.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
-               .select("doc_id", "simhash", "bb.band", "bb.bkey")
-               .localCheckpoint(eager=False))
+    # one-generation persist: the self-join would recompute the map-side
+    # simhash twice. Scale path: simhash_pairs_from_table below.
+    bands = persist_latest(
+        f"simhash_bands:{sf_dir}",
+        sh.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
+          .select("doc_id", "simhash", "bb.band", "bb.bkey"))
     return _simhash_pairs_from_bands(bands, max_hamming)
 
 

@@ -273,10 +273,12 @@ def embedding_neardup_lsh_df(spark: SparkSession, sf_dir: str,
     of quadratic."""
     emb = _neardup_corpus_df(spark, sf_dir)
     buckets = _lsh_buckets_for(spark, emb)
-    # localCheckpoint (not persist): the self-join references the bucketed
-    # corpus twice; checkpoint blocks are ContextCleaner-released when the
-    # plan is GC'd, persist() would pin them in the CacheManager forever
-    embb = emb.join(buckets, "vec_id").localCheckpoint(eager=False)
+    # one-generation persist (see dedup.persist_latest): the self-join
+    # references the bucketed corpus twice; repeated invocations unpersist
+    # the previous generation so storage stays bounded
+    from .dedup import persist_latest
+    embb = persist_latest(f"neardup_embb:{sf_dir}",
+                          emb.join(buckets, "vec_id"))
     a = embb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
                     F.col("band").alias("ba"), F.col("bucket").alias("ka"))
     b = embb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
