@@ -274,3 +274,19 @@ def test_salted_izer_matches_whole_group_build(spark):
     b = {(r.z, r.x, r.y): r.n_features
          for r in build_feature_tiles_salted(df, izer_config=conf).collect()}
     assert a == b and sum(a.values()) == 30  # 20 + 10 splits
+
+
+def test_knn_rings_probe_is_slim_and_map_side(spark):
+    """The kNN-polygon probe (J2) must stay a map-side broadcast probe: no
+    html/text through Arrow, no shuffle beyond the pages-synthesis
+    DISTINCT — the polygon table and tree travel via broadcast, never a
+    join."""
+    from avecado_spark import queries as q
+    df = q.queries()["j2_knn_rings"](spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    probe_lines = [l for l in physical.splitlines() if "MapInPandas" in l]
+    assert probe_lines and all("html" not in l and "text" not in l
+                               for l in probe_lines)
+    exchanges = [l for l in physical.splitlines() if "Exchange" in l]
+    assert len(exchanges) <= 1  # only the synthesis DISTINCT
+    assert "Join" not in physical

@@ -314,3 +314,41 @@ def test_styled_empty_tile_and_unknown_layer():
     assert (img == np.array((0x8C, 0xC6, 0x3F, 0xFF), dtype=np.uint8)).all()
     img2 = render_tile_styled(_styled_tile(), style)
     assert (img2 == np.array((0x8C, 0xC6, 0x3F, 0xFF), dtype=np.uint8)).all()
+
+
+def test_render_tiles_job(spark, tmp_path):
+    """jobs/render_tiles.py path: styled Spark render over a built tile
+    table writes a z/x/y.png tree (accumulator-counted single pass)."""
+    import json
+    import subprocess
+    import sys
+    import os
+    from avecado_spark.api import build_tiles
+    from avecado_spark.sources.manifest import run_resumable_build
+    from avecado_spark.sources.pages import pages_df
+
+    tiles = build_tiles(pages_df(spark, "/root/testdata/sf0.001"), z=6)
+    table = str(tmp_path / "tiletable")
+    run_resumable_build(spark, tiles, 6, table, lineage="render-test")
+
+    style = {"background": "#102030",
+             "layers": [{"layer": "pages", "point": {"fill": "#ffffff",
+                                                     "radius": 2}}]}
+    style_path = str(tmp_path / "style.json")
+    with open(style_path, "w") as f:
+        json.dump(style, f)
+    out = str(tmp_path / "pngs")
+    res = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "..", "jobs", "render_tiles.py"),
+         "--tiles", table, "--style", style_path, "--out", out],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["rendered"] > 0
+    pngs = [os.path.join(dp, f) for dp, _, fs in os.walk(out)
+            for f in fs if f.endswith(".png")]
+    assert len(pngs) == info["rendered"]
+    from avecado_spark.operators.raster import png_decode
+    img = png_decode(open(pngs[0], "rb").read())
+    assert img.shape == (256, 256, 4)
