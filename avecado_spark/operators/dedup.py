@@ -308,6 +308,70 @@ def simhash_pairs_from_table(spark: SparkSession, bands_path: str,
                                      max_hamming)
 
 
+def dedup_components_df(spark: SparkSession, sf_dir: str,
+                        max_iter: int = 15) -> DataFrame:
+    """Connected components over the LSH near-dup pair graph → one cluster
+    id per document (the canonical-representative step of corpus dedup:
+    keep min doc_id per component, drop the rest).
+
+    Min-label propagation: every doc starts labeled with its own id; each
+    round a doc takes the min of its label and its neighbors' labels;
+    converges in O(cluster diameter) rounds (near-dup clusters are
+    shallow — pairs/chains of a few docs — so 2-4 rounds in practice, and
+    the loop early-stops on a changed-count of 0). Plans are truncated
+    with localCheckpoint each round so lineage stays flat across
+    iterations (the standard iterative-Spark hygiene). At 10^12 docs the
+    same loop runs with the pair table materialized
+    (jobs/dedup_signatures.py) and alternating large-star/small-star
+    rounds (Kiveris et al.) to cut the iteration count; the per-round
+    shape — join, groupBy-min, join — is identical."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pairs = lsh_pairs_df(spark, sf_dir)
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+              .localCheckpoint(eager=False))
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges.v == labels.doc_id)
+                     .groupBy("u").agg(F.min("comp").alias("ncomp")))
+        nxt = (labels.join(prop, labels.doc_id == prop.u, "left")
+                     .select(labels.doc_id,
+                             F.least(labels.comp,
+                                     F.coalesce(prop.ncomp, labels.comp))
+                              .alias("comp"))
+                     .localCheckpoint(eager=False))
+        changed = (nxt.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("comp").cast("long").alias("comp"))
+
+
+def dedup_components_sql() -> str:
+    """Oracle: exact transitive closure by recursive CTE, comp = min over
+    the reachable set ∪ self."""
+    return f"""(
+      WITH RECURSIVE pair_tbl AS (
+        SELECT doc_a, doc_b FROM {lsh_pairs_sql()} p
+      ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pair_tbl
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pair_tbl
+      ), reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      )
+      SELECT d.doc_id,
+             CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+               AS comp
+      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id
+    )"""
+
+
 def simhash_pairs_sql(max_hamming: int = MAX_HAMMING) -> str:
     return f"""(
       WITH sh AS (SELECT * FROM {SIMHASH_SQL} s),

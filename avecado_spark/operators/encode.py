@@ -259,7 +259,8 @@ def build_point_tiles(df: DataFrame, z: int,
                       compression_level: int = 6,
                       num_partitions: int | None = None,
                       props_cols: tuple = ("lang",),
-                      vocab: dict[str, list] | None = None) -> DataFrame:
+                      vocab: dict[str, list] | None = None,
+                      partials_only: bool = False) -> DataFrame:
     """pages with (x, y, salt, mx_mm, my_mm, feature_id, <props_cols>) → one
     row per tile (z, x, y, tile_pbf, n_features, interesting).
 
@@ -405,6 +406,46 @@ def build_point_tiles(df: DataFrame, z: int,
                .sortWithinPartitions("pkey")
                .mapInPandas(phase1, schema=_PARTIAL_SCHEMA))
 
+    if partials_only:
+        return partial
+    return merge_point_partials(partial, z, tile_size=tile_size,
+                                path_multiplier=path_multiplier,
+                                layer_name=layer_name, n_salts=n_salts,
+                                compression_level=compression_level,
+                                num_partitions=nparts,
+                                props_cols=props_cols, vocab=vocab)
+
+
+def merge_point_partials(partial: DataFrame, z: int,
+                         tile_size: int = DEFAULT_TILE_SIZE,
+                         path_multiplier: int = DEFAULT_PATH_MULT,
+                         layer_name: str = "pages",
+                         n_salts: int = 16,
+                         compression_level: int = 6,
+                         num_partitions: int | None = None,
+                         props_cols: tuple = ("lang",),
+                         vocab: dict[str, list] | None = None,
+                         extra_sort_cols: tuple = ()) -> DataFrame:
+    """Phase 2 of the point build as a standalone operator: merge PARTIAL
+    rows (pkey, fblock, n_features, inside1) into final gzipped tiles by
+    byte concatenation. Partials merge from ANY partition of the feature
+    set — salt slices within one job, or MICRO-BATCHES across a streaming
+    ingest (streaming/tiles.py uses batch_id as a time-salt) — because
+    feature blocks index the fixed global key/value tables. Rows with the
+    same pkey from different sources are ordered by extra_sort_cols (e.g.
+    ("batch_id",)) for deterministic tile bytes."""
+    extent = tile_size * path_multiplier
+    nparts = (num_partitions
+              or int(partial.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    salt_bits = max(1, int(np.ceil(np.log2(max(n_salts, 2)))))
+    if 2 * z + salt_bits > 63:
+        salt_bits = 63 - 2 * z
+    if vocab is None:
+        if tuple(props_cols) != ("lang",):
+            raise ValueError("merge_point_partials needs the vocab the "
+                             "partials were built with")
+        vocab = {"lang": PAGES_VALUES}
+
     layer_head = _len_delim(1, layer_name.encode("utf-8"))
     layer_tail = (b"".join(_len_delim(3, k.encode("utf-8")) for k in props_cols)
                   + b"".join(_len_delim(4, mvt._encode_value(v))
@@ -414,6 +455,7 @@ def build_point_tiles(df: DataFrame, z: int,
     from ..functions.mvt import gzip_bytes as _gzb
     p2cols = ["tkey", "fblock", "n_features", "inside1"]
     ymask = (1 << z) - 1
+    compression = compression_level
 
     def phase2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # sorted by pkey → tiles contiguous, partial blocks in salt order
@@ -426,8 +468,8 @@ def build_point_tiles(df: DataFrame, z: int,
             for st, e in zip(starts, ends):
                 body = layer_head + b"".join(fbl[st:e]) + layer_tail
                 tile_bytes = _len_delim(3, body)
-                if compression_level > 0:
-                    tile_bytes = _gzb(tile_bytes, compression_level)
+                if compression > 0:
+                    tile_bytes = _gzb(tile_bytes, compression)
                 total = int(nf[st:e].sum())
                 pbfs.append(tile_bytes)
                 nfs.append(total)
@@ -446,7 +488,7 @@ def build_point_tiles(df: DataFrame, z: int,
     # is preserved per partition and we re-sort by pkey here
     return (tiled
             .repartition(nparts, "tkey")
-            .sortWithinPartitions("pkey")
+            .sortWithinPartitions("pkey", *extra_sort_cols)
             .mapInPandas(phase2, schema=_TILE_SCHEMA))
 
 

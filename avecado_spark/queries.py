@@ -678,6 +678,14 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_pairs_df(spark, sf_dir)
 
 
+@register("dedup_components", f"SELECT * FROM {D.dedup_components_sql()} t")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH pair graph — one cluster id per
+    document (iterative min-label propagation, early-stopped; the oracle
+    computes the exact transitive closure with a recursive CTE)."""
+    return D.dedup_components_df(spark, sf_dir)
+
+
 @register("dedup_ngram_jaccard", f"""
   WITH pairs AS (SELECT * FROM {D.lsh_pairs_sql()} p),
   sh AS (SELECT DISTINCT doc_id, shingle FROM {D.SHINGLES_SQL} s),

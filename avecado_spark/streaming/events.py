@@ -8,8 +8,9 @@ and incremental tile refreshes are first-class:
       twin is queries.events_window_5m (oracle-checked); this streaming
       version must produce the same aggregates when run to completion with
       Trigger.AvailableNow over the same input.
-  streaming_tile_counts — per-tile doc counts maintained incrementally
-      (update mode): the streaming face of tile_assign.
+
+(The streaming faces of the TILE pipeline — incremental per-tile counts and
+the batch-as-time-salt incremental tile build — live in streaming/tiles.py.)
 
 Tests drive these with availableNow over the static parquet and compare to
 the batch answer — the standard batch/stream parity check.

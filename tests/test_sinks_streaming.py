@@ -460,3 +460,54 @@ def test_fetch_from_tilejson(spark):
         assert out[(10, 1400, 1000)].status == 200
         assert out[(10, 1400, 1000)].served_z == 6
         assert out[(8, 100, 100)].served_z == 8
+
+
+def test_streaming_tile_counts_parity(spark, tmp_path):
+    """availableNow streaming per-tile counts == the batch tile_assign."""
+    from avecado_spark import queries as q
+    from avecado_spark.sources.pages import pages_df
+    from avecado_spark.streaming.events import run_available_now
+    from avecado_spark.streaming.tiles import streaming_tile_counts
+
+    src = str(tmp_path / "pages_src")
+    pages_df(spark, SF).write.parquet(src)
+    rows = run_available_now(streaming_tile_counts(spark, src, z=14),
+                             "stream_tile_counts")
+    got = {(r.x, r.y): r.n_docs for r in rows}
+    want = {(r.x, r.y): r.n_docs
+            for r in q.queries()["tile_assign_z14"](spark, SF).collect()}
+    assert got == want
+
+
+def test_incremental_tile_build_matches_batch(spark, tmp_path):
+    """The batch-as-time-salt incremental build: N micro-batches of phase-1
+    partials + one phase-2 merge equals the one-shot batch build (same
+    tiles, same per-tile feature counts and interesting flags), a replayed
+    run processes nothing new, and finalize is byte-deterministic."""
+    from avecado_spark.api import build_tiles
+    from avecado_spark.sources.pages import pages_df
+    from avecado_spark.streaming.tiles import (finalize_tiles,
+                                               incremental_tile_build)
+
+    src = str(tmp_path / "pages_src")
+    pages_df(spark, SF).repartition(4).write.parquet(src)  # 4 slices
+    out = str(tmp_path / "inc_build")
+
+    n = incremental_tile_build(spark, src, z=14, out_path=out)
+    assert n >= 4  # one micro-batch per file (maxFilesPerTrigger=1)
+
+    tiles = finalize_tiles(spark, out, z=14)
+    got = {(r.z, r.x, r.y): (r.n_features, r.interesting)
+           for r in tiles.collect()}
+    want = {(r.z, r.x, r.y): (r.n_features, r.interesting)
+            for r in build_tiles(spark.read.parquet(src), z=14).collect()}
+    assert got == want
+
+    # restart from the same checkpoint: nothing to replay
+    assert incremental_tile_build(spark, src, z=14, out_path=out) == 0
+
+    # deterministic finalize (batch_id tie-break)
+    b1 = {(r.z, r.x, r.y): bytes(r.tile_pbf) for r in tiles.collect()}
+    b2 = {(r.z, r.x, r.y): bytes(r.tile_pbf)
+          for r in finalize_tiles(spark, out, z=14).collect()}
+    assert b1 == b2
