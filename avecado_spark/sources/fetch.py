@@ -119,6 +119,96 @@ def fetch_tiles(coords: DataFrame, url_pattern: str,
     return coords.select("z", "x", "y").mapInPandas(run, schema=_FETCH_SCHEMA)
 
 
+_CFETCH_SCHEMA = ("z int, x long, y long, status int, tile_pbf binary, "
+                  "last_modified long, expires long, from_cache boolean")
+
+
+def fetch_tiles_conditional(coords: DataFrame, cache: DataFrame | None,
+                            url_pattern: str, now: int,
+                            allow_network: bool = False,
+                            opener=None) -> DataFrame:
+    """HTTP-cache semantics over a Spark table — the engine's substitution
+    for the reference's per-thread SQLite HTTP cache (S7, http.cpp):
+
+      * a cached row with `expires` > now is served WITHOUT a request
+        (the reference's expiry check, http.cpp:143-186);
+      * a stale cached row carries its Last-Modified into a PER-TILE
+        If-Modified-Since header; a 304 response refreshes metadata and
+        reuses the cached bytes (reference conditional requests,
+        http.cpp:725 + fetcher_test.cpp);
+      * uncached rows fetch plainly.
+
+    cache: (z, x, y, tile_pbf, last_modified, expires) or None. Returns
+    (z, x, y, status, tile_pbf, last_modified, expires, from_cache); write
+    it back as the next run's cache table. The join is on tile keys — at
+    fleet scale the cache table is bucketed by (z, x, y) so revalidation
+    sweeps co-locate with it."""
+    if opener is None:
+        if not allow_network:
+            raise ValueError("network fetch disabled; pass allow_network=True "
+                             "or inject an opener")
+        opener = _default_opener
+
+    if cache is None:
+        left = coords.select("z", "x", "y",
+                             F.lit(None).cast("binary").alias("c_pbf"),
+                             F.lit(None).cast("long").alias("c_lm"),
+                             F.lit(None).cast("long").alias("c_exp"))
+    else:
+        left = coords.select("z", "x", "y").join(
+            cache.select("z", "x", "y",
+                         F.col("tile_pbf").alias("c_pbf"),
+                         F.col("last_modified").alias("c_lm"),
+                         F.col("expires").alias("c_exp")),
+            ["z", "x", "y"], "left")
+
+    fresh = (left.where(F.col("c_exp").isNotNull() & (F.col("c_exp") > now))
+                 .select("z", "x", "y", F.lit(200).alias("status"),
+                         F.col("c_pbf").alias("tile_pbf"),
+                         F.col("c_lm").alias("last_modified"),
+                         F.col("c_exp").alias("expires"),
+                         F.lit(True).alias("from_cache")))
+    stale = left.where(F.col("c_exp").isNull() | (F.col("c_exp") <= now))
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("z", "x", "y", "status", "tile_pbf",
+                                   "last_modified", "expires", "from_cache")}
+            for r in pdf.itertuples(index=False):
+                z, x, y = int(r.z), int(r.x), int(r.y)
+                headers = {"User-Agent": "avecado-spark/0.1",
+                           "Accept-Encoding": "gzip"}
+                has_lm = r.c_lm is not None and not pd.isna(r.c_lm)
+                if has_lm:
+                    headers["If-Modified-Since"] = make_http_date(int(r.c_lm))
+                status, body, rheaders = opener(
+                    tile_url(url_pattern, z, x, y), headers)
+                out["z"].append(z)
+                out["x"].append(x)
+                out["y"].append(y)
+                out["status"].append(int(status))
+                if status == 304 and r.c_pbf is not None:
+                    # not modified → cached bytes stay valid
+                    out["tile_pbf"].append(bytes(r.c_pbf))
+                    out["from_cache"].append(True)
+                elif status == 200:
+                    out["tile_pbf"].append(body)
+                    out["from_cache"].append(False)
+                else:
+                    out["tile_pbf"].append(b"")
+                    out["from_cache"].append(False)
+                lm = parse_http_date(rheaders.get("Last-Modified"))
+                if lm is None and has_lm and status == 304:
+                    lm = int(r.c_lm)
+                out["last_modified"].append(lm)
+                out["expires"].append(parse_http_date(rheaders.get("Expires")))
+            yield pd.DataFrame(out)
+
+    fetched = stale.select("z", "x", "y", "c_pbf", "c_lm").mapInPandas(
+        run, schema=_CFETCH_SCHEMA)
+    return fresh.unionAll(fetched)
+
+
 def fetch_from_tilejson(coords: DataFrame, tilejson_text: str | bytes,
                         allow_network: bool = False,
                         opener=None) -> DataFrame:

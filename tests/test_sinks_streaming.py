@@ -511,3 +511,55 @@ def test_incremental_tile_build_matches_batch(spark, tmp_path):
     b2 = {(r.z, r.x, r.y): bytes(r.tile_pbf)
           for r in finalize_tiles(spark, out, z=14).collect()}
     assert b1 == b2
+
+
+def test_fetch_tiles_conditional_cache(spark):
+    """S7 substitution — HTTP-cache semantics over a Spark table: fresh
+    cache rows never hit the network; stale rows revalidate with a
+    PER-TILE If-Modified-Since; 304 reuses cached bytes; uncached rows
+    fetch plainly."""
+    from avecado_spark.sources.fetch import (fetch_tiles_conditional,
+                                             make_http_date)
+
+    NOW = 1_700_000_000
+
+    def opener(url, headers):
+        # runs on executors: observations travel back in the body bytes
+        parts = url.rsplit("/", 3)
+        x = int(parts[2])
+        ims = headers.get("If-Modified-Since")
+        if x == 2:   # revalidation: unchanged since the cached Last-Modified
+            assert ims == make_http_date(NOW - 5000)
+            return (304, b"", {"Expires": make_http_date(NOW + 3600)})
+        if x == 3:   # changed on the server
+            return (200, b"new-bytes",
+                    {"Last-Modified": make_http_date(NOW - 10),
+                     "Expires": make_http_date(NOW + 60)})
+        return (200, f"plain|ims={ims}".encode(), {})
+
+    coords = spark.createDataFrame(
+        [(6, 1, 0), (6, 2, 0), (6, 3, 0), (6, 4, 0)], "z int, x long, y long")
+    cache = spark.createDataFrame(
+        [(6, 1, 0, bytearray(b"cached-fresh"), NOW - 9000, NOW + 9000),
+         (6, 2, 0, bytearray(b"cached-stale"), NOW - 5000, NOW - 100),
+         (6, 3, 0, bytearray(b"cached-old"), NOW - 99000, NOW - 100)],
+        "z int, x long, y long, tile_pbf binary, last_modified long, expires long")
+
+    out = {r.x: r for r in fetch_tiles_conditional(
+        coords, cache, "https://t.example/{z}/{x}/{y}.pbf", NOW,
+        opener=opener).collect()}
+
+    assert bytes(out[1].tile_pbf) == b"cached-fresh" and out[1].from_cache
+    assert out[1].status == 200
+    assert bytes(out[2].tile_pbf) == b"cached-stale" and out[2].from_cache
+    assert out[2].status == 304
+    assert out[2].last_modified == NOW - 5000        # carried through 304
+    assert out[2].expires == NOW + 3600              # refreshed metadata
+    assert bytes(out[3].tile_pbf) == b"new-bytes" and not out[3].from_cache
+    assert out[3].last_modified == NOW - 10
+    # uncached row fetched plainly with NO If-Modified-Since header
+    assert bytes(out[4].tile_pbf) == b"plain|ims=None"
+    assert not out[4].from_cache
+    # fresh row: untouched metadata proves it never went through the opener
+    # (the opener would have refreshed/cleared expires)
+    assert out[1].expires == NOW + 9000
