@@ -818,6 +818,36 @@ def events_window_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents")))
 
 
+@register("events_window_sliding", """
+  WITH e AS (
+    SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS w0, event_type, value
+    FROM events
+  ), ex AS (
+    SELECT w0 - 300 * r.range AS wstart, event_type, value
+    FROM e, range(2) r
+  )
+  SELECT wstart, event_type, count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM ex GROUP BY 1, 2
+""")
+def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING window aggregation (10-minute windows every 5 minutes): each
+    event lands in exactly two windows — w0 = floor(t/300)*300 and
+    w0 - 300 — expressed as a map-side explode (the same fan-out Spark's
+    F.window(slide) performs internally; Structured Streaming runs the
+    identical plan incrementally). Integer-cents sums for exact parity."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w0 = ((F.unix_timestamp("ts").cast("long") / 300).cast("long")
+          * 300)
+    return (ev.select(F.explode(F.array(w0, w0 - 300)).alias("wstart"),
+                      "event_type", "value")
+              .groupBy("wstart", "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.round(F.col("value") * 100).cast("long"))
+                    .alias("value_cents")))
+
+
 @register("events_sessionize", """
   WITH e AS (
     SELECT user_id, floor(epoch(ts))::BIGINT AS t FROM events
