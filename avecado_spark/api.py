@@ -13,8 +13,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.encode import build_point_tiles, make_vector_tile  # noqa: F401
+from .operators.adminizer import (adminize_points,  # noqa: F401
+                                  adminize_points_knn_rings,
+                                  adminize_points_rings)
+from .operators.encode import (build_feature_tiles,  # noqa: F401
+                               build_feature_tiles_salted, build_point_tiles,
+                               make_vector_tile, merge_point_partials)
 from .operators.keys import geocode, with_salt, with_tile_keys
+from .operators.raster import (render_tile_styled,  # noqa: F401
+                               render_tiles_styled)
+from .sources.fetch import (fetch_from_tilejson,  # noqa: F401
+                            fetch_tiles, fetch_tiles_conditional,
+                            fetch_tiles_overzoom)
 from .sources.pages import pages_df, pages_oracle_sql  # noqa: F401
 
 

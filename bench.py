@@ -140,10 +140,10 @@ def _profile_stages(cpus: int):
     Stage times are differences; run pinned for honest core accounting."""
     from pyspark.sql import functions as F
     from avecado_spark.operators.keys import geocode, with_tile_keys, with_salt
-    from avecado_spark.sources.pages import pages_df
     spark = _session(cpus)
     _run_tile_assign(spark, SF_DIR)  # warm-up
-    p = geocode(pages_df(spark, SF_DIR, multiplier=BENCH_MULT))
+    pages = spark.read.parquet(_pages_table(spark, SF_DIR))
+    p = geocode(pages)
     p = with_tile_keys(p, 14).withColumn(
         "feature_id", F.col("url").substr(32, 20).cast("long"))
     p = with_salt(p, 16)

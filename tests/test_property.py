@@ -147,3 +147,36 @@ def test_clip_polygon_general_conserves_area(c, radii, box):
     bi, bo = split_polygon_by_box(subj, (cx - 3, cy - 2, cx + 3, cy + 2))
     assert abs(_area_polys(gi) - _area_polys(bi)) <= 1e-6 * max(a_subj, 1.0)
     assert abs(_area_polys(go) - _area_polys(bo)) <= 1e-6 * max(a_subj, 1.0)
+
+
+@given(st.integers(3, 10), st.integers(0, 10**6),
+       st.floats(-50, 50), st.floats(-50, 50))
+@settings(max_examples=60, deadline=None)
+def test_ring_distance2_against_boundary_sampling(n_verts, seed, px, py):
+    """ring_distance2 lower-bounds the distance to a dense boundary
+    sampling, and is 0 exactly when the crossing-number test says inside."""
+    import numpy as np
+    from avecado_spark.functions import geometry as G
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n_verts))
+    if len(np.unique(np.round(ang, 6))) < 3:
+        return
+    r = rng.uniform(5, 20, n_verts)
+    ring = np.column_stack([r * np.cos(ang), r * np.sin(ang)])
+    pt = np.array([[px, py]])
+    d2 = G.ring_distance2(pt, ring)[0]
+    inside = G.points_in_ring(pt, G.close_ring(ring))[0]
+    if inside:
+        assert d2 == 0.0
+        return
+    # dense boundary sampling: true distance within one sampling step
+    closed = G.close_ring(ring)
+    samples = []
+    for i in range(len(closed) - 1):
+        t = np.linspace(0, 1, 200)[:, None]
+        samples.append(closed[i] + t * (closed[i + 1] - closed[i]))
+    s = np.vstack(samples)
+    sd2 = ((s[:, 0] - px) ** 2 + (s[:, 1] - py) ** 2).min()
+    assert d2 <= sd2 + 1e-9
+    # and not much smaller than the sampled minimum (step <= ~0.3 units)
+    assert np.sqrt(d2) >= np.sqrt(sd2) - 0.5
