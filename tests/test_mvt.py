@@ -287,3 +287,34 @@ def test_tile_bytes_golden_z16_and_multiprop(spark):
         assert ks == [0, 1]
         assert layer.values[vs[0]] in ("en", "de", "fr", "es", "zh", "ru", "pt")
         assert layer.values[vs[1]] in ("east", "west")
+
+
+def test_out_of_vocab_lang_is_untagged(spark):
+    """Null / out-of-vocab categorical values must produce UNTAGGED
+    features (the reserved sentinel combo), never silently borrow the
+    first vocab value's tag."""
+    from avecado_spark.functions import mvt as M
+    from avecado_spark.operators.encode import build_point_tiles
+
+    z = 4
+    rows = [
+        # (x, y, salt, mx_mm, my_mm, feature_id, lang) — all in one tile
+        (8, 8, 0, 100000, 100000, 1, "de"),      # in vocab
+        (8, 8, 1, 200000, 200000, 2, "xx"),      # NOT in vocab
+        (8, 8, 2, 300000, 300000, 3, None),      # null
+    ]
+    df = spark.createDataFrame(
+        rows, "x long, y long, salt int, mx_mm long, my_mm long, "
+              "feature_id long, lang string")
+    tiles = build_point_tiles(df, z, n_salts=4).collect()
+    assert len(tiles) == 1
+    tile = M.decode_tile(bytes(tiles[0].tile_pbf))
+    layer = tile.layers[0]
+    tags_by_id = {f.id: list(f.tags) for f in layer.features}
+    assert set(tags_by_id) == {1, 2, 3}
+    # in-vocab: one (key, value) pair pointing at 'de'
+    k, v = tags_by_id[1][0], tags_by_id[1][1]
+    assert layer.keys[k] == "lang" and layer.values[v] == "de"
+    # out-of-vocab and null: NO tags at all
+    assert tags_by_id[2] == []
+    assert tags_by_id[3] == []

@@ -563,3 +563,12 @@ def test_fetch_tiles_conditional_cache(spark):
     # fresh row: untouched metadata proves it never went through the opener
     # (the opener would have refreshed/cleared expires)
     assert out[1].expires == NOW + 9000
+
+
+def test_default_opener_maps_transport_errors():
+    """A connection failure maps to a per-tile synthetic 599 (reference
+    fetch_status server_error role) instead of raising and killing the
+    Spark task."""
+    from avecado_spark.sources.fetch import _default_opener
+    status, body, headers = _default_opener("http://127.0.0.1:1/x.pbf", {})
+    assert status == 599 and body == b"" and headers == {}
