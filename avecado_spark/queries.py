@@ -976,6 +976,27 @@ def raster_render_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pngs.select("z", "x", "y", F.md5(F.col("png")).alias("png_md5"))
 
 
+@register("raster_render_styled_z6", None)
+def raster_render_styled_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/J5 styled variant: the Mapnik-rule renderer over built tiles —
+    draw-ordered rules, tag filter on the lang value, translucent point
+    markers composited over a polygon-free background. Rows-only like
+    raster_render_z6 (pixel bytes are not SQL); determinism surfaced as
+    md5, pixel semantics pinned by tests/test_pyramid_raster.py."""
+    from .api import build_tiles
+    from .operators.raster import render_tiles_styled
+    tiles = build_tiles(pages_df(spark, sf_dir), z=6)
+    style = {"background": "#10203000",
+             "layers": [
+                 {"layer": "pages",
+                  "point": {"fill": "#51214dcc", "radius": 2}},
+                 {"layer": "pages",
+                  "filter": {"key": "lang", "equals": "en"},
+                  "point": {"fill": "#ffffffff", "radius": 1}}]}
+    pngs = render_tiles_styled(tiles, style)
+    return pngs.select("z", "x", "y", F.md5(F.col("png")).alias("png_md5"))
+
+
 @register("cell_quadkey_z14", f"""
   WITH t AS (
     SELECT {tile_x_sql('mx_mm', 14)} AS x, {tile_y_sql('my_mm', 14)} AS y
