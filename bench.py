@@ -220,11 +220,12 @@ def main():
 
     from avecado_spark import queries as q
     qs = q.queries()
-    for name in ("dedup_minhash_bands", "dedup_lsh_pairs", "dedup_simhash",
-                 "dedup_simhash_pairs", "dedup_embedding_lsh",
+    for name in ("dedup_minhash_bands", "dedup_lsh_pairs", "dedup_components",
+                 "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_lsh",
                  "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
                  "text_quality", "text_lang_id", "text_fingerprint",
-                 "events_window_5m", "events_sessionize", "j1d_pip_polygon",
+                 "events_window_5m", "events_window_sliding",
+                 "events_sessionize", "j1d_pip_polygon",
                  "tpch_q3_shipping"):
         t = time.time()
         qs[name](spark, SF_DIR).count()
