@@ -29,7 +29,8 @@ from .sources.pages import pages_df, pages_oracle_sql  # noqa: F401
 
 
 def spark_session(master: str | None = None, app: str = "avecado_spark",
-                  shuffle_partitions: int | None = None) -> SparkSession:
+                  shuffle_partitions: int | None = None,
+                  max_partition_bytes: str | None = None) -> SparkSession:
     """Session with the engine's scale-oriented defaults: AQE on (runtime
     re-plan + skew-join splitting), Arrow enabled for pandas UDFs."""
     b = SparkSession.builder.appName(app)
@@ -50,12 +51,15 @@ def spark_session(master: str | None = None, app: str = "avecado_spark",
           .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
           .config("spark.sql.execution.arrow.pyspark.enabled", "true")
           .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-          # sandbox tables are a few MB per file; the default 128m packs the
-          # whole scan into 1-2 tasks and the map side never parallelizes.
-          # Real deployments should keep the default (override via env).
-          .config("spark.sql.files.maxPartitionBytes",
-                  os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
           .config("spark.sql.parquet.filterPushdown", "true"))
+    # The sandbox's test tables are a few MB per file, so bench/tests opt
+    # into a tiny maxPartitionBytes (4m) to parallelize the scan. The
+    # UNCONFIGURED path keeps Spark's 128m default — a 100 TB deployment
+    # must not inherit a 32x task-count inflation by accident.
+    mpb = max_partition_bytes or os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        b = b.config("spark.sql.files.maxPartitionBytes", mpb)
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return b.getOrCreate()

@@ -130,9 +130,15 @@ def ring_distance2(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
         dx = bx - ax
         dy = by - ay
         seg2 = dx * dx + dy * dy
-        with np.errstate(divide="ignore", invalid="ignore"):
+        if seg2 > 0.0:
             t = ((x - ax) * dx + (y - ay) * dy) / seg2
-        t = np.minimum(1.0, np.maximum(0.0, t))
+            t = np.minimum(1.0, np.maximum(0.0, t))
+        else:
+            # Degenerate (zero-length) edge: 0/0 would be NaN and poison
+            # np.minimum; any finite t gives cx=ax, cy=ay (dx=dy=0), i.e.
+            # distance-to-vertex-a — identical to the SQL oracle, whose
+            # LEAST/GREATEST clamp maps the NaN to a finite t.
+            t = 0.0
         cx = ax + t * dx
         cy = ay + t * dy
         ed2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)

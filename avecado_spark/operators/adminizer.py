@@ -379,6 +379,9 @@ def _box_candidates(pts: np.ndarray, boxes: np.ndarray,
     """(point_idx, box_idx) pairs where the point lies in the box — the
     vectorized bbox prefilter, chunked over the point axis so the dense
     mask stays ~64 MB even at 10^4 admin polygons."""
+    if len(pts) == 0 or len(boxes) == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty.copy()
     outs_p, outs_b = [], []
     step = max(1, chunk_cells // max(len(boxes), 1))
     for s in range(0, len(pts), step):
@@ -397,7 +400,8 @@ def adminize_points_knn_rings(df: DataFrame,
                               k: int = 1,
                               x_col: str = "mx_mm", y_col: str = "my_mm",
                               out_col: str = "admin",
-                              rank_col: str = "rank") -> DataFrame:
+                              rank_col: str = "rank",
+                              metrics: dict | None = None) -> DataFrame:
     """k-nearest admin POLYGONS for every point — the general-geometry J2
     (reference adminizer.cpp:331-385 STRtree.nearest trichotomy): distance
     to a polygon is 0 strictly inside, else the min point-segment distance
@@ -418,7 +422,15 @@ def adminize_points_knn_rings(df: DataFrame,
     exact distance is not strictly below the smallest pruned-subtree lower
     bound falls back to the dense scan (provably-exact kNN, never
     approximate). Exact work is O(k·ring_len) per point; bound work is
-    O(levels · beam · 16), independent of the polygon count."""
+    O(levels · beam · 16), independent of the polygon count.
+
+    Pass `metrics={}` to instrument the probe with Spark accumulators —
+    after an action runs, the dict holds `points` (points probed),
+    `rescans` (certificate failures → dense fallbacks), `exact_evals`
+    (point×polygon exact ring-distance evaluations) and `slate`
+    (beam-descent candidates before bound pruning), each a
+    `.value`-readable accumulator. This decomposes the probe's cost into
+    inherent exact work vs beam-too-narrow rescans."""
     if k < 1:
         raise ValueError("k must be >= 1")
     polys = sorted(polygons)
@@ -439,6 +451,13 @@ def adminize_points_knn_rings(df: DataFrame,
 
     _CHUNK = 4096          # points per descent chunk (bounds the slates)
     _DENSE_M = 64          # below this, dense exact beats the tree
+
+    acc = None
+    if metrics is not None:
+        sc = df.sparkSession.sparkContext
+        for key in ("points", "rescans", "exact_evals", "slate"):
+            metrics[key] = sc.accumulator(0)
+        acc = dict(metrics)
 
     def _dense_topk(pts, rings, m, kk):
         d2 = np.empty((len(pts), m))
@@ -463,6 +482,9 @@ def adminize_points_knn_rings(df: DataFrame,
                 pts = np.stack([x, y], axis=1)
                 if m <= _DENSE_M:
                     order_out[s:s + len(x)] = _dense_topk(pts, rings, m, kk)
+                    if acc is not None:
+                        acc["points"].add(len(x))
+                        acc["exact_evals"].add(len(x) * m)
                     continue
                 leaf, lb, min_pruned = tree.knn_candidates(x, y, beam=beam)
                 pad = leaf < 0
@@ -500,6 +522,12 @@ def adminize_points_knn_rings(df: DataFrame,
                 bad = np.flatnonzero(~(dk < min_pruned))
                 if len(bad):
                     top[bad] = _dense_topk(pts[bad], rings, m, kk)
+                if acc is not None:
+                    acc["points"].add(len(x))
+                    acc["rescans"].add(int(len(bad)))
+                    acc["exact_evals"].add(int(len(lj))
+                                           + int(len(bad)) * m)
+                    acc["slate"].add(int(np.count_nonzero(~pad)))
                 order_out[s:s + len(x)] = top
             out = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
             out[out_col] = [values[j] for j in order_out.ravel()]

@@ -37,8 +37,12 @@ for correctness only).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
@@ -320,11 +324,13 @@ def dedup_components_df(spark: SparkSession, sf_dir: str,
     shallow — pairs/chains of a few docs — so 2-4 rounds in practice, and
     the loop early-stops on a changed-count of 0). Plans are truncated
     with localCheckpoint each round so lineage stays flat across
-    iterations (the standard iterative-Spark hygiene). At 10^12 docs the
-    same loop runs with the pair table materialized
-    (jobs/dedup_signatures.py) and alternating large-star/small-star
-    rounds (Kiveris et al.) to cut the iteration count; the per-round
-    shape — join, groupBy-min, join — is identical."""
+    iterations (the standard iterative-Spark hygiene). Non-convergence in
+    max_iter rounds (a component whose diameter exceeds the budget) is
+    LOUD, never a silently-wrong label: the loop logs an error and raises.
+    For adversarial chain-shaped clusters at corpus scale use
+    dedup_components_bigstar_df below — alternating large-star/small-star
+    rounds (Kiveris et al.) converge in O(log n) rounds regardless of
+    diameter."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     pairs = lsh_pairs_df(spark, sf_dir)
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -346,6 +352,16 @@ def dedup_components_df(spark: SparkSession, sf_dir: str,
         labels = nxt
         if changed == 0:
             break
+    else:
+        _LOG.error("dedup_components_df: %d labels still changing after %d "
+                   "rounds — component diameter exceeds the iteration "
+                   "budget; use dedup_components_bigstar_df", changed,
+                   max_iter)
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); a component's diameter "
+            f"exceeds the budget — raise max_iter or use "
+            f"dedup_components_bigstar_df (O(log n) rounds)")
     return labels.select("doc_id", F.col("comp").cast("long").alias("comp"))
 
 
@@ -370,6 +386,90 @@ def dedup_components_sql() -> str:
       FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
       GROUP BY d.doc_id
     )"""
+
+
+def components_bigstar(edges: DataFrame,
+                       max_rounds: int = 40) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    MapReduce and Beyond", SoCC'14): converges in O(log^2 n) rounds (O(log
+    n) observed) REGARDLESS of component diameter, unlike min-label
+    propagation's O(diameter). Input: any (u, v) long pairs. Output:
+    (star_edges, n_rounds) where star_edges is the converged edge set —
+    each non-root node carries exactly (node, component_min).
+
+    One round = large-star then small-star over the canonical (u > v)
+    edge set:
+      large-star(u): m = min(nbrs(u) + [u]); every neighbor v > u
+                     re-points to m — emit (v, m).
+      small-star(u): m = min of u's SMALLER neighbors (v < u); every
+                     smaller neighbor re-points to m and u itself points
+                     to m — emit (v, m) for v in nbrs, plus (u, m).
+    Both emit only (bigger, smaller) pairs, so the set stays canonical;
+    the fixpoint (star graphs) is detected by set equality (count + empty
+    subtract — two actions/round). Each round's edge set is
+    localCheckpoint-ed: in an iterative loop the LOGICAL plan quadruples
+    per round and Catalyst analysis time explodes (persist caches data
+    but not the plan) — lineage truncation is the standard
+    iterative-Spark hygiene here, and the 2-long-column rows make the
+    RDD serialization cheap. Every op is join/groupBy-min — the same
+    shuffle shape as one BFS round, but log-many of them."""
+    e = (edges.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct().localCheckpoint())
+    n_edges = e.count()
+    rounds = 0
+    if n_edges == 0:
+        return e, rounds
+    for rounds in range(1, max_rounds + 1):
+        nbrs = e.union(e.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+        lmin = (nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+                    .select("u", F.least("mn", "u").alias("m")))
+        large = (nbrs.join(lmin, "u")
+                     .where(F.col("v") > F.col("u"))
+                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                     .where(F.col("u") != F.col("v"))
+                     .distinct().persist())
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (large.join(smin, "u")
+                      .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                      .union(smin.select("u", F.col("m").alias("v")))
+                      .where(F.col("u") != F.col("v"))
+                      .distinct().localCheckpoint())  # eager → large done
+        large.unpersist()
+        n_new = small.count()
+        converged = (n_new == n_edges) and small.subtract(e).isEmpty()
+        e, n_edges = small, n_new
+        if converged:
+            break
+    else:
+        _LOG.error("components_bigstar: no fixpoint in %d rounds",
+                   max_rounds)
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_rounds} "
+            f"rounds — pathological input (expected O(log n) rounds)")
+    return e, rounds
+
+
+def dedup_components_bigstar_df(spark: SparkSession, sf_dir: str,
+                                pairs: DataFrame | None = None) -> DataFrame:
+    """dedup_components_df semantics (doc_id → component min over the LSH
+    near-dup pair graph) via the large-star/small-star rounds — the scale
+    path for deep chain-shaped clusters. Pass `pairs` (doc_a, doc_b) to
+    run over a materialized pair table instead of recomputing LSH."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if pairs is None:
+        pairs = lsh_pairs_df(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"),
+                         F.col("doc_b").alias("v"))
+    stars, _ = components_bigstar(edges)
+    comp = stars.groupBy("u").agg(F.min("v").alias("ncomp"))
+    return (docs.join(comp, docs.doc_id == comp.u, "left")
+                .select("doc_id",
+                        F.coalesce("ncomp", "doc_id").cast("long")
+                         .alias("comp")))
 
 
 def simhash_pairs_sql(max_hamming: int = MAX_HAMMING) -> str:

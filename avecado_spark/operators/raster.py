@@ -329,7 +329,9 @@ def _match(filt: dict | None, props: dict) -> bool:
 
 
 def render_tile_styled(tile_bytes: bytes | None, style: dict,
-                       tile_size: int = 256) -> np.ndarray:
+                       tile_size: int = 256,
+                       request_zxy: tuple[int, int, int] | None = None,
+                       data_zxy: tuple[int, int, int] | None = None) -> np.ndarray:
     """Render with a Mapnik-rule style document:
 
         {"background": "#rrggbb[aa]",
@@ -342,7 +344,31 @@ def render_tile_styled(tile_bytes: bytes | None, style: dict,
     Rules apply in document order (painter's algorithm); colors composite
     src-over, so translucent fills layer like Mapnik's. A rule draws only
     features whose geometry type matches its symbolizer(s) and whose tags
-    pass the filter."""
+    pass the filter.
+
+    OVERZOOM (reference render_vector_tile.cpp:43-47: the tile_datasource
+    carries the DATA tile's z/x/y while the Map renders the REQUEST's
+    coords): pass request_zxy=(z,x,y) and data_zxy for the ancestor tile
+    that served it (fetch_tiles_overzoom's eff_z/eff_x/eff_y). When
+    request z > data z the renderer scales the ancestor's geometry up
+    2^dz and shifts to the requested quadrant — the request viewport is
+    the extent/2^dz sub-square of the data tile at offset
+    ((x - (dx<<dz)) * extent/2^dz, (y - (dy<<dz)) * ...). Geometry
+    outside the viewport lands off-image and is clipped by the masks."""
+    dz = 0
+    qx = qy = 0
+    if request_zxy is not None and data_zxy is not None:
+        zr, xr, yr = request_zxy
+        zd, xd, yd = data_zxy
+        if zr < zd:
+            raise ValueError(f"request z {zr} below data z {zd}")
+        dz = zr - zd
+        if (xr >> dz) != xd or (yr >> dz) != yd:
+            raise ValueError(
+                f"tile ({zr},{xr},{yr}) is not a descendant of "
+                f"({zd},{xd},{yd})")
+        qx = xr - (xd << dz)
+        qy = yr - (yd << dz)
     bg = parse_color(style.get("background", "#8cc63f"))
     img = np.empty((tile_size, tile_size, 4), dtype=np.uint8)
     img[:, :] = bg
@@ -355,13 +381,16 @@ def render_tile_styled(tile_bytes: bytes | None, style: dict,
         layer = by_name.get(rule["layer"])
         if layer is None:
             continue
-        scale = tile_size / float(layer.extent)
+        span = float(layer.extent) / (1 << dz)
+        scale = tile_size / span
+        ox, oy = qx * span, qy * span
         filt = rule.get("filter")
         for feat in layer.features:
             if not _match(filt, _feature_props(layer, feat)):
                 continue
             paths = mvt.decode_geometry(feat.geometry, feat.type)
-            px = [np.column_stack([xs, ys]) * scale for xs, ys in paths]
+            px = [(np.column_stack([xs, ys]) - (ox, oy)) * scale
+                  for xs, ys in paths]
             if feat.type == mvt.GEOM_POLYGON and "polygon" in rule:
                 _blend_into(img, _mask_polygon(shape, px),
                             parse_color(rule["polygon"]["fill"]))
@@ -392,6 +421,33 @@ def render_tiles_styled(df, style: dict, tile_size: int = 256):
             })
 
     return df.select("z", "x", "y", "tile_pbf").mapInPandas(
+        run, schema="z int, x long, y long, png binary")
+
+
+def render_tiles_styled_overzoom(df, style: dict, tile_size: int = 256):
+    """Overzoom-aware Spark renderer: consumes fetch_tiles_overzoom's
+    shape — requested (z, x, y), serving ancestor (eff_z, eff_x, eff_y),
+    tile_pbf — and renders each REQUESTED tile by scaling the ancestor's
+    data into the child frame (render_vector_tile.cpp:43-47). Same-zoom
+    rows (eff_z == z) render identically to render_tiles_styled."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            pngs = []
+            for r in pdf.itertuples(index=False):
+                img = render_tile_styled(
+                    r.tile_pbf, style, tile_size,
+                    request_zxy=(int(r.z), int(r.x), int(r.y)),
+                    data_zxy=(int(r.eff_z), int(r.eff_x), int(r.eff_y)))
+                pngs.append(png_encode(img))
+            yield pd.DataFrame({
+                "z": pdf["z"], "x": pdf["x"], "y": pdf["y"],
+                "png": pngs,
+            })
+
+    return df.select("z", "x", "y", "eff_z", "eff_x", "eff_y",
+                     "tile_pbf").mapInPandas(
         run, schema="z int, x long, y long, png binary")
 
 

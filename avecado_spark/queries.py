@@ -506,6 +506,69 @@ def izer_unionize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("x", "y"))
 
 
+@register("izer_unionize_oracle", f"""
+  WITH t AS (
+    SELECT {tile_x_sql('mx_mm', 10)} AS x, {tile_y_sql('my_mm', 10)} AS y
+    FROM {GEO_SQL} g
+  )
+  SELECT x, y,
+         CAST(2 * count(*) - 1 AS BIGINT) AS n_features,
+         CAST(4 * count(*) - 1 AS BIGINT) AS n_points
+  FROM t GROUP BY x, y
+""")
+def izer_unionize_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U3 under a RESTRICTED configuration whose fixpoint outcome is
+    SQL-derivable — the oracle twin the general `izer_unionize_tiles`
+    cannot have. Each page contributes a disjoint 2-segment chain
+    (seg1 BACK == seg2 FRONT on a snapped grid) carrying a page-unique
+    match tag, so within a (tile, layer) group every couple is front-back
+    (greedy score 0, unionizer.cpp:289-306) and the reference's score-map
+    emplace quirk (one surviving couple per distinct score per round,
+    unionizer.cpp:311-335) performs EXACTLY ONE union per tile per round —
+    whichever chain sorts first. With max_iterations=1 the per-tile
+    outcome is count-deterministic regardless of which chain won:
+    n_features = 2n-1, n_points = 4n-1 for n pages in the tile (one
+    4-point pair merges into one 3-point linestring; the rest pass
+    through). The oracle derives both directly from the page→tile
+    assignment."""
+    from .plans.pipeline import apply_to_tiles
+    base = _geo(spark, sf_dir)
+    m = (base.withColumn("bx", (F.col("mx_mm") / 1000).cast("long"))
+             .withColumn("by", (F.col("my_mm") / 1000).cast("long"))
+             .withColumn("pid", F.col("url").substr(32, 20).cast("long")))
+
+    def seg(x0, x1):
+        return F.concat(F.lit("LINESTRING("),
+                        F.col("bx") + x0, F.lit(" "), F.col("by"),
+                        F.lit(", "),
+                        F.col("bx") + x1, F.lit(" "), F.col("by"),
+                        F.lit(")"))
+
+    feats = (m.select(
+        F.lit(10).alias("z"),
+        tile_x_expr("mx_mm", 10).alias("x"),
+        tile_y_expr("my_mm", 10).alias("y"),
+        F.lit("roads").alias("layer"),
+        F.create_map(F.lit("a"), F.col("pid").cast("string")).alias("props"),
+        F.col("pid"),
+        F.explode(F.array(
+            F.struct((F.col("pid") * 2).alias("id"),
+                     seg(0, 100).alias("wkt")),
+            F.struct((F.col("pid") * 2 + 1).alias("id"),
+                     seg(100, 200).alias("wkt")))).alias("s"))
+        .select("z", "x", "y", "layer", F.col("s.id").alias("id"),
+                "props", F.col("s.wkt").alias("wkt")))
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "unionizer", "union_heuristic": "greedy",
+         "tag_strategy": "intersect", "max_iterations": 1,
+         "match_tags": ["a"]}]}]}
+    out = apply_to_tiles(feats, conf)
+    return (out.groupBy("x", "y")
+               .agg(F.count("*").alias("n_features"),
+                    F.sum(F.size(F.split(F.col("wkt"), ",")))
+                     .alias("n_points")))
+
+
 @register("izer_generalize_tiles", f"""
   SELECT 2 AS n_points, count(*) AS n_lines FROM {GEO_SQL} g
 """)
@@ -684,6 +747,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (iterative min-label propagation, early-stopped; the oracle
     computes the exact transitive closure with a recursive CTE)."""
     return D.dedup_components_df(spark, sf_dir)
+
+
+@register("dedup_components_bigstar",
+          f"SELECT * FROM {D.dedup_components_sql()} t")
+def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al. SoCC'14) — O(log n) rounds regardless of component
+    diameter, the corpus-scale path for chain-shaped near-dup clusters.
+    Same oracle as dedup_components (exact recursive-CTE closure)."""
+    return D.dedup_components_bigstar_df(spark, sf_dir)
 
 
 @register("dedup_ngram_jaccard", f"""

@@ -69,15 +69,19 @@ def incremental_tile_build(spark: SparkSession, pages_path: str, z: int,
     batch_id makes the replay idempotent."""
     partials_path = os.path.join(out_path, "partials")
     checkpoint = os.path.join(out_path, "_checkpoint")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     n_batches = {"n": 0}
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..api import build_tiles
         partial = build_tiles(batch_df, z=z, n_salts=n_salts,
                               partials_only=True)
+        # dynamic overwrite is scoped to THIS writer (only the replayed
+        # batch_id partition is replaced) — never set on the shared
+        # session, where it would silently change later static
+        # INSERT OVERWRITEs in the same session.
         (partial.withColumn("batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite").partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
                 .parquet(partials_path))
         n_batches["n"] += 1
 

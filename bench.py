@@ -37,7 +37,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 def _session(cpus: int):
     from avecado_spark.api import spark_session
     spark = spark_session(f"local[{cpus}]", app=f"bench[{cpus}]",
-                          shuffle_partitions=2 * cpus)
+                          shuffle_partitions=2 * cpus,
+                          max_partition_bytes="4m")
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -124,12 +125,25 @@ def _bench_polys_10k(n_side=100):
 
 def _run_pip_knn_10k(spark, sf_dir):
     """Broadcast kNN (k=2) of every page against 10^4 general polygons —
-    the scale probe (bound-pruned exact ring distances)."""
+    the scale probe (bound-pruned exact ring distances). Returns
+    (row_count, metrics) with the accumulator-backed cost decomposition
+    (rescan rate = certificate failures → dense fallbacks)."""
     from avecado_spark.operators.adminizer import adminize_points_knn_rings
     from avecado_spark.operators.keys import geocode
     pages = spark.read.parquet(_pages_table(spark, sf_dir))
     g = geocode(pages).select("url", "mx_mm", "my_mm")
-    return adminize_points_knn_rings(g, _bench_polys_10k(), k=2).count()
+    metrics: dict = {}
+    n = adminize_points_knn_rings(g, _bench_polys_10k(), k=2,
+                                  metrics=metrics).count()
+    vals = {k: v.value for k, v in metrics.items()}
+    pts = max(vals.get("points", 0), 1)
+    return n, {
+        "knn_points": vals.get("points", 0),
+        "knn_rescan_pct": round(100.0 * vals.get("rescans", 0) / pts, 4),
+        "knn_exact_evals_per_point":
+            round(vals.get("exact_evals", 0) / pts, 2),
+        "knn_slate_per_point": round(vals.get("slate", 0) / pts, 2),
+    }
 
 
 def _profile_stages(cpus: int):
@@ -215,7 +229,7 @@ def main():
         timings["pip_first"] = round(time.time() - t, 3)
 
     t = time.time()
-    _run_pip_knn_10k(spark, SF_DIR)
+    _, knn_metrics = _run_pip_knn_10k(spark, SF_DIR)
     timings["pip_knn_10k"] = round(time.time() - t, 3)
 
     from avecado_spark import queries as q
@@ -244,6 +258,7 @@ def main():
         "docs_encoded": n_docs,
         "tiles_per_sec_z14": round(n_tiles / timings["tile_build_z14"], 1),
         "docs_per_sec_encoded": round(n_docs / timings["tile_build_z14"], 1),
+        **knn_metrics,
     }
     spark.stop()
     print(json.dumps(out))

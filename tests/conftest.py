@@ -15,7 +15,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 @pytest.fixture(scope="session")
 def spark():
     from avecado_spark.api import spark_session
-    s = spark_session("local[8]", shuffle_partitions=8)
+    s = spark_session("local[8]", shuffle_partitions=8,
+                      max_partition_bytes="4m")
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -29,3 +29,85 @@ def test_materialized_signature_pairs_match(spark, tmp_path):
     ps_mem = {(r.doc_a, r.doc_b, r.hamming) for r in
               dedup.simhash_pairs_df(spark, SF_DIR).collect()}
     assert ps_table == ps_mem
+
+
+def test_bigstar_matches_minlabel_on_lsh_graph(spark):
+    """Parity: large-star/small-star components == min-label propagation
+    on the real LSH near-dup pair graph (the same labels the recursive-CTE
+    oracle certifies for dedup_components)."""
+    from avecado_spark.operators import dedup
+
+    a = {(r.doc_id, r.comp) for r in
+         dedup.dedup_components_df(spark, SF_DIR).collect()}
+    b = {(r.doc_id, r.comp) for r in
+         dedup.dedup_components_bigstar_df(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_bigstar_chain_graph_logarithmic_rounds(spark):
+    """A 64-node path (diameter 63) — min-label would need 63 rounds;
+    large-star/small-star must finish in O(log n), and label every node
+    with the chain min."""
+    from pyspark.sql import functions as F
+    from avecado_spark.operators.dedup import components_bigstar
+
+    n = 64
+    chain = spark.range(n - 1).select(
+        (F.col("id") + 1).alias("u"), (F.col("id") + 2).alias("v"))
+    stars, rounds = components_bigstar(chain)
+    assert rounds <= 10, f"expected O(log n) rounds, got {rounds}"
+    got = {(r.u, r.v) for r in stars.collect()}
+    assert got == {(i, 1) for i in range(2, n + 1)}
+
+
+def test_bigstar_mixed_components_and_isolates(spark):
+    """Several components of different shapes in one edge set: a triangle,
+    a 2-chain, a star, duplicate + reversed edges, and a self-loop that
+    must be dropped."""
+    from avecado_spark.operators.dedup import components_bigstar
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 10),          # triangle
+         (20, 21),                              # pair
+         (31, 30), (32, 30), (33, 30),          # star (reversed dirs)
+         (20, 21), (21, 20),                    # dup + reversed
+         (40, 40)],                             # self-loop
+        "u long, v long")
+    stars, rounds = components_bigstar(edges)
+    got = {(r.u, r.v) for r in stars.collect()}
+    assert got == {(11, 10), (12, 10), (21, 20),
+                   (31, 30), (32, 30), (33, 30)}
+    assert rounds >= 1
+
+
+def test_minlabel_nonconvergence_raises(spark):
+    """Advisor r03: min-label propagation must be LOUD when a component's
+    diameter exceeds the iteration budget, never return silently-wrong
+    labels. We force it with a long chain of near-identical documents and
+    max_iter=2 via a monkeypatched pair source... simpler: call the loop
+    directly with a tiny budget on a deep chain by faking lsh pairs."""
+    import pytest
+    from pyspark.sql import functions as F
+    from avecado_spark.operators import dedup
+
+    n = 40
+    chain_pairs = spark.range(n - 1).select(
+        (F.col("id") + 1).alias("doc_a"), (F.col("id") + 2).alias("doc_b"))
+    docs = spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
+
+    orig_read, orig_pairs = dedup.lsh_pairs_df, None
+
+    class _FakeReader:
+        def parquet(self, _):
+            return docs.select(F.col("doc_id"))
+
+    class _FakeSpark:
+        read = _FakeReader()
+
+    real_lsh = dedup.lsh_pairs_df
+    dedup.lsh_pairs_df = lambda _s, _d: chain_pairs
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.dedup_components_df(_FakeSpark(), "ignored", max_iter=3)
+    finally:
+        dedup.lsh_pairs_df = real_lsh

@@ -180,3 +180,63 @@ def test_ring_distance2_against_boundary_sampling(n_verts, seed, px, py):
     assert d2 <= sd2 + 1e-9
     # and not much smaller than the sampled minimum (step <= ~0.3 units)
     assert np.sqrt(d2) >= np.sqrt(sd2) - 0.5
+
+
+def test_ring_distance2_duplicate_vertex_no_nan():
+    """Advisor r03: a zero-length edge (repeated consecutive vertex — common
+    in real admin polygons) must NOT poison the distance with NaN; the
+    degenerate edge contributes distance-to-vertex, matching the SQL
+    oracle's clamp."""
+    import numpy as np
+    from avecado_spark.functions import geometry as G
+    ring = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 0.0],  # duplicate
+                     [10.0, 10.0], [0.0, 10.0]])
+    pts = np.array([[20.0, 0.0], [5.0, 5.0], [-3.0, 0.0]])
+    d2 = G.ring_distance2(pts, ring)
+    assert not np.isnan(d2).any(), d2
+    assert d2[0] == 100.0          # (20,0) → edge x=10: distance 10
+    assert d2[1] == 0.0            # inside
+    assert d2[2] == 9.0            # (-3,0) → edge x=0
+    # an all-degenerate ring (every vertex identical) → distance to point
+    point_ring = np.array([[3.0, 4.0]] * 3)
+    d2p = G.ring_distance2(np.array([[0.0, 0.0]]), point_ring)
+    assert not np.isnan(d2p).any()
+    assert d2p[0] == 25.0
+
+
+@given(st.integers(3, 8), st.integers(0, 10**6), st.integers(0, 6),
+       st.floats(-50, 50), st.floats(-50, 50))
+@settings(max_examples=40, deadline=None)
+def test_ring_distance2_dup_vertex_invariant(n_verts, seed, dup_at, px, py):
+    """Duplicating any vertex of a ring must not change ring_distance2."""
+    import numpy as np
+    from avecado_spark.functions import geometry as G
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n_verts))
+    if len(np.unique(np.round(ang, 6))) < 3:
+        return
+    r = rng.uniform(5, 20, n_verts)
+    ring = np.column_stack([r * np.cos(ang), r * np.sin(ang)])
+    i = dup_at % n_verts
+    dup = np.insert(ring, i, ring[i], axis=0)
+    pt = np.array([[px, py]])
+    a = G.ring_distance2(pt, ring)[0]
+    b = G.ring_distance2(pt, dup)[0]
+    assert not np.isnan(b)
+    assert a == b
+
+
+def test_box_candidates_empty_inputs():
+    """Advisor r03: empty Arrow batch / empty partition must not crash the
+    bbox prefilter (np.concatenate([]) raised)."""
+    import numpy as np
+    from avecado_spark.operators.adminizer import _box_candidates
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0]])
+    pts = np.array([[0.5, 0.5]])
+    for p, b in [(np.zeros((0, 2)), boxes), (pts, np.zeros((0, 4))),
+                 (np.zeros((0, 2)), np.zeros((0, 4)))]:
+        pi, bi = _box_candidates(p, b)
+        assert len(pi) == 0 and len(bi) == 0
+        assert pi.dtype == np.int64 and bi.dtype == np.int64
+    pi, bi = _box_candidates(pts, boxes)
+    assert list(pi) == [0] and list(bi) == [0]

@@ -352,3 +352,104 @@ def test_render_tiles_job(spark, tmp_path):
     from avecado_spark.operators.raster import png_decode
     img = png_decode(open(pngs[0], "rb").read())
     assert img.shape == (256, 256, 4)
+
+
+def _overzoom_tile():
+    """z6 data tile at (6,10,20): water fills the NE quadrant (x in
+    [128,256], y in [0,128] of the 256-extent frame) and a small box at
+    x [128,160], y [0,32] in layer 'parks'."""
+    water = mvt.MvtLayer(name="water", extent=256)
+    xs = np.array([128, 256, 256, 128, 128])
+    ys = np.array([0, 0, 128, 128, 0])
+    water.features.append(mvt.MvtFeature(
+        id=1, type=mvt.GEOM_POLYGON,
+        geometry=mvt.encode_geometry([(xs, ys)], mvt.GEOM_POLYGON)))
+    parks = mvt.MvtLayer(name="parks", extent=256)
+    px = np.array([128, 160, 160, 128, 128])
+    py = np.array([0, 0, 32, 32, 0])
+    parks.features.append(mvt.MvtFeature(
+        id=2, type=mvt.GEOM_POLYGON,
+        geometry=mvt.encode_geometry([(px, py)], mvt.GEOM_POLYGON)))
+    return mvt.tile_to_gzip(mvt.MvtTile(layers=[water, parks]))
+
+
+def test_overzoom_render_child_quadrants():
+    """Reference render_vector_tile.cpp:43-47: rendering a z7 request from
+    its z6 ancestor scales the matching quadrant up 2x; the NE child is
+    fully water, the NW child shows none of it."""
+    from avecado_spark.operators.raster import render_tile_styled
+    style = {"background": "#000000",
+             "layers": [{"layer": "water", "polygon": {"fill": "#0000ff"}}]}
+    tile = _overzoom_tile()
+    ne = render_tile_styled(tile, style, request_zxy=(7, 21, 40),
+                            data_zxy=(6, 10, 20))
+    assert (ne[:, :, 2] == 255).all()            # whole frame is water
+    nw = render_tile_styled(tile, style, request_zxy=(7, 20, 40),
+                            data_zxy=(6, 10, 20))
+    assert (nw[:, :, 2] == 0).all()              # none of it
+    se = render_tile_styled(tile, style, request_zxy=(7, 21, 41),
+                            data_zxy=(6, 10, 20))
+    assert (se[:, :, 2] == 0).all()
+
+
+def test_overzoom_scales_subtile_geometry():
+    """The 32x32 park box at the z6 NE corner becomes a 64x64 box at the
+    z7 NE child's origin, and a 128x128 box at the z8 great-grandchild."""
+    from avecado_spark.operators.raster import render_tile_styled
+    style = {"background": "#000000",
+             "layers": [{"layer": "parks", "polygon": {"fill": "#00ff00"}}]}
+    tile = _overzoom_tile()
+    z7 = render_tile_styled(tile, style, request_zxy=(7, 21, 40),
+                            data_zxy=(6, 10, 20))
+    green = z7[:, :, 1] == 255
+    assert green[:64, :64].all()
+    assert not green[70:, :].any() and not green[:, 70:].any()
+    # z8 first child of the NE child: the box covers 128x128
+    z8 = render_tile_styled(tile, style, request_zxy=(8, 42, 80),
+                            data_zxy=(6, 10, 20))
+    g8 = z8[:, :, 1] == 255
+    assert g8[:128, :128].all()
+    assert not g8[134:, :].any() and not g8[:, 134:].any()
+
+
+def test_overzoom_same_zoom_identity_and_errors():
+    from avecado_spark.operators.raster import render_tile_styled
+    import pytest
+    style = {"background": "#000000",
+             "layers": [{"layer": "water", "polygon": {"fill": "#0000ff"}}]}
+    tile = _overzoom_tile()
+    plain = render_tile_styled(tile, style)
+    same = render_tile_styled(tile, style, request_zxy=(6, 10, 20),
+                              data_zxy=(6, 10, 20))
+    assert (plain == same).all()
+    with pytest.raises(ValueError, match="not a descendant"):
+        render_tile_styled(tile, style, request_zxy=(7, 23, 40),
+                           data_zxy=(6, 10, 20))
+    with pytest.raises(ValueError, match="below data z"):
+        render_tile_styled(tile, style, request_zxy=(5, 5, 10),
+                           data_zxy=(6, 10, 20))
+
+
+def test_overzoom_spark_surface(spark):
+    """render_tiles_styled_overzoom over the fetch_tiles_overzoom shape:
+    the z7 NE child renders all-water from its z6 ancestor's bytes."""
+    from avecado_spark.operators.raster import (png_decode,
+                                                render_tiles_styled_overzoom)
+    style = {"background": "#000000",
+             "layers": [{"layer": "water", "polygon": {"fill": "#0000ff"}}]}
+    tile = bytes(_overzoom_tile())
+    rows = [(7, 21, 40, 6, 10, 20, tile),   # NE child ← ancestor
+            (7, 20, 40, 6, 10, 20, tile),   # NW child ← ancestor
+            (6, 10, 20, 6, 10, 20, tile)]   # same-zoom passthrough
+    df = spark.createDataFrame(
+        rows, "z int, x long, y long, eff_z int, eff_x long, eff_y long, "
+              "tile_pbf binary")
+    out = {(r.z, r.x, r.y): bytes(r.png)
+           for r in render_tiles_styled_overzoom(df, style).collect()}
+    ne = png_decode(out[(7, 21, 40)])
+    assert (ne[:, :, 2] == 255).all()
+    nw = png_decode(out[(7, 20, 40)])
+    assert (nw[:, :, 2] == 0).all()
+    parent = png_decode(out[(6, 10, 20)])
+    quad = parent[:, :, 2] == 255
+    assert quad[:128, 128:].all() and not quad[128:, :128].any()
