@@ -488,11 +488,13 @@ def izer_unionize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer linestrings; output is per-tile feature counts after the
     fixpoint (unionizer.cpp:537-563).
 
-    No oracle by design: the reference's score-map dedup quirk caps unions
-    at one per distinct score per round (≤3 with the greedy scorer) under
-    max_iterations — a stateful fixpoint not expressible in SQL. Semantics
-    are pinned instead by the 12 ported unionizer fixtures
-    (tests/test_unionizer.py)."""
+    No oracle by design for this GENERAL configuration: the reference's
+    score-map dedup quirk caps unions at one per distinct score per round
+    (≤3 with the greedy scorer) under max_iterations — a stateful fixpoint
+    not expressible in SQL. Semantics are pinned by the 12 ported
+    unionizer fixtures (tests/test_unionizer.py); the RESTRICTED
+    configuration below (izer_unionize_oracle) makes the same operator
+    fully oracle-checkable."""
     from .plans.pipeline import apply_to_tiles
     feats = _city_line_features(spark, sf_dir)
     conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
@@ -757,6 +759,20 @@ def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter, the corpus-scale path for chain-shaped near-dup clusters.
     Same oracle as dedup_components (exact recursive-CTE closure)."""
     return D.dedup_components_bigstar_df(spark, sf_dir)
+
+
+@register("dedup_near_keep", f"""
+  SELECT doc_id FROM {D.dedup_components_sql()} t WHERE doc_id = comp
+""")
+def dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the near-dup pipeline: the KEEP list — one representative
+    (min doc_id) per connected component of the LSH pair graph; every
+    other member is dropped as a near-duplicate. Shingles → minhash →
+    bands → pairs → components → keep, each stage separately
+    oracle-checked upstream."""
+    comp = D.dedup_components_df(spark, sf_dir)
+    return (comp.where(F.col("doc_id") == F.col("comp"))
+                .select("doc_id"))
 
 
 @register("dedup_ngram_jaccard", f"""

@@ -3,8 +3,9 @@
 A 100 TB training pipeline carries image/audio/video as `binary` columns
 with struct metadata; the Spark-side plumbing (schema, partitioning, Arrow
 batch shape, UDF signatures) is real and tested here. PNG images decode
-FOR REAL via the in-repo pure-numpy decoder (operators/raster.png_decode);
-other codecs (JPEG/WebP, audio, video containers) are STUBBED — those
+FOR REAL via the in-repo pure-numpy decoder (operators/raster.png_decode),
+and baseline JPEG via functions/jpeg.jpeg_decode; remaining codecs
+(progressive JPEG, WebP, audio, video containers) are STUBBED — those
 libraries are not in this container — and raise NotImplementedError unless
 `deterministic_fake=True`, which produces a seeded fake decode so the
 downstream plumbing (resize → feature-extract shape) is exercised end to
@@ -47,10 +48,13 @@ def decode_image(payload: bytes, width: int, height: int,
     """Image decode → (h, w, 3) uint8. PNG payloads decode FOR REAL via the
     in-repo pure-numpy decoder (operators/raster.png_decode — IHDR/IDAT,
     filters 0-4; grayscale expanded, alpha dropped; the PNG's own header
-    dims win over the metadata). Other formats (JPEG/WebP/...) need a codec
-    library not present in this container: NotImplementedError unless
-    deterministic_fake=True, which derives a shape-correct array from a
-    sha256 keystream of the payload."""
+    dims win over the metadata). Baseline JPEG (SOF0 — the dominant web
+    format) decodes FOR REAL via the in-repo pure-numpy codec
+    (functions/jpeg.jpeg_decode: Huffman + dequant + IDCT + chroma
+    upsample + YCbCr→RGB). Remaining formats (progressive JPEG, WebP,
+    ...) need a codec library not present in this container:
+    NotImplementedError unless deterministic_fake=True, which derives a
+    shape-correct array from a sha256 keystream of the payload."""
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         from ..operators.raster import png_decode
         img = png_decode(bytes(payload))
@@ -59,10 +63,17 @@ def decode_image(payload: bytes, width: int, height: int,
         if img.shape[2] == 2:        # gray+alpha → RGB
             return np.repeat(img[:, :, :1], 3, axis=2)
         return img[:, :, :3]         # RGB / RGBA (alpha dropped)
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from ..functions.jpeg import jpeg_decode
+        img = jpeg_decode(bytes(payload))
+        if img.shape[2] == 1:        # gray → RGB
+            return np.repeat(img, 3, axis=2)
+        return img
     if not deterministic_fake:
         raise NotImplementedError(
-            "non-PNG image decode requires PIL/opencv (not installed); "
-            "pass deterministic_fake=True for the seeded stand-in")
+            "non-PNG/JPEG image decode requires PIL/opencv (not "
+            "installed); pass deterministic_fake=True for the seeded "
+            "stand-in")
     need = width * height * 3
     out = bytearray()
     counter = 0

@@ -228,13 +228,10 @@ def main():
     if _run_pip_first(spark, SF_DIR) is not None:
         timings["pip_first"] = round(time.time() - t, 3)
 
-    t = time.time()
-    _, knn_metrics = _run_pip_knn_10k(spark, SF_DIR)
-    timings["pip_knn_10k"] = round(time.time() - t, 3)
-
     from avecado_spark import queries as q
     qs = q.queries()
     for name in ("dedup_minhash_bands", "dedup_lsh_pairs", "dedup_components",
+                 "dedup_components_bigstar",
                  "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_lsh",
                  "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
                  "text_quality", "text_lang_id", "text_fingerprint",
@@ -244,6 +241,16 @@ def main():
         t = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t, 3)
+
+    # The heavy kNN probe runs LAST: its 3.65M x 10^4 exact-distance pass
+    # leaves the JVM under GC/memory pressure and in r03 inflated the
+    # query timed right after it 2.9x (dedup_minhash_bands 1.00s -> 2.90s;
+    # isolated fresh-session runs measure 0.94-1.26s warm — no code
+    # regression). Ordering it after everything else keeps every other
+    # timing comparable across rounds.
+    t = time.time()
+    _, knn_metrics = _run_pip_knn_10k(spark, SF_DIR)
+    timings["pip_knn_10k"] = round(time.time() - t, 3)
 
     total = round(time.time() - t0, 3)
     out = {

@@ -1,0 +1,107 @@
+"""Baseline JPEG codec (functions/jpeg): round-trip fidelity across
+subsampling modes, restart markers, grayscale, scope-boundary rejection,
+and the decode_image integration — the r03 honesty boundary closed for
+the dominant web image format."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from avecado_spark.functions.jpeg import (jpeg_decode,  # noqa: E402
+                                          jpeg_encode)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else np.inf
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([np.clip(xx * 3 + 20, 0, 255),
+                     np.clip(yy * 4 + 10, 0, 255),
+                     np.clip(255 - xx * 2, 0, 255)],
+                    axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sub,quality,min_psnr", [
+    ("444", 95, 45.0), ("444", 75, 40.0),
+    ("422", 90, 40.0),
+    ("420", 95, 38.0), ("420", 75, 35.0),
+])
+def test_roundtrip_rgb(sub, quality, min_psnr):
+    img = _gradient(40, 56)   # non-multiple-of-16 dims exercise padding
+    enc = jpeg_encode(img, quality=quality, subsampling=sub)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = jpeg_decode(enc)
+    assert dec.shape == img.shape
+    assert _psnr(img, dec) >= min_psnr
+
+
+def test_roundtrip_grayscale():
+    yy, xx = np.mgrid[0:33, 0:47]
+    g = np.clip(xx * 3 + yy * 2, 0, 255).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(g, quality=90))
+    assert dec.shape == (33, 47, 1)
+    assert _psnr(g[:, :, None], dec) >= 45.0
+
+
+def test_roundtrip_noise_high_quality():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=98, subsampling="444"))
+    assert _psnr(img, dec) >= 38.0
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn every 2 MCUs: the decoder must realign and reset DC
+    predictors, bit-identical in fidelity to the unrestarted stream."""
+    img = _gradient(48, 64)
+    plain = jpeg_decode(jpeg_encode(img, quality=90))
+    enc = jpeg_encode(img, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in enc                 # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
+    dec = jpeg_decode(enc)
+    assert (dec == plain).all()
+
+
+def test_rejects_progressive_and_garbage():
+    img = _gradient(16, 16)
+    enc = bytearray(jpeg_encode(img))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2                       # flip SOF0 → SOF2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg_decode(bytes(enc))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"GIF89a....")
+
+
+def test_decode_image_sniffs_jpeg():
+    from avecado_spark.sources.multimodal import decode_image
+    img = _gradient(20, 28)
+    dec = decode_image(jpeg_encode(img, quality=92), 999, 999)
+    assert dec.shape == (20, 28, 3)           # header dims win over meta
+    assert _psnr(img, dec) >= 40.0
+    g = np.clip(np.arange(16 * 16).reshape(16, 16) % 256, 0,
+                255).astype(np.uint8)
+    decg = decode_image(jpeg_encode(g), 0, 0)
+    assert decg.shape == (16, 16, 3)          # gray expanded to RGB
+
+
+def test_media_features_jpeg_payload(spark):
+    """The Spark plumbing end-to-end with a REAL JPEG payload: decode →
+    resize → features inside mapInPandas."""
+    from avecado_spark.sources import multimodal as mm
+    img = _gradient(32, 32)
+    payload = jpeg_encode(img, quality=90)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), (32, 32, "image/jpeg"))],
+        mm.MEDIA_SCHEMA)
+    out = mm.media_features(df).collect()
+    assert len(out) == 1
+    assert len(out[0].features) == mm.FEATURE_DIM
+    assert all(np.isfinite(out[0].features))
