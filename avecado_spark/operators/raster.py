@@ -426,10 +426,10 @@ def render_tiles_styled(df, style: dict, tile_size: int = 256):
 
 def render_tiles_styled_overzoom(df, style: dict, tile_size: int = 256):
     """Overzoom-aware Spark renderer: consumes fetch_tiles_overzoom's
-    shape — requested (z, x, y), serving ancestor (eff_z, eff_x, eff_y),
-    tile_pbf — and renders each REQUESTED tile by scaling the ancestor's
-    data into the child frame (render_vector_tile.cpp:43-47). Same-zoom
-    rows (eff_z == z) render identically to render_tiles_styled."""
+    shape — requested (z, x, y), serving ancestor (served_z, served_x,
+    served_y), tile_pbf — and renders each REQUESTED tile by scaling the
+    ancestor's data into the child frame (render_vector_tile.cpp:43-47).
+    Same-zoom rows (served_z == z) render like render_tiles_styled."""
     import pandas as pd
 
     def run(batches):
@@ -439,14 +439,15 @@ def render_tiles_styled_overzoom(df, style: dict, tile_size: int = 256):
                 img = render_tile_styled(
                     r.tile_pbf, style, tile_size,
                     request_zxy=(int(r.z), int(r.x), int(r.y)),
-                    data_zxy=(int(r.eff_z), int(r.eff_x), int(r.eff_y)))
+                    data_zxy=(int(r.served_z), int(r.served_x),
+                              int(r.served_y)))
                 pngs.append(png_encode(img))
             yield pd.DataFrame({
                 "z": pdf["z"], "x": pdf["x"], "y": pdf["y"],
                 "png": pngs,
             })
 
-    return df.select("z", "x", "y", "eff_z", "eff_x", "eff_y",
+    return df.select("z", "x", "y", "served_z", "served_x", "served_y",
                      "tile_pbf").mapInPandas(
         run, schema="z int, x long, y long, png binary")
 

@@ -447,7 +447,7 @@ def test_overzoom_spark_surface(spark):
             (7, 20, 40, 6, 10, 20, tile),   # NW child ← ancestor
             (6, 10, 20, 6, 10, 20, tile)]   # same-zoom passthrough
     df = spark.createDataFrame(
-        rows, "z int, x long, y long, eff_z int, eff_x long, eff_y long, "
+        rows, "z int, x long, y long, served_z int, served_x long, served_y long, "
               "tile_pbf binary")
     out = {(r.z, r.x, r.y): bytes(r.png)
            for r in render_tiles_styled_overzoom(df, style).collect()}
