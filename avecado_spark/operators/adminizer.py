@@ -34,6 +34,7 @@ Surfaces:
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pandas as pd
@@ -449,7 +450,19 @@ def adminize_points_knn_rings(df: DataFrame,
                         + [StructField(out_col, StringType()),
                            StructField(rank_col, LongType())])
 
-    _CHUNK = 4096          # points per descent chunk (bounds the slates)
+    # r04 tuning (10^4-polygon probe, measured BOTH ways): beam 4 halves
+    # the slate the bound pass walks vs beam 8, and chunk size trades
+    # per-polygon numpy call overhead against slate memory traffic
+    # (3 × chunk×4·beam float64 live per task). Single-core the optimum
+    # is large chunks (32k: 124 us/pt vs 500 at 4k), but under 32
+    # concurrent workers the 50 MB slates thrash memory bandwidth and
+    # 32k is 6-8x SLOWER than 8k (interleaved A/B, same session: 8192/4
+    # = 5.7-7.4s, 32768/4 = 42-60s, 4096/8 = 9-26s on 3.65M points).
+    # 8192/beam-4 is the concurrent sweet spot; env-tunable for other
+    # hosts. Certificate failures (dense rescans) stay ~0 either way —
+    # exactness is never traded.
+    _CHUNK = int(os.environ.get("SPARK_GRAFT_KNN_CHUNK", "8192"))
+    _BEAM = int(os.environ.get("SPARK_GRAFT_KNN_BEAM", "4"))
     _DENSE_M = 64          # below this, dense exact beats the tree
 
     acc = None
@@ -469,7 +482,7 @@ def adminize_points_knn_rings(df: DataFrame,
         rings, values, boxes, v0, tree = bc.value
         m = len(rings)
         kk = min(k, m)
-        beam = max(8, kk)
+        beam = max(_BEAM, kk)
         BIG = np.iinfo(np.int64).max
         for pdf in batches:
             xall = pdf[x_col].to_numpy(dtype=np.float64)
