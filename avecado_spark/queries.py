@@ -1054,6 +1054,32 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("n_name").agg(F.sum(rev).alias("revenue_e4")))
 
 
+@register("tpch_q6_forecast", """
+  SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1994-01-01'
+    AND l_shipdate < DATE '1995-01-01'
+    AND round(l_discount * 100) BETWEEN 5 AND 7
+    AND l_quantity < 24
+""")
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan + filter + agg — the query whose plan
+    should be a single-stage pushed-filter scan with a map-side partial
+    sum (no join, no wide shuffle). Discounts compared in integer
+    percent so the predicate is float-exact on both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long") * disc_pct)
+    return (li.where((F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+                     & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+                     & disc_pct.between(5, 7)
+                     & (F.col("l_quantity") < 24))
+              .agg(F.sum(rev).alias("revenue_e4"),
+                   F.count("*").alias("n_rows")))
+
+
 @register("raster_render_z6", None)
 def raster_render_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 (SURVEY §2.1): raster leg — render z6 tiles to PNG via the numpy

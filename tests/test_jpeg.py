@@ -105,3 +105,24 @@ def test_media_features_jpeg_payload(spark):
     assert len(out) == 1
     assert len(out[0].features) == mm.FEATURE_DIM
     assert all(np.isfinite(out[0].features))
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(st.integers(8, 48), st.integers(8, 48), st.integers(0, 10**6),
+       st.sampled_from(["444", "422", "420"]))
+@settings(max_examples=25, deadline=None)
+def test_roundtrip_property(h, w, seed, sub):
+    """Any uint8 image round-trips through encode→decode with the right
+    shape and bounded error at quality 95 (smooth content)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (4, 4, 3))
+    # upsample a 4x4 random field → smooth image (JPEG's good case)
+    img = np.clip(np.kron(base, np.ones((12, 12, 1))), 0,
+                  255)[:h, :w].astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=95, subsampling=sub))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # interior pixels of constant 12x12 cells stay close even at 4:2:0
+    assert np.median(err) <= 6

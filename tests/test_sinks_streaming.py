@@ -572,3 +572,40 @@ def test_default_opener_maps_transport_errors():
     from avecado_spark.sources.fetch import _default_opener
     status, body, headers = _default_opener("http://127.0.0.1:1/x.pbf", {})
     assert status == 599 and body == b"" and headers == {}
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """streaming/dedup.py: the running exact-dedup aggregate over the
+    document stream equals the batch md5-groupBy (dedup_exact), and the
+    append-mode keep-list emits exactly one doc per distinct hash with a
+    doc_id the batch aggregate recognizes as a member of that group."""
+    import shutil
+    from avecado_spark.streaming.dedup import (distinct_docs_stream,
+                                               exact_dedup_stream,
+                                               run_available_now_append)
+    from avecado_spark.streaming.events import run_available_now
+    from tests.conftest import SF_DIR
+
+    batch = {r.h: (r.keep_id, r.n_dups) for r in
+             spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                  .groupBy(F.md5("text").alias("h"))
+                  .agg(F.min("doc_id").alias("keep_id"),
+                       F.count("*").alias("n_dups")).collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        # file streaming sources require a directory
+        shutil.copy(f"{SF_DIR}/documents.parquet",
+                    os.path.join(d, "documents.parquet"))
+        stream_rows = run_available_now(
+            exact_dedup_stream(spark, d), "dedup_stream_q")
+        got = {r.h: (r.keep_id, r.n_dups) for r in stream_rows}
+        assert got == batch
+
+        kept = run_available_now_append(
+            distinct_docs_stream(spark, d), "dedup_keep_q")
+    assert len(kept) == len(batch)                   # one row per hash
+    assert len({r.h for r in kept}) == len(kept)     # all distinct
+    all_ids = {r.doc_id for r in
+               spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                    .select("doc_id").collect()}
+    assert all(r.doc_id in all_ids for r in kept)
