@@ -30,6 +30,16 @@ def test_materialized_signature_pairs_match(spark, tmp_path):
               dedup.simhash_pairs_df(spark, SF_DIR).collect()}
     assert ps_table == ps_mem
 
+    # the corpus-scale path end to end: big-star components OVER the
+    # materialized pair table == components over the in-session pairs
+    table_pairs = spark.read.parquet(os.path.join(out, "pairs_minhash"))
+    from_table = {(r.doc_id, r.comp) for r in
+                  dedup.dedup_components_bigstar_df(
+                      spark, SF_DIR, pairs=table_pairs).collect()}
+    in_mem = {(r.doc_id, r.comp) for r in
+              dedup.dedup_components_bigstar_df(spark, SF_DIR).collect()}
+    assert from_table == in_mem
+
 
 def test_bigstar_matches_minlabel_on_lsh_graph(spark):
     """Parity: large-star/small-star components == min-label propagation
