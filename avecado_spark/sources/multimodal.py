@@ -4,8 +4,9 @@ A 100 TB training pipeline carries image/audio/video as `binary` columns
 with struct metadata; the Spark-side plumbing (schema, partitioning, Arrow
 batch shape, UDF signatures) is real and tested here. PNG images decode
 FOR REAL via the in-repo pure-numpy decoder (operators/raster.png_decode),
-and baseline JPEG via functions/jpeg.jpeg_decode; remaining codecs
-(progressive JPEG, WebP, audio, video containers) are STUBBED — those
+baseline JPEG via functions/jpeg.jpeg_decode, and RIFF/WAVE PCM audio via
+wav_decode below; remaining codecs (progressive JPEG, WebP, mp3/aac,
+video containers) are STUBBED — those
 libraries are not in this container — and raise NotImplementedError unless
 `deterministic_fake=True`, which produces a seeded fake decode so the
 downstream plumbing (resize → feature-extract shape) is exercised end to
@@ -186,15 +187,95 @@ def sample_frames(df: DataFrame, stride_s: float = 2.0, fps: float = 24.0,
 # audio: decode (stubbed) + frame-energy features
 # ---------------------------------------------------------------------------
 
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decode in pure numpy — no codec library needed for
+    the uncompressed container: chunk walk (fmt/data, unknown chunks
+    skipped per the RIFF padding rule), PCM formats 1 (8/16/24/32-bit
+    integer) and 3 (float32/64), channels downmixed to mono. Returns
+    (int16 mono samples, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)           # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = {
+                "code": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    code, ch, bits = fmt["code"], max(fmt["channels"], 1), fmt["bits"]
+    if code == 1:                           # integer PCM
+        if bits == 8:                       # unsigned 8-bit
+            s = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                 - 128.0) * 256.0
+        elif bits == 16:
+            s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[:len(raw) - len(raw) % 3].reshape(-1, 3)
+            v = (raw[:, 0].astype(np.int64)
+                 | (raw[:, 1].astype(np.int64) << 8)
+                 | (raw[:, 2].astype(np.int64) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            s = v.astype(np.float64) / 256.0
+        elif bits == 32:
+            s = np.frombuffer(data, dtype="<i4").astype(np.float64) / 65536.0
+        else:
+            raise NotImplementedError(f"{bits}-bit integer PCM")
+    elif code == 3:                         # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        s = np.frombuffer(data, dtype=dt).astype(np.float64) * 32767.0
+    else:
+        raise NotImplementedError(
+            f"WAV format code {code} (compressed) needs a codec library")
+    if ch > 1:
+        s = s[:len(s) - len(s) % ch].reshape(-1, ch).mean(axis=1)
+    return np.clip(s, -32768, 32767).astype(np.int16), fmt["rate"]
+
+
+def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono → RIFF/WAVE PCM bytes (fixture builder for round-trips)."""
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (b"RIFF" + (36 + len(s)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(s).to_bytes(4, "little"))
+    return hdr + s
+
+
 def decode_audio(payload: bytes, n_samples: int = 4096,
                  deterministic_fake: bool = False) -> np.ndarray:
-    """STUB: real decode needs an audio codec not present in this
-    container. Fake path: deterministic int16 waveform from the payload
-    digest."""
+    """Audio decode → int16 mono waveform. RIFF/WAVE PCM payloads decode
+    FOR REAL (wav_decode — the uncompressed container needs no codec);
+    the waveform is resampled/truncated/zero-padded to n_samples so the
+    feature shape is stable. Compressed codecs (mp3/aac/ogg) need
+    libraries not present in this container: NotImplementedError unless
+    deterministic_fake=True (deterministic int16 waveform from the
+    payload digest)."""
+    if bytes(payload[:4]) == b"RIFF":
+        wave, _ = wav_decode(bytes(payload))
+        if len(wave) >= n_samples:
+            return wave[:n_samples]
+        return np.pad(wave, (0, n_samples - len(wave)))
     if not deterministic_fake:
         raise NotImplementedError(
-            "audio codec not available in this container; "
-            "pass deterministic_fake=True for the test path")
+            "compressed audio codec not available in this container; "
+            "RIFF/WAVE PCM decodes natively — or pass "
+            "deterministic_fake=True for the test path")
     import hashlib
     seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
     rng = np.random.default_rng(seed)
@@ -202,9 +283,10 @@ def decode_audio(payload: bytes, n_samples: int = 4096,
 
 
 def audio_features(df: DataFrame, n_frames: int = FEATURE_DIM) -> DataFrame:
-    """Frame-energy features for audio rows: decode (fake) → split the
-    waveform into n_frames windows → RMS energy per window. Same map-side
-    Arrow shape as media_features; payload bytes never shuffle."""
+    """Frame-energy features for audio rows: decode (REAL for RIFF/WAVE
+    PCM, seeded fake otherwise) → split the waveform into n_frames
+    windows → RMS energy per window. Same map-side Arrow shape as
+    media_features; payload bytes never shuffle."""
     from typing import Iterator
     import pandas as pd
 

@@ -126,3 +126,70 @@ def test_roundtrip_property(h, w, seed, sub):
     err = np.abs(dec.astype(int) - img.astype(int))
     # interior pixels of constant 12x12 cells stay close even at 4:2:0
     assert np.median(err) <= 6
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE PCM decode (sources/multimodal.wav_decode) — the audio twin of
+# the real-codec story: uncompressed containers decode natively
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_and_formats():
+    from avecado_spark.sources.multimodal import wav_decode, wav_encode
+    t = np.arange(2000)
+    sig = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    out, rate = wav_decode(wav_encode(sig, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(out, sig)
+
+    # float32 WAV (format code 3)
+    body = (sig.astype(np.float64) / 32767.0).astype("<f4").tobytes()
+    hdr = (b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (16000).to_bytes(4, "little") + (64000).to_bytes(4, "little")
+           + (4).to_bytes(2, "little") + (32).to_bytes(2, "little")
+           + b"data" + len(body).to_bytes(4, "little"))
+    outf, _ = wav_decode(hdr + body)
+    assert np.abs(outf.astype(int) - sig.astype(int)).max() <= 1
+
+    # stereo downmix: L = sig, R = -sig → silence
+    inter = np.empty(2 * len(sig), dtype=np.int16)
+    inter[0::2] = sig
+    inter[1::2] = -sig
+    stereo = bytearray(wav_encode(inter, rate=8000))
+    stereo[22:24] = (2).to_bytes(2, "little")   # channels = 2
+    outs, _ = wav_decode(bytes(stereo))
+    assert np.abs(outs.astype(int)).max() <= 1
+
+    import pytest
+    with pytest.raises(ValueError, match="not a RIFF"):
+        wav_decode(b"OggS....")
+
+
+def test_decode_audio_real_wav_and_stub_boundary():
+    import pytest
+    from avecado_spark.sources.multimodal import decode_audio, wav_encode
+    sig = (np.arange(5000) % 997 - 498).astype(np.int16)
+    wave = decode_audio(wav_encode(sig), n_samples=4096)
+    assert np.array_equal(wave, sig[:4096])          # real decode, truncated
+    short = decode_audio(wav_encode(sig[:100]), n_samples=256)
+    assert len(short) == 256 and np.array_equal(short[:100], sig[:100])
+    with pytest.raises(NotImplementedError, match="compressed audio"):
+        decode_audio(b"\xff\xfb\x90\x00mp3-ish", 64)   # mp3 sync word
+
+
+def test_audio_features_real_wav_payload(spark):
+    """audio_features end to end with a REAL PCM WAV payload: the RMS
+    frame energies match a driver-side recomputation."""
+    from avecado_spark.sources import multimodal as mm
+    t = np.arange(4096)
+    sig = (8000 * np.sin(2 * np.pi * t / 64)).astype(np.int16)
+    payload = mm.wav_encode(sig)
+    df = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), (0, 0, "audio/wav"))],
+        mm.MEDIA_SCHEMA)
+    rows = mm.audio_features(df).collect()
+    assert len(rows) == 1 and rows[0].media_id == 7
+    want = np.sqrt((sig.astype(np.float64).reshape(mm.FEATURE_DIM, -1) ** 2)
+                   .mean(axis=1))
+    assert np.allclose(rows[0].features, want)
