@@ -131,16 +131,102 @@ def media_features(df: DataFrame, target: int = 32) -> DataFrame:
 # real and tested.
 # ---------------------------------------------------------------------------
 
+def y4m_decode_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """YUV4MPEG2 (.y4m) frame extraction in pure numpy — the uncompressed
+    video container (ffmpeg's raw interchange format) needs no codec:
+    ASCII stream header (W/H/chroma tags), then per-frame `FRAME\\n` +
+    planar YUV. Supports C420 (default, 4:2:0), C422 and C444. Returns
+    the frame as (h, w, 3) uint8 RGB (BT.601 full-range, the same matrix
+    as the JPEG path)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    chroma = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            chroma = t[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if chroma.startswith("420"):
+        cw, chh = (w + 1) // 2, (h + 1) // 2
+    elif chroma.startswith("422"):
+        cw, chh = (w + 1) // 2, h
+    elif chroma.startswith("444"):
+        cw, chh = w, h
+    else:
+        raise NotImplementedError(f"y4m chroma mode C{chroma}")
+    fsize = w * h + 2 * cw * chh
+    pos = nl + 1
+    for _ in range(frame_idx + 1):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"frame {frame_idx} beyond end of y4m stream")
+        pos = payload.index(b"\n", pos) + 1
+        start = pos
+        pos += fsize
+    buf = np.frombuffer(payload, dtype=np.uint8, count=fsize, offset=start)
+    y = buf[:w * h].astype(np.float64).reshape(h, w)
+    u = buf[w * h:w * h + cw * chh].astype(np.float64).reshape(chh, cw)
+    v = buf[w * h + cw * chh:].astype(np.float64).reshape(chh, cw)
+    u = np.repeat(np.repeat(u, -(-h // chh), axis=0),
+                  -(-w // cw), axis=1)[:h, :w] - 128.0
+    v = np.repeat(np.repeat(v, -(-h // chh), axis=0),
+                  -(-w // cw), axis=1)[:h, :w] - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def y4m_encode(frames: np.ndarray, chroma: str = "444") -> bytes:
+    """(n, h, w, 3) uint8 RGB → .y4m bytes (C444 or C420 via box
+    downsample) — fixture builder for frame-extraction round-trips."""
+    n, h, w = frames.shape[:3]
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F24:1 Ip A1:1 C{chroma}\n"
+                    .encode("ascii"))
+    for i in range(n):
+        f = frames[i].astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if chroma == "420":
+            hp, wp = h + (h & 1), w + (w & 1)
+            u = np.pad(u, ((0, hp - h), (0, wp - w)), mode="edge")
+            v = np.pad(v, ((0, hp - h), (0, wp - w)), mode="edge")
+            u = (u[0::2, 0::2] + u[0::2, 1::2]
+                 + u[1::2, 0::2] + u[1::2, 1::2]) / 4.0
+            v = (v[0::2, 0::2] + v[0::2, 1::2]
+                 + v[1::2, 0::2] + v[1::2, 1::2]) / 4.0
+        elif chroma != "444":
+            raise ValueError("y4m_encode supports C444 or C420")
+        out += b"FRAME\n"
+        for plane in (y, u, v):
+            out += np.clip(plane, 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
 def decode_video_frame(payload: bytes, frame_idx: int, width: int, height: int,
                        deterministic_fake: bool = False) -> np.ndarray:
-    """STUB: real frame extraction needs a video codec not present in this
-    container. The fake path derives a (h, w, 3) uint8 frame from the
-    payload digest + frame index — deterministic, so downstream plumbing
-    (sampling stride, per-frame features) is exercised end to end."""
+    """Video frame extraction → (h, w, 3) uint8. YUV4MPEG2 payloads
+    decode FOR REAL (y4m_decode_frame — uncompressed planar YUV, no codec
+    needed; the container's own dims win over the metadata). Compressed
+    containers (mp4/webm/...) need libraries not in this container:
+    NotImplementedError unless deterministic_fake=True (deterministic
+    frame from the payload digest + frame index, so downstream plumbing —
+    sampling stride, per-frame features — is exercised end to end)."""
+    if bytes(payload[:9]) == b"YUV4MPEG2":
+        return y4m_decode_frame(bytes(payload), frame_idx)
     if not deterministic_fake:
         raise NotImplementedError(
-            "video codec not available in this container; "
-            "pass deterministic_fake=True for the test path")
+            "compressed video codec not available in this container; "
+            "YUV4MPEG2 (.y4m) decodes natively — or pass "
+            "deterministic_fake=True for the test path")
     import hashlib
     seed = int.from_bytes(
         hashlib.md5(payload + frame_idx.to_bytes(4, "little")).digest()[:8],

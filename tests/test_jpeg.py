@@ -193,3 +193,71 @@ def test_audio_features_real_wav_payload(spark):
     want = np.sqrt((sig.astype(np.float64).reshape(mm.FEATURE_DIM, -1) ** 2)
                    .mean(axis=1))
     assert np.allclose(rows[0].features, want)
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 frame extraction (sources/multimodal.y4m_decode_frame)
+# ---------------------------------------------------------------------------
+
+def _rgb_frames(n, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        np.stack([np.clip(xx * 5 + 30 * i, 0, 255),
+                  np.clip(yy * 6 + 10, 0, 255),
+                  np.clip(200 - xx * 3 + 5 * i, 0, 255)], axis=2)
+        for i in range(n)], axis=0).astype(np.uint8)
+
+
+def test_y4m_frame_roundtrip_and_indexing():
+    from avecado_spark.sources.multimodal import (y4m_decode_frame,
+                                                  y4m_encode)
+    frames = _rgb_frames(3, 24, 36)
+    clip = y4m_encode(frames, chroma="444")
+    for i in range(3):
+        dec = y4m_decode_frame(clip, i)
+        assert dec.shape == (24, 36, 3)
+        assert np.abs(dec.astype(int) - frames[i].astype(int)).max() <= 3
+    clip420 = y4m_encode(frames, chroma="420")
+    dec420 = y4m_decode_frame(clip420, 1)
+    assert np.abs(dec420.astype(int)[4:-4, 4:-4]
+                  - frames[1].astype(int)[4:-4, 4:-4]).max() <= 40
+    assert np.median(np.abs(dec420.astype(int) - frames[1].astype(int))) <= 6
+
+    import pytest
+    with pytest.raises(ValueError, match="beyond end"):
+        y4m_decode_frame(clip, 3)
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        y4m_decode_frame(b"RIFF....", 0)
+
+
+def test_decode_video_frame_real_and_stub_boundary():
+    import pytest
+    from avecado_spark.sources.multimodal import (decode_video_frame,
+                                                  y4m_encode)
+    frames = _rgb_frames(2, 16, 16)
+    clip = y4m_encode(frames)
+    # the container's own dims win over metadata (passed 0x0 here)
+    dec = decode_video_frame(clip, 1, 0, 0)
+    assert dec.shape == (16, 16, 3)
+    assert np.abs(dec.astype(int) - frames[1].astype(int)).max() <= 3
+    with pytest.raises(NotImplementedError, match="compressed video"):
+        decode_video_frame(b"\x00\x00\x00\x20ftypisom", 0, 8, 8)  # mp4 box
+
+
+def test_sample_frames_real_y4m_payload(spark):
+    """sample_frames end to end over a REAL y4m clip: one row fans out to
+    one row per sampled frame, features computed from true frame pixels."""
+    from avecado_spark.sources import multimodal as mm
+    frames = _rgb_frames(3, 20, 20)
+    clip = mm.y4m_encode(frames)
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(clip), (20, 20, "video/x-yuv4mpeg"))],
+        mm.MEDIA_SCHEMA)
+    rows = mm.sample_frames(df, stride_s=1.0, fps=1.0, duration_s=3.0,
+                            target=16).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 1, 2]
+    for r in rows:
+        img = mm.resize_nearest(mm.y4m_decode_frame(clip, r.frame_idx),
+                                16, 16)
+        assert np.allclose(r.features,
+                           mm.extract_features(img).astype(float))
