@@ -86,8 +86,15 @@ def _create_unionizer(config: dict):
 
 
 def _create_labelizer(config: dict):
+    # Reference parity: the upstream labelizer is a registered no-op
+    # (labelizer.cpp:18-20 "TODO: labelize!") that ignores its config.
+    # Placement activates only on the opt-in `spacing` key (a key the
+    # reference would ignore), so every reference-valid configuration
+    # still passes features through unchanged — see operators/labelizer.
+    from ..operators.labelizer import labelize_features
+
     def process(features, env=None):
-        return features  # no-op upstream
+        return labelize_features(features, config)
     return process
 
 

@@ -571,6 +571,52 @@ def izer_unionize_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("n_points")))
 
 
+@register("izer_labelize_tiles", f"""
+  WITH t AS (
+    SELECT {tile_x_sql('mx_mm', 10)} AS x, {tile_y_sql('my_mm', 10)} AS y,
+           TRY_CAST(substr(url, 32, 20) AS BIGINT) % 5 AS r
+    FROM {GEO_SQL} g
+  )
+  SELECT x, y,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN r >= 3 THEN 2 ELSE 1 END) AS BIGINT) AS n_labels
+  FROM t GROUP BY x, y
+""")
+def izer_labelize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labelizer (the izer the reference declares at labelizer.hpp:14-17
+    but leaves TODO — completed here as an opt-in): each page contributes
+    a straight line of length L = 100 + (pid % 5)*60 map units; with
+    spacing 130 the placement count per line is max(1, floor(L/130)) —
+    1 for pid%5 in {0,1,2} (L 100/160/220), 2 for {3,4} (L 280/340) —
+    derivable in SQL from the page id alone. Output per tile: input line
+    count and generated label-point count."""
+    from .plans.pipeline import apply_to_tiles
+    base = _geo(spark, sf_dir)
+    m = (base.withColumn("bx", (F.col("mx_mm") / 1000).cast("long"))
+             .withColumn("by", (F.col("my_mm") / 1000).cast("long"))
+             .withColumn("pid", F.col("url").substr(32, 20).cast("long")))
+    ln = F.lit(100) + (F.pmod(F.col("pid"), F.lit(5))) * 60
+    wkt = F.concat(F.lit("LINESTRING("),
+                   F.col("bx"), F.lit(" "), F.col("by"), F.lit(", "),
+                   F.col("bx") + ln, F.lit(" "), F.col("by"), F.lit(")"))
+    feats = m.select(F.lit(10).alias("z"),
+                     tile_x_expr("mx_mm", 10).alias("x"),
+                     tile_y_expr("my_mm", 10).alias("y"),
+                     F.lit("roads").alias("layer"),
+                     F.col("pid").alias("id"),
+                     F.create_map(F.lit("a"), F.lit("yes")).alias("props"),
+                     wkt.alias("wkt"))
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "labelizer", "spacing": 130.0}]}]}
+    out = apply_to_tiles(feats, conf)
+    is_label = F.col("props")["label_role"] == "label"
+    return (out.groupBy("x", "y")
+               .agg(F.sum(F.when(is_label, 0).otherwise(1))
+                     .alias("n_lines"),
+                    F.sum(F.when(is_label, 1).otherwise(0))
+                     .alias("n_labels")))
+
+
 @register("izer_generalize_tiles", f"""
   SELECT 2 AS n_points, count(*) AS n_lines FROM {GEO_SQL} g
 """)
