@@ -1,18 +1,23 @@
 """Baseline JPEG codec in pure numpy — no PIL/libjpeg in this container.
 
-Decoder (`jpeg_decode`): baseline sequential DCT (SOF0), the format of
-the overwhelming majority of web images. Handles DQT/DHT/SOF0/SOS/DRI/
-APPn/COM marker parsing, Huffman entropy decode with byte-stuffing and
-restart markers, dequantize → inverse zigzag → 8x8 IDCT (separable
-orthonormal DCT-III as two matrix multiplies), chroma upsampling for any
-(h,v) sampling factors in {1,2} (4:4:4, 4:2:2, 4:2:0), and JFIF YCbCr →
-RGB. Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-NotImplementedError — honest scope boundaries, sniffed up front.
+Decoder (`jpeg_decode`): baseline sequential DCT (SOF0) AND progressive
+(SOF2) — together the formats of essentially all web JPEGs. Handles
+DQT/DHT/SOF/SOS/DRI/APPn/COM marker parsing, Huffman entropy decode with
+byte-stuffing and restart markers, dequantize → inverse zigzag → 8x8
+IDCT (separable orthonormal DCT-III as two matrix multiplies), chroma
+upsampling for any (h,v) sampling factors in {1,2} (4:4:4, 4:2:2,
+4:2:0), and JFIF YCbCr → RGB. Progressive scans accumulate coefficients
+(interleaved/non-interleaved DC first + refinement, per-band AC first +
+refinement with EOB runs and correction bits — T.81 G.1.2/G.2).
+Lossless/hierarchical (SOF3+), arithmetic coding, and 12-bit precision
+raise NotImplementedError — honest scope boundaries, sniffed up front.
 
-Encoder (`jpeg_encode`): the matching baseline writer (quality-scaled
-Annex-K quantization tables, the spec's canonical Huffman tables, 4:4:4 /
-4:2:0 / grayscale) — used to build round-trip fixtures and genuinely
-standard output (decodable by any JPEG reader).
+Encoders: `jpeg_encode` (baseline: quality-scaled Annex-K quantization
+tables, the spec's canonical Huffman tables, 4:4:4/4:2:2/4:2:0 /
+grayscale, optional restart markers) and `jpeg_encode_progressive`
+(SOF2 with all four scan kinds, custom per-scan AC tables carrying the
+EOBn symbols Annex-K lacks) — round-trip fixtures and genuinely standard
+output; for one image the two decode bit-identically.
 
 All tables are the public constants of ITU-T T.81 Annex K.
 """
@@ -234,6 +239,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    coeffs = None
     restart_interval = 0
     n = len(data)
     while pos + 4 <= n:
@@ -270,7 +276,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + nv])
                 p += 17 + nv
                 (huff_ac if tc else huff_dc)[th] = _build_decode(bits, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -279,8 +285,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                coeffs = _alloc_coeffs(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) not supported")
@@ -292,10 +301,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scomps.append((cs, tdta >> 4, tdta & 15))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
             pos += seglen
-            return _decode_scan(data, pos, frame, scomps, qt, huff_dc,
-                                huff_ac, restart_interval)
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if not frame["progressive"]:
+                return _decode_scan(data, pos, frame, scomps, qt, huff_dc,
+                                    huff_ac, restart_interval)
+            pos = _decode_scan_progressive(
+                data, pos, frame, coeffs, scomps, huff_dc, huff_ac,
+                restart_interval, ss, se, ahal >> 4, ahal & 15)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _reconstruct(frame, coeffs, qt)
     raise ValueError("no SOS marker found")
 
 
@@ -382,6 +401,208 @@ def _decode_block(br, dct, act, q, pred, ci):
 
 
 # --------------------------------------------------------------------------
+# progressive decoding (SOF2): coefficients accumulate across scans —
+# DC first/refine (successive approximation on coef 0), AC first/refine
+# per spectral band with EOB runs (ITU-T T.81 G.1.2 / G.2)
+# --------------------------------------------------------------------------
+
+def _grids(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    out = []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)       # component sample dims
+        chh = -(-(h * c["v"]) // vmax)
+        out.append({
+            "bw_i": mcus_x * c["h"], "bh_i": mcus_y * c["v"],
+            "bw_n": -(-cw // 8), "bh_n": -(-chh // 8),
+            "cw": cw, "ch": chh,
+        })
+    return hmax, vmax, mcus_x, mcus_y, out
+
+
+def _alloc_coeffs(frame):
+    _, _, _, _, grids = _grids(frame)
+    return [np.zeros((g["bh_i"], g["bw_i"], 64), dtype=np.int64)
+            for g in grids]
+
+
+def _decode_scan_progressive(data, pos, frame, coeffs, scomps, huff_dc,
+                             huff_ac, restart_interval, ss, se, ah, al):
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    _, _, mcus_x, mcus_y, grids = _grids(frame)
+    order = []  # (comp_index, dc_table, ac_table)
+    for cs, td, ta in scomps:
+        ci = by_id[cs]
+        order.append((ci,
+                      huff_dc.get(td) if ss == 0 else None,
+                      huff_ac.get(ta) if ss > 0 else None))
+    br = _BitReader(data, pos)
+    pred = [0] * len(order)
+    state = {"eobrun": 0}
+
+    def _restart(unit):
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.align()
+            m = br.at_marker()
+            if m is not None and 0xD0 <= m <= 0xD7:
+                br.pos += 2
+            pred[:] = [0] * len(order)
+            state["eobrun"] = 0
+
+    if len(order) > 1:
+        # interleaved scan (DC only — T.81 forbids interleaved AC scans)
+        if ss != 0:
+            raise ValueError("interleaved AC scan is not valid JPEG")
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                _restart(unit)
+                unit += 1
+                for oi, (ci, dct, _) in enumerate(order):
+                    c = comps[ci]
+                    for vb in range(c["v"]):
+                        for hb in range(c["h"]):
+                            blk = coeffs[ci][my * c["v"] + vb,
+                                             mx * c["h"] + hb]
+                            _dc_progressive(br, blk, dct, pred, oi, ah, al)
+    else:
+        # non-interleaved: one component, blocks in its own raster order
+        ci, dct, act = order[0]
+        g = grids[ci]
+        unit = 0
+        for by in range(g["bh_n"]):
+            for bx in range(g["bw_n"]):
+                _restart(unit)
+                unit += 1
+                blk = coeffs[ci][by, bx]
+                if ss == 0:
+                    _dc_progressive(br, blk, dct, pred, 0, ah, al)
+                elif ah == 0:
+                    state["eobrun"] = _ac_first(br, blk, act, ss, se, al,
+                                                state["eobrun"])
+                else:
+                    state["eobrun"] = _ac_refine(br, blk, act, ss, se, al,
+                                                 state["eobrun"])
+    br.align()
+    return br.pos
+
+
+def _dc_progressive(br, blk, dct, pred, oi, ah, al):
+    if ah == 0:  # first scan: full (point-transformed) DC value
+        s = _decode_huff(br, dct)
+        pred[oi] += _extend(br.read_bits(s), s)
+        blk[0] = pred[oi] << al
+    else:        # refinement: one bit of added precision (two's complement
+        if br.read_bit():   # OR, exactly as the spec's decoder does)
+            blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first(br, blk, act, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:          # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        blk[ZIGZAG[k]] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, blk, act, ss, se, al, eobrun):
+    """Refinement scan for one block (T.81 G.1.2.3 correction-bit flow)."""
+    p1 = 1 << al
+    k = ss
+
+    def correct(kk):
+        z = ZIGZAG[kk]
+        if blk[z] != 0:
+            if br.read_bit() and (int(blk[z]) & p1) == 0:
+                blk[z] += p1 if blk[z] > 0 else -p1
+            return True
+        return False
+
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                val = 0          # ZRL: skip 16 zero-history coeffs
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with s > 1")
+                val = p1 if br.read_bit() else -p1
+            while k <= se:
+                if correct(k):
+                    k += 1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                    k += 1
+            if k <= se and s:
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, coeffs, qt):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _, grids = _grids(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        g = grids[ci]
+        q = qt[c["tq"]]
+        plane = np.empty((g["bh_i"] * 8, g["bw_i"] * 8))
+        for by in range(g["bh_i"]):
+            for bx in range(g["bw_i"]):
+                dq = (coeffs[ci][by, bx].astype(np.float64)
+                      * q.reshape(-1)).reshape(8, 8)
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = _idct(dq)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane[:g["ch"], :g["cw"]],
+                                        ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0] + 128.0, 0, 255).astype(np.uint8)[:, :, None]
+    y = planes[0] + 128.0
+    cb, cr = planes[1], planes[2]
+    r = y + 1.402 * cr
+    g2 = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g2, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
 # encoder
 # --------------------------------------------------------------------------
 
@@ -449,6 +670,292 @@ def _encode_block(bw, block, q, pred, ci, dc_codes, ac_codes):
     if end < 64:
         c, ln = ac_codes[0x00]
         bw.write(c, ln)
+
+
+def _quantized_blocks(img, quality, subsampling):
+    """Shared front half of both encoders: color transform, subsample,
+    pad, FDCT, quantize. Returns (frame_info, per-component block arrays
+    of NATURAL-order int64 coefficients, quant tables, samp, gray)."""
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _quality_tables(quality)
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qmap = [0]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "420":
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2]
+                  + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            cr = (crp[0::2, 0::2] + crp[0::2, 1::2]
+                  + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "422":
+            cbp = _pad_to(cb, 1, 2)
+            crp = _pad_to(cr, 1, 2)
+            cb = (cbp[:, 0::2] + cbp[:, 1::2]) / 2.0
+            cr = (crp[:, 0::2] + crp[:, 1::2]) / 2.0
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsampling must be '444', '422' or '420'")
+        planes = [y, cb, cr]
+        qmap = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qts = [ql, qc]
+    blocks = []
+    for p, (sh, sv), qi in zip(planes, samp, qmap):
+        pp = np.pad(p, ((0, mcus_y * sv * 8 - p.shape[0]),
+                        (0, mcus_x * sh * 8 - p.shape[1])), mode="edge")
+        bh, bw_ = mcus_y * sv, mcus_x * sh
+        arr = np.empty((bh, bw_, 64), dtype=np.int64)
+        q = qts[qi]
+        for by in range(bh):
+            for bx in range(bw_):
+                blkc = np.round(
+                    _fdct(pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]) / q)
+                arr[by, bx] = blkc.astype(np.int64).reshape(-1)
+        blocks.append(arr)
+    return (h, w, mcus_x, mcus_y), blocks, (ql, qc), samp, qmap, gray
+
+
+def _headers(h, w, samp, qmap, gray, ql, qc, sof_marker, restart_interval=0):
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00])
+               + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01])
+                   + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], qmap[i]])
+    out += seg(sof_marker, sof)
+
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+        out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    return out, seg
+
+
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 85,
+                            subsampling: str = "444") -> bytes:
+    """Progressive (SOF2) encoder exercising all four scan kinds the
+    decoder implements: interleaved DC first at Al=1, DC refinement,
+    then per-component AC first (Ss=1..63, Al=1, EOB runs) and AC
+    refinement (correction bits + EOBRUN/BE buffering — T.81 G.1.2.3).
+    Same quantized coefficients as jpeg_encode, so for one image the
+    progressive and baseline decodes are bit-identical."""
+    (h, w, mcus_x, mcus_y), blocks, (ql, qc), samp, qmap, gray = \
+        _quantized_blocks(img, quality, subsampling)
+    nc = 1 if gray else 3
+    out, seg = _headers(h, w, samp, qmap, gray, ql, qc, 0xC2)
+    dc_codes = [_build_codes(DC_LUM_BITS, DC_LUM_VALS),
+                _build_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
+    # The Annex-K AC tables carry no EOBn symbols (0x10..0xE0) — those
+    # exist only in progressive streams, where encoders ship custom
+    # per-scan tables. Emit a flat 8-bit table covering every (r, s<15)
+    # symbol: valid canonical code (240 < 255 — the all-ones code stays
+    # reserved), suboptimal but exercises the same DHT machinery real
+    # progressive files use.
+    out += seg(0xC4, bytes([(1 << 4) | 0]) + bytes(_PROG_AC_BITS)
+               + bytes(_PROG_AC_VALS))
+    if not gray:
+        out += seg(0xC4, bytes([(1 << 4) | 1]) + bytes(_PROG_AC_BITS)
+                   + bytes(_PROG_AC_VALS))
+    prog_ac = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    ac_codes = [prog_ac, prog_ac]
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 1 else 1
+            body += bytes([cid, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    # --- scan 1: DC first, interleaved, Al=1 ---------------------------
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                codes = dc_codes[qmap[ci]]
+                for vb in range(sv):
+                    for hb in range(sh):
+                        dc = int(blocks[ci][my * sv + vb, mx * sh + hb, 0])
+                        v = dc >> 1          # point transform (arith shift)
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = _ssss(diff)
+                        c, ln = codes[s]
+                        bw.write(c, ln)
+                        if s:
+                            bw.write(diff if diff > 0
+                                     else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.out
+
+    # --- scan 2: DC refinement, interleaved, Ah=1 Al=0 -----------------
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for vb in range(sv):
+                    for hb in range(sh):
+                        dc = int(blocks[ci][my * sv + vb, mx * sh + hb, 0])
+                        bw.write(dc & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # --- per component: AC first (Al=1) then AC refine (Ah=1, Al=0) ----
+    for ci in range(nc):
+        codes = ac_codes[qmap[ci]]
+        # non-interleaved grid: ceil(component_samples / 8)
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        cw = -(-(w * samp[ci][0]) // hmax)
+        chh = -(-(h * samp[ci][1]) // vmax)
+        bw_n = -(-cw // 8)
+        bh_n = -(-chh // 8)
+
+        out += sos_header([ci + 1], 1, 63, 0, 1)
+        bw = _BitWriter()
+        eobrun = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                zz = blocks[ci][by, bx][ZIGZAG]   # zigzag order
+                t = np.sign(zz) * (np.abs(zz) >> 1)   # AC point transform
+                nz = np.flatnonzero(t[1:64]) + 1
+                if len(nz) == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun = _emit_eobrun(bw, codes, eobrun)
+                    continue
+                eobrun = _emit_eobrun(bw, codes, eobrun)
+                k = 1
+                for j in nz:
+                    r = j - k
+                    while r > 15:
+                        c, ln = codes[0xF0]
+                        bw.write(c, ln)
+                        r -= 16
+                    v = int(t[j])
+                    s = _ssss(v)
+                    c, ln = codes[(r << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    k = j + 1
+                if k <= 63:
+                    eobrun += 1
+        _emit_eobrun(bw, codes, eobrun)
+        bw.flush()
+        out += bw.out
+
+        out += sos_header([ci + 1], 1, 63, 1, 0)
+        bw = _BitWriter()
+        pend = {"eobrun": 0, "be": []}
+
+        def emit_eobrun_refine():
+            if pend["eobrun"] > 0:
+                nbits = pend["eobrun"].bit_length() - 1
+                c, ln = codes[nbits << 4]
+                bw.write(c, ln)
+                if nbits:
+                    bw.write(pend["eobrun"] - (1 << nbits), nbits)
+                for bit in pend["be"]:
+                    bw.write(bit, 1)
+                pend["eobrun"] = 0
+                pend["be"] = []
+
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                zz = blocks[ci][by, bx][ZIGZAG]
+                absv = np.abs(zz)
+                # EOB = last position that becomes newly significant
+                newly = np.flatnonzero(absv[1:64] == 1) + 1
+                eob = int(newly[-1]) if len(newly) else 0
+                r = 0
+                br_bits: list[int] = []
+                for k in range(1, 64):
+                    temp = int(absv[k])
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        emit_eobrun_refine()
+                        c, ln = codes[0xF0]
+                        bw.write(c, ln)
+                        r -= 16
+                        for bit in br_bits:
+                            bw.write(bit, 1)
+                        br_bits = []
+                    if temp > 1:
+                        br_bits.append(temp & 1)
+                        continue
+                    emit_eobrun_refine()
+                    c, ln = codes[(r << 4) | 1]
+                    bw.write(c, ln)
+                    bw.write(1 if zz[k] > 0 else 0, 1)
+                    for bit in br_bits:
+                        bw.write(bit, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    pend["eobrun"] += 1
+                    pend["be"].extend(br_bits)
+                    if pend["eobrun"] == 0x7FFF:
+                        emit_eobrun_refine()
+        emit_eobrun_refine()
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(15)]
+
+
+def _emit_eobrun(bw, codes, eobrun):
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        c, ln = codes[nbits << 4]
+        bw.write(c, ln)
+        if nbits:
+            bw.write(eobrun - (1 << nbits), nbits)
+    return 0
 
 
 def _pad_to(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:

@@ -4,9 +4,10 @@ A 100 TB training pipeline carries image/audio/video as `binary` columns
 with struct metadata; the Spark-side plumbing (schema, partitioning, Arrow
 batch shape, UDF signatures) is real and tested here. PNG images decode
 FOR REAL via the in-repo pure-numpy decoder (operators/raster.png_decode),
-baseline JPEG via functions/jpeg.jpeg_decode, and RIFF/WAVE PCM audio via
-wav_decode below; remaining codecs (progressive JPEG, WebP, mp3/aac,
-video containers) are STUBBED — those
+baseline AND progressive JPEG via functions/jpeg.jpeg_decode, RIFF/WAVE
+PCM audio via wav_decode below, and YUV4MPEG2 video via
+y4m_decode_frame; remaining codecs (WebP, mp3/aac, mp4/webm)
+are STUBBED — those
 libraries are not in this container — and raise NotImplementedError unless
 `deterministic_fake=True`, which produces a seeded fake decode so the
 downstream plumbing (resize → feature-extract shape) is exercised end to
@@ -49,11 +50,12 @@ def decode_image(payload: bytes, width: int, height: int,
     """Image decode → (h, w, 3) uint8. PNG payloads decode FOR REAL via the
     in-repo pure-numpy decoder (operators/raster.png_decode — IHDR/IDAT,
     filters 0-4; grayscale expanded, alpha dropped; the PNG's own header
-    dims win over the metadata). Baseline JPEG (SOF0 — the dominant web
-    format) decodes FOR REAL via the in-repo pure-numpy codec
-    (functions/jpeg.jpeg_decode: Huffman + dequant + IDCT + chroma
-    upsample + YCbCr→RGB). Remaining formats (progressive JPEG, WebP,
-    ...) need a codec library not present in this container:
+    dims win over the metadata). Baseline AND progressive JPEG
+    (SOF0/SOF2 — essentially all web JPEGs) decode FOR REAL via the
+    in-repo pure-numpy codec (functions/jpeg.jpeg_decode: Huffman +
+    dequant + IDCT + chroma upsample + YCbCr→RGB; progressive scans
+    accumulate coefficients). Remaining formats (WebP, ...) need a codec
+    library not present in this container:
     NotImplementedError unless deterministic_fake=True, which derives a
     shape-correct array from a sha256 keystream of the payload."""
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":

@@ -69,11 +69,13 @@ def test_restart_markers_roundtrip():
     assert (dec == plain).all()
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_lossless_and_garbage():
+    """SOF2 (progressive) is REAL since r04; the remaining honest frame
+    boundary is lossless/hierarchical/arithmetic (SOF3+)."""
     img = _gradient(16, 16)
     enc = bytearray(jpeg_encode(img))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2                       # flip SOF0 → SOF2
+    enc[sof + 1] = 0xC3                       # flip SOF0 → SOF3 lossless
     with pytest.raises(NotImplementedError, match="non-baseline"):
         jpeg_decode(bytes(enc))
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -261,3 +263,58 @@ def test_sample_frames_real_y4m_payload(spark):
                                 16, 16)
         assert np.allclose(r.features,
                            mm.extract_features(img).astype(float))
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2): coefficients accumulate across scans
+# ---------------------------------------------------------------------------
+
+def test_progressive_decode_matches_baseline_bit_for_bit():
+    """Same quantized coefficients → same reconstruction: for any image,
+    decoding the progressive stream (DC first/refine + per-component AC
+    first/refine) must equal decoding the baseline stream EXACTLY."""
+    from avecado_spark.functions.jpeg import jpeg_encode_progressive
+    rng = np.random.default_rng(11)
+    images = [_gradient(40, 56),
+              rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+                 .astype(np.uint8)]
+    for img in images:
+        for sub in ("444", "422", "420"):
+            for q in (95, 70):
+                prog = jpeg_encode_progressive(img, quality=q,
+                                               subsampling=sub)
+                assert b"\xff\xc2" in prog[:200]          # SOF2 frame
+                base = jpeg_decode(jpeg_encode(img, quality=q,
+                                               subsampling=sub))
+                assert (jpeg_decode(prog) == base).all()
+
+
+def test_progressive_grayscale_and_quality():
+    from avecado_spark.functions.jpeg import jpeg_encode_progressive
+    yy, xx = np.mgrid[0:33, 0:47]
+    g = np.clip(xx * 3 + yy * 2, 0, 255).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode_progressive(g, quality=90))
+    assert dec.shape == (33, 47, 1)
+    assert _psnr(g[:, :, None], dec) >= 45.0
+
+
+def test_progressive_noise_stresses_eobrun_and_refine():
+    """High-entropy content at low quality maximizes EOB runs, ZRL and
+    correction-bit traffic; identity with baseline must still hold."""
+    from avecado_spark.functions.jpeg import jpeg_encode_progressive
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8).astype(np.uint8)
+    for q in (30, 85):
+        base = jpeg_decode(jpeg_encode(img, quality=q, subsampling="420"))
+        prog = jpeg_decode(jpeg_encode_progressive(img, quality=q,
+                                                   subsampling="420"))
+        assert (base == prog).all()
+
+
+def test_decode_image_accepts_progressive():
+    from avecado_spark.functions.jpeg import jpeg_encode_progressive
+    from avecado_spark.sources.multimodal import decode_image
+    img = _gradient(20, 28)
+    dec = decode_image(jpeg_encode_progressive(img, quality=92), 0, 0)
+    assert dec.shape == (20, 28, 3)
+    assert _psnr(img, dec) >= 40.0
