@@ -106,8 +106,9 @@ def extract_features(img: np.ndarray) -> np.ndarray:
 
 
 def media_features(df: DataFrame, target: int = 32) -> DataFrame:
-    """mapInPandas plumbing: decode (fake) → resize → features.
-    Arrow batches in, (media_id, features array<float>) out."""
+    """mapInPandas plumbing: decode (REAL for PNG/JPEG payloads, seeded
+    fake otherwise) → resize → features. Arrow batches in,
+    (media_id, features array<float>) out."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,10 +128,10 @@ def media_features(df: DataFrame, target: int = 32) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # video: frame sampling (the fourth charter op: decode / feature-extract /
-# resize / FRAME-SAMPLE). The container decode is STUBBED like decode_image;
-# the Spark-side shape — one input row fanning out to k frame rows through
-# mapInPandas, frame indices deterministic from the sampling stride — is
-# real and tested.
+# resize / FRAME-SAMPLE). YUV4MPEG2 decodes for real; compressed containers
+# are STUBBED like decode_image. The Spark-side shape — one input row
+# fanning out to k frame rows through mapInPandas, frame indices
+# deterministic from the sampling stride — is real and tested.
 # ---------------------------------------------------------------------------
 
 def y4m_decode_frame(payload: bytes, frame_idx: int) -> np.ndarray:
