@@ -156,7 +156,7 @@ def minhash_bands_sql() -> str:
 _PERSIST_LATEST: dict[str, DataFrame] = {}
 
 
-def persist_latest(tag: str, df: DataFrame) -> DataFrame:
+def persist_latest(tag: str, df: DataFrame, reuse: bool = False) -> DataFrame:
     """persist() with a one-generation cache: re-invoking the same builder
     unpersists the PREVIOUS invocation's blocks first, so repeated queries
     in one session hold at most one cached copy per operator (the round-2
@@ -164,9 +164,18 @@ def persist_latest(tag: str, df: DataFrame) -> DataFrame:
     (localCheckpoint would be GC-cleaned but measures ~5x slower here: the
     RDD conversion materializes every column serialized and blocks AQE
     across the boundary.) At corpus scale, materialize to a table instead —
-    jobs/dedup_signatures.py + *_from_table()."""
-    prev = _PERSIST_LATEST.pop(tag, None)
+    jobs/dedup_signatures.py + *_from_table().
+
+    reuse=True memoizes instead: a later call with the SAME tag returns
+    the already-persisted DataFrame rather than unpersist-and-rebuild —
+    right for deterministic derivations keyed by their input path (the
+    tag embeds sf_dir), where re-invocation would otherwise throw the
+    warm blocks away and recompute the identical plan."""
+    prev = _PERSIST_LATEST.get(tag)
     if prev is not None:
+        if reuse:
+            return prev
+        _PERSIST_LATEST.pop(tag, None)
         try:
             prev.unpersist()
         except Exception:
@@ -177,12 +186,17 @@ def persist_latest(tag: str, df: DataFrame) -> DataFrame:
 
 
 def lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist via the one-generation cache: the self-join references the
-    # bands subtree twice and Catalyst would recompute the full signature
-    # pipeline per side
+    # persist via the one-generation cache, twice over: the self-join
+    # references the bands subtree twice (Catalyst would recompute the
+    # full signature pipeline per side), and the RESULTING pair table has
+    # four consumers in one session (the pairs query itself, both
+    # connected-components variants, and the keep-list) that would each
+    # rerun the band self-join without it. The pair table is tiny
+    # (candidate pairs only), so the cached footprint is negligible.
     bands = persist_latest(f"minhash_bands:{sf_dir}",
-                           minhash_bands_df(spark, sf_dir))
-    return _pairs_from_bands(bands)
+                           minhash_bands_df(spark, sf_dir), reuse=True)
+    return persist_latest(f"lsh_pairs:{sf_dir}", _pairs_from_bands(bands),
+                          reuse=True)
 
 
 def _pairs_from_bands(bands: DataFrame) -> DataFrame:
