@@ -290,3 +290,32 @@ def test_knn_rings_probe_is_slim_and_map_side(spark):
     exchanges = [l for l in physical.splitlines() if "Exchange" in l]
     assert len(exchanges) <= 1  # only the synthesis DISTINCT
     assert "Join" not in physical
+
+
+def test_q6_scan_filter_agg_single_wide_stage(spark):
+    """tpch_q6_forecast must be the minimal plan for its shape: shipdate
+    predicates pushed to the parquet scan, no join, and exactly one
+    exchange (the final single-group aggregation)."""
+    from avecado_spark.queries import queries
+    q = queries()["tpch_q6_forecast"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_labelize_pipeline_single_shuffle(spark):
+    """The labelizer rides the izer group shuffle: apply_to_tiles with a
+    labelizer stage plans exactly one exchange (the tile-key grouping),
+    like the other feature-local izers."""
+    from avecado_spark.plans.pipeline import apply_to_tiles
+    rows = [(10, 1, 1, "roads", 1, {"a": "x"}, "LINESTRING(0 0, 300 0)")]
+    df = spark.createDataFrame(
+        rows, "z int, x long, y long, layer string, id long, "
+              "props map<string,string>, wkt string")
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "labelizer", "spacing": 90.0}]}]}
+    out = apply_to_tiles(df, conf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
