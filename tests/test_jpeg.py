@@ -318,3 +318,44 @@ def test_decode_image_accepts_progressive():
     dec = decode_image(jpeg_encode_progressive(img, quality=92), 0, 0)
     assert dec.shape == (20, 28, 3)
     assert _psnr(img, dec) >= 40.0
+
+
+# ---------------------------------------------------------------------------
+# adversarial robustness: malformed/truncated streams fail loudly and fast
+# ---------------------------------------------------------------------------
+
+@given(st.integers(0, 10**6), st.integers(1, 400))
+@settings(max_examples=30, deadline=None)
+def test_truncated_jpeg_raises_cleanly(seed, cut):
+    """Any truncation of a valid stream must raise (ValueError /
+    NotImplementedError / struct.error / IndexError) — never hang, never
+    return silently-wrong pixels of the wrong shape."""
+    import struct as _st
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8).astype(np.uint8)
+    enc = jpeg_encode(img, quality=80)
+    cut = min(cut, len(enc) - 3)
+    try:
+        out = jpeg_decode(enc[:len(enc) - cut])
+        # decoding may succeed if only trailing EOI/pad was cut — then
+        # the shape must still be right
+        assert out.shape == (16, 16, 3)
+    except (ValueError, NotImplementedError, _st.error, IndexError):
+        pass
+
+
+@given(st.integers(0, 10**6))
+@settings(max_examples=30, deadline=None)
+def test_random_bytes_never_hang_mvt_or_jpeg(seed):
+    import struct as _st
+    from avecado_spark.functions import mvt
+    rng = np.random.default_rng(seed)
+    blob = bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+    try:
+        jpeg_decode(b"\xff\xd8" + blob)
+    except (ValueError, NotImplementedError, _st.error, IndexError, KeyError):
+        pass
+    try:
+        mvt.decode_tile(blob)
+    except Exception as e:
+        assert not isinstance(e, (MemoryError, RecursionError))
