@@ -1126,6 +1126,60 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_rows")))
 
 
+@register("tpch_q12_priority", """
+  SELECT o.o_orderpriority,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS returned_lines,
+         CAST(count(*) AS BIGINT) AS all_lines
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= DATE '1996-01-01'
+    AND l.l_shipdate < DATE '1997-01-01'
+  GROUP BY o.o_orderpriority
+""")
+def tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: fact-to-dim join + conditional counting per
+    priority class (the synthetic schema carries no shipmode/commitdate,
+    so the gating predicate is the shipdate year and the mode split is
+    the return flag — same join + CASE-aggregation shape)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+             .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                    & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
+             .groupBy("o_orderpriority")
+             .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                         .otherwise(0)).alias("returned_lines"),
+                  F.count("*").alias("all_lines")))
+
+
+@register("tpch_q14_promo", """
+  SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+                CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS promo_e4,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS total_e4
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= DATE '1995-09-01'
+    AND l.l_shipdate < DATE '1995-10-01'
+""")
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue: broadcast part join + conditional
+    revenue split (numerator/denominator in integer e4 units so the
+    oracle compares exactly; the promo share is their ratio)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long"))
+    return (li.where((F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+                     & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date")))
+              .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+              .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                          .otherwise(F.lit(0))).alias("promo_e4"),
+                   F.sum(rev).alias("total_e4")))
+
+
 @register("raster_render_z6", None)
 def raster_render_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 (SURVEY §2.1): raster leg — render z6 tiles to PNG via the numpy
