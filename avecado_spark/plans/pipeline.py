@@ -159,15 +159,21 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
 
     df columns: (z int, x long, y long, layer string, id long,
                  props map<string,string>, wkt string).
-    One applyInPandas group per (z, x, y, layer) — the exact shape of the
-    reference izer interface (izer_base.hpp:14-21: all features of one layer
-    of one tile in, mutated set out). Features may multiply (split mode) or
-    merge (unionizer).
+    One izer invocation per (z, x, y, layer) group — the exact shape of
+    the reference izer interface (izer_base.hpp:14-21: all features of one
+    layer of one tile in, mutated set out). Features may multiply (split
+    mode) or merge (unionizer).
 
-    Scale note: izer groups are tile-local (thousands of features at most),
-    so per-group pandas frames stay small; the shuffle key is the tile key,
-    which the encode step reuses — one shuffle serves both.
-    """
+    Scale shape: groups are MANY and TINY (one per populated tile-layer —
+    millions at z14), which is applyInPandas's worst case (per-group
+    pandas frames through the serializer). Instead the groups ride ONE
+    repartition + sortWithinPartitions on the tile key and a mapInPandas
+    pass walks the sorted runs with numpy boundary detection, carrying
+    the trailing (possibly batch-split) run between Arrow batches — the
+    same many-tiny-groups treatment the encode path uses. The shuffle key
+    is the tile key, which the encode step reuses — one shuffle serves
+    both (plan-asserted: tests/test_plan_quality.py)."""
+    import numpy as np
     import pandas as pd
 
     from ..functions import wkt as _wkt
@@ -176,24 +182,71 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
     out_schema = ("z int, x long, y long, layer string, id long, "
                   "props map<string,string>, wkt string")
 
-    def run_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        z, x, y, layer_name = int(key[0]), int(key[1]), int(key[2]), key[3]
-        feats = []
-        for r in pdf.itertuples(index=False):
-            props = dict(r.props) if r.props is not None else {}
-            feats.append({"id": int(r.id), "props": props,
-                          "geoms": [_wkt.loads(r.wkt)]})
-        feats, _ = proc.process_layer(feats, layer_name, z, tile_px)
-        rows = {"z": [], "x": [], "y": [], "layer": [], "id": [],
-                "props": [], "wkt": []}
-        for f in feats:
-            for g in f["geoms"]:
-                rows["z"].append(z); rows["x"].append(x); rows["y"].append(y)
-                rows["layer"].append(layer_name); rows["id"].append(f["id"])
-                rows["props"].append({k: v for k, v in f["props"].items()
-                                      if v is not None})
-                rows["wkt"].append(_wkt.dumps(g))
-        return pd.DataFrame(rows)
+    def _process_chunk(pdf: "pd.DataFrame", out: dict):
+        zs = pdf["z"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        lays = pdf["layer"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        props_col = pdf["props"].to_numpy(dtype=object)
+        wkts = pdf["wkt"].to_numpy(dtype=object)
+        n = len(pdf)
+        # group run boundaries over the sorted key (vectorized)
+        if n > 1:
+            brk = ((zs[1:] != zs[:-1]) | (xs[1:] != xs[:-1])
+                   | (ys[1:] != ys[:-1]) | (lays[1:] != lays[:-1]))
+            starts = [0] + list(np.flatnonzero(brk) + 1) + [n]
+        else:
+            starts = [0, n]
+        for si in range(len(starts) - 1):
+            a, b = starts[si], starts[si + 1]
+            z, x, y, layer_name = int(zs[a]), int(xs[a]), int(ys[a]), lays[a]
+            feats = []
+            for i in range(a, b):
+                props = dict(props_col[i]) if props_col[i] is not None else {}
+                feats.append({"id": int(ids[i]), "props": props,
+                              "geoms": [_wkt.loads(wkts[i])]})
+            feats, _ = proc.process_layer(feats, layer_name, z, tile_px)
+            for f in feats:
+                for g in f["geoms"]:
+                    out["z"].append(z)
+                    out["x"].append(x)
+                    out["y"].append(y)
+                    out["layer"].append(layer_name)
+                    out["id"].append(f["id"])
+                    out["props"].append({k: v for k, v in
+                                         f["props"].items()
+                                         if v is not None})
+                    out["wkt"].append(_wkt.dumps(g))
 
-    return (df.groupBy("z", "x", "y", "layer")
-              .applyInPandas(run_group, schema=out_schema))
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing run — its group may continue in the
+            # next Arrow batch of this partition
+            last = pdf.iloc[-1]
+            tail = pdf[(pdf["z"] == last["z"]) & (pdf["x"] == last["x"])
+                       & (pdf["y"] == last["y"])
+                       & (pdf["layer"] == last["layer"])]
+            head_end = tail.index[0]
+            carry = pdf.iloc[head_end:].reset_index(drop=True)
+            head = pdf.iloc[:head_end]
+            if len(head):
+                out = {"z": [], "x": [], "y": [], "layer": [], "id": [],
+                       "props": [], "wkt": []}
+                _process_chunk(head, out)
+                yield pd.DataFrame(out)
+        if carry is not None and len(carry):
+            out = {"z": [], "x": [], "y": [], "layer": [], "id": [],
+                   "props": [], "wkt": []}
+            _process_chunk(carry, out)
+            yield pd.DataFrame(out)
+
+    return (df.repartition("z", "x", "y", "layer")
+              .sortWithinPartitions("z", "x", "y", "layer")
+              .mapInPandas(run, schema=out_schema))
