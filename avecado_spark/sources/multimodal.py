@@ -4,10 +4,11 @@ A 100 TB training pipeline carries image/audio/video as `binary` columns
 with struct metadata; the Spark-side plumbing (schema, partitioning, Arrow
 batch shape, UDF signatures) is real and tested here. PNG images decode
 FOR REAL via the in-repo pure-numpy decoder (operators/raster.png_decode),
-baseline AND progressive JPEG via functions/jpeg.jpeg_decode, RIFF/WAVE
-PCM audio via wav_decode below, and YUV4MPEG2 video via
-y4m_decode_frame; remaining codecs (WebP, mp3/aac, mp4/webm)
-are STUBBED — those
+baseline AND progressive JPEG via functions/jpeg.jpeg_decode, lossless
+WebP via functions/webp.webp_decode (VP8L: prefix codes, color cache,
+LZ77, all four transforms), RIFF/WAVE PCM audio via wav_decode below,
+and YUV4MPEG2 video via y4m_decode_frame. Remaining codecs (lossy-VP8
+WebP, mp3/aac, mp4/webm) are STUBBED — those
 libraries are not in this container — and raise NotImplementedError unless
 `deterministic_fake=True`, which produces a seeded fake decode so the
 downstream plumbing (resize → feature-extract shape) is exercised end to
@@ -72,11 +73,14 @@ def decode_image(payload: bytes, width: int, height: int,
         if img.shape[2] == 1:        # gray → RGB
             return np.repeat(img, 3, axis=2)
         return img
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        from ..functions.webp import webp_decode
+        return webp_decode(bytes(payload))[:, :, :3]  # alpha dropped
     if not deterministic_fake:
         raise NotImplementedError(
-            "non-PNG/JPEG image decode requires PIL/opencv (not "
-            "installed); pass deterministic_fake=True for the seeded "
-            "stand-in")
+            "non-PNG/JPEG/lossless-WebP image decode requires PIL/opencv "
+            "(not installed); pass deterministic_fake=True for the "
+            "seeded stand-in")
     need = width * height * 3
     out = bytearray()
     counter = 0

@@ -1,0 +1,109 @@
+"""Lossless WebP / VP8L codec (functions/webp): every coding tool the
+decoder implements is pinned by an EXACT round-trip (VP8L is lossless, so
+decode(encode(img)) == img bit-for-bit) — literals, color cache, LZ77
+runs with the neighbor distance map, and all four transforms including
+palette pixel-bundling and each of the 14 predictor modes."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from avecado_spark.functions.webp import (webp_decode,  # noqa: E402
+                                          webp_encode)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([np.clip(xx * 4 + yy, 0, 255),
+                     np.clip(yy * 6, 0, 255),
+                     np.clip(150 + xx - yy * 2, 0, 255),
+                     np.full_like(xx, 255)], axis=2).astype(np.uint8)
+
+
+def test_roundtrip_literals_cache_and_runs():
+    rng = np.random.default_rng(3)
+    imgs = [
+        _gradient(23, 37),
+        rng.integers(0, 256, (16, 21, 4), dtype=np.uint8).astype(np.uint8),
+        # long same-pixel runs → LZ77 length/distance path
+        np.repeat(np.repeat(
+            rng.integers(0, 5, (4, 5, 4)) * 50, 6, axis=0),
+            7, axis=1).astype(np.uint8),
+    ]
+    for img in imgs:
+        for kw in ({}, {"use_cache": False}, {"subtract_green": True}):
+            enc = webp_encode(img, **kw)
+            assert enc[:4] == b"RIFF" and enc[8:16] == b"WEBPVP8L"
+            dec = webp_decode(enc)
+            assert (dec == img).all()        # lossless: EXACT
+
+
+@pytest.mark.parametrize("n_colors", [2, 4, 13, 200])
+def test_roundtrip_palette_with_bundling(n_colors):
+    """COLOR_INDEXING at every bundling width (8/4/2 px per byte + none)."""
+    rng = np.random.default_rng(n_colors)
+    pal = rng.integers(0, 256, (n_colors, 4), dtype=np.uint8)
+    pal[:, 3] = 255
+    img = pal[rng.integers(0, n_colors, (15, 22))].astype(np.uint8)
+    dec = webp_decode(webp_encode(img, palette=True))
+    assert (dec == img).all()
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_roundtrip_every_predictor_mode(mode):
+    rng = np.random.default_rng(mode)
+    for img in (_gradient(21, 30),
+                rng.integers(0, 256, (17, 19, 4),
+                             dtype=np.uint8).astype(np.uint8)):
+        enc = webp_encode(img, predictor=mode, use_cache=False)
+        assert (webp_decode(enc) == img).all()
+
+
+@pytest.mark.parametrize("cte", [(10, -20, 5), (-128, 127, 64),
+                                 (33, 77, -90), (127, -128, 127)])
+def test_roundtrip_color_transform(cte):
+    rng = np.random.default_rng(hash(cte) % 2**31)
+    img = rng.integers(0, 256, (17, 19, 4), dtype=np.uint8).astype(np.uint8)
+    enc = webp_encode(img, color_transform=cte, use_cache=False)
+    assert (webp_decode(enc) == img).all()
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 10**6))
+@settings(max_examples=25, deadline=None)
+def test_roundtrip_property(h, w, seed):
+    """Any image, any dims (incl. 1-pixel edges) round-trips exactly."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8).astype(np.uint8)
+    assert (webp_decode(webp_encode(img)) == img).all()
+
+
+def test_rgb_input_and_alpha_channel():
+    img3 = _gradient(9, 11)[:, :, :3]
+    dec = webp_decode(webp_encode(img3))
+    assert (dec[:, :, :3] == img3).all() and (dec[:, :, 3] == 255).all()
+    # non-opaque alpha survives exactly
+    rng = np.random.default_rng(1)
+    img4 = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8).astype(np.uint8)
+    assert (webp_decode(webp_encode(img4)) == img4).all()
+
+
+def test_rejects_lossy_and_garbage():
+    with pytest.raises(ValueError, match="not a WebP"):
+        webp_decode(b"\x89PNG\r\n\x1a\n")
+    fake_vp8 = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+                + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
+    with pytest.raises(NotImplementedError, match="lossy WebP"):
+        webp_decode(fake_vp8)
+
+
+def test_decode_image_sniffs_webp():
+    from avecado_spark.sources.multimodal import decode_image
+    img = _gradient(12, 14)
+    dec = decode_image(webp_encode(img), 0, 0)
+    assert dec.shape == (12, 14, 3)
+    assert (dec == img[:, :, :3]).all()
