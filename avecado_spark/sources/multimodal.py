@@ -55,8 +55,9 @@ def decode_image(payload: bytes, width: int, height: int,
     (SOF0/SOF2 — essentially all web JPEGs) decode FOR REAL via the
     in-repo pure-numpy codec (functions/jpeg.jpeg_decode: Huffman +
     dequant + IDCT + chroma upsample + YCbCr→RGB; progressive scans
-    accumulate coefficients). Remaining formats (WebP, ...) need a codec
-    library not present in this container:
+    accumulate coefficients), and lossless WebP via the full VP8L decoder
+    (functions/webp.webp_decode). Remaining formats (lossy-VP8 WebP,
+    AVIF, ...) need a codec library not present in this container:
     NotImplementedError unless deterministic_fake=True, which derives a
     shape-correct array from a sha256 keystream of the payload."""
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
