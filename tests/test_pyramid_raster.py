@@ -223,13 +223,18 @@ def test_decode_image_real_png_and_media_features(spark):
     # real decode prefers the PNG header dims over metadata
     d = decode_image(png_encode(imgs[0]), 1, 1)
     assert d.shape == (40, 30, 3)
-    # baseline JPEG is REAL since round 4 (functions/jpeg.py) — the
-    # remaining stub boundary is non-PNG/JPEG formats (e.g. WebP)...
+    # JPEG (baseline + progressive) and lossless WebP are REAL since
+    # round 4 — the remaining stub boundary is lossy-VP8 WebP and other
+    # compressed formats...
+    lossy = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+             + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 8, 8)
-    # ...and a malformed JPEG fails loudly, not silently
+        decode_image(lossy, 8, 8)
+    # ...and malformed streams fail loudly, not silently
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xffJPEGish", 8, 8)
+    with pytest.raises(ValueError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 8, 8)  # truncated
 
 
 # ---------------------------------------------------------------------------
