@@ -107,3 +107,20 @@ def test_decode_image_sniffs_webp():
     dec = decode_image(webp_encode(img), 0, 0)
     assert dec.shape == (12, 14, 3)
     assert (dec == img[:, :, :3]).all()
+
+
+def test_vp8x_extended_container_is_walked():
+    """Real files often wrap VP8L in a VP8X extended container with
+    metadata chunks; the chunk walk must skip unknown chunks (with the
+    RIFF odd-size pad rule) and find VP8L."""
+    import struct
+    img = _gradient(7, 9)
+    plain = webp_encode(img)
+    vp8l_off = plain.index(b"VP8L")
+    vp8l_chunk = plain[vp8l_off:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    exif = b"EXIF" + struct.pack("<I", 5) + b"junk!" + b"\x00"  # odd→pad
+    body = vp8x + exif + vp8l_chunk
+    wrapped = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    dec = webp_decode(wrapped)
+    assert (dec == webp_decode(plain)).all()
