@@ -124,3 +124,19 @@ def test_vp8x_extended_container_is_walked():
     wrapped = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
     dec = webp_decode(wrapped)
     assert (dec == webp_decode(plain)).all()
+
+
+@given(st.integers(0, 10**6), st.integers(1, 200))
+@settings(max_examples=25, deadline=None)
+def test_truncated_webp_raises_cleanly(seed, cut):
+    """Truncations fail loudly (truncated-bitstream / chunk errors) —
+    never hang, never emit a wrong-shaped image."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (10, 12, 4), dtype=np.uint8).astype(np.uint8)
+    enc = webp_encode(img)
+    cut = min(cut, len(enc) - 13)
+    try:
+        out = webp_decode(enc[:len(enc) - cut])
+        assert out.shape == (10, 12, 4)   # only pad-byte cuts may succeed
+    except (ValueError, NotImplementedError, IndexError):
+        pass
