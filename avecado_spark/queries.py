@@ -1152,6 +1152,45 @@ def tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count("*").alias("all_lines")))
 
 
+@register("tpch_q10_returns", """
+  SELECT c.c_custkey, n.n_name,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+             AS BIGINT) AS revenue_e4
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1995-07-01'
+  GROUP BY c.c_custkey, n.n_name
+  ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+""")
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: customers ranked by returned-item revenue in a
+    half-year window — a 4-table star (two broadcastable dims) with a
+    selective fact filter, grouped top-k."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long"))
+    return (li.where(F.col("l_returnflag") == "R")
+              .join(o.where(
+                  (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                  & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n),
+                    F.col("n_nationkey") == F.col("c_nationkey"))
+              .groupBy("c_custkey", "n_name")
+              .agg(F.sum(rev).alias("revenue_e4"))
+              .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+              .limit(20))
+
+
 @register("tpch_q14_promo", """
   SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
