@@ -322,6 +322,15 @@ def _decode_scan(data, pos, frame, scomps, qt, huff_dc, huff_ac,
                  restart_interval):
     if frame is None:
         raise ValueError("SOS before SOF")
+    if len(scomps) < len(frame["comps"]):
+        # Spec-valid baseline JPEGs may split components across multiple
+        # scans; this decoder returns after the first SOS, so a partial
+        # first scan would silently decode only those components (e.g. a
+        # per-component-scan YCbCr file coming back as the Y plane). Fail
+        # loudly instead — honest scope boundary, same contract as SOF3+.
+        raise NotImplementedError(
+            f"multi-scan baseline JPEG: first scan covers {len(scomps)} of "
+            f"{len(frame['comps'])} components")
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     by_id = {c["id"]: c for c in comps}
     order = []

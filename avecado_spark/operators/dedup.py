@@ -174,7 +174,19 @@ def persist_latest(tag: str, df: DataFrame, reuse: bool = False) -> DataFrame:
     prev = _PERSIST_LATEST.get(tag)
     if prev is not None:
         if reuse:
-            return prev
+            # The memo survives a SparkSession stop/recreate in the same
+            # process; a DataFrame bound to a dead session fails only at
+            # action time with an opaque error. Validate liveness here and
+            # rebuild instead. (Stale-input caveat: the tag embeds sf_dir,
+            # so rewriting the parquet UNDER an unchanged path within one
+            # session still serves the old cache — callers that rewrite
+            # inputs must use a fresh tag or call with reuse=False.)
+            try:
+                alive = prev.sparkSession is SparkSession.getActiveSession()
+            except Exception:
+                alive = False
+            if alive:
+                return prev
         _PERSIST_LATEST.pop(tag, None)
         try:
             prev.unpersist()

@@ -34,7 +34,12 @@ def register(name: str, oracle: str | None):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    # Oracle-backed queries first, rows-only (oracle=None) last: a harness
+    # that caps the number of checked queries then truncates rows-only
+    # entries (already pinned by pixel/fixture tests), never a hash-checked
+    # one (r04: the 51st-registered query fell off a 50-entry artifact).
+    ordered = sorted(_REGISTRY.items(), key=lambda kv: kv[1][1] is None)
+    return {k: v[0] for k, v in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -904,6 +909,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_df(spark, sf_dir)
 
 
+@register("sim_ann_ivf", S.ann_ivf_sql())
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse-quantizer cells, nprobe=1) — the second
+    scale path for similarity search alongside the LSH variant.
+
+    Registered here (not at module end) so a harness that caps the number
+    of checked queries truncates rows-only pixel queries, not this one
+    (r04: the 51st-registered query fell off a 50-entry artifact)."""
+    return S.ann_ivf_df(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -1271,8 +1287,3 @@ def cell_quadkey_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("cell").agg(F.count("*").alias("n_docs")))
 
 
-@register("sim_ann_ivf", S.ann_ivf_sql())
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (coarse-quantizer cells, nprobe=1) — the second
-    scale path for similarity search alongside the LSH variant."""
-    return S.ann_ivf_df(spark, sf_dir)

@@ -179,6 +179,10 @@ def features_from_map(spark: SparkSession, doc: dict, z: int,
             if not wkt:
                 continue
             m = re.search(r"(-?[\d.]+)\s+(-?[\d.]+)", wkt)
+            if m is None:
+                raise ValueError(
+                    f"layer {layer['name']!r} row {i}: WKT has no "
+                    f"coordinate pair: {wkt!r}")
             tx, ty = tile_for_mercator(float(m.group(1)),
                                        float(m.group(2)), z)
             x, y = int(tx), int(ty)

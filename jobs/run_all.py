@@ -51,6 +51,14 @@ def main(argv: list[str]) -> int:
     env = dict(os.environ, PYTHONPATH=REPO)
     failures = []
 
+    # Loudly record the registry size so a harness-truncated CORRECTNESS
+    # artifact (fewer rows than registered queries) is visible at a glance.
+    sys.path.insert(0, REPO)
+    from avecado_spark import queries as _q
+    n_q, n_o = len(_q.queries()), len(_q.oracle_sql())
+    print(f"[run_all] registry: {n_q} queries, {n_o} with oracle SQL "
+          f"({n_q - n_o} rows-only, ordered last)", flush=True)
+
     rc = _run([sys.executable, "-m", "pytest", "tests/", "-q",
                "--tb=line"], os.path.join(out_dir, "correctness.txt"),
               env=env)

@@ -121,3 +121,29 @@ def test_minlabel_nonconvergence_raises(spark):
             dedup.dedup_components_df(_FakeSpark(), "ignored", max_iter=3)
     finally:
         dedup.lsh_pairs_df = real_lsh
+
+
+def test_persist_latest_reuse_rejects_dead_session_memo(spark):
+    """persist_latest(reuse=True) must not serve a memoized DataFrame
+    bound to a stopped/replaced SparkSession (r04 advisor): simulate the
+    dead-session memo with a stub whose sparkSession is not the active
+    one and verify the builder's fresh frame is returned instead."""
+    from avecado_spark.operators import dedup
+
+    class _DeadDF:
+        sparkSession = object()          # never the active session
+
+        def unpersist(self):
+            pass
+
+    tag = "test_dead_session_memo"
+    dedup._PERSIST_LATEST[tag] = _DeadDF()
+    fresh = spark.range(3)
+    try:
+        out = dedup.persist_latest(tag, fresh, reuse=True)
+        assert out.count() == 3          # the rebuilt, live frame
+        assert not isinstance(dedup._PERSIST_LATEST[tag], _DeadDF)
+        # live-session memo still reused
+        assert dedup.persist_latest(tag, spark.range(9), reuse=True) is out
+    finally:
+        dedup._PERSIST_LATEST.pop(tag, None).unpersist()

@@ -359,3 +359,21 @@ def test_random_bytes_never_hang_mvt_or_jpeg(seed):
         mvt.decode_tile(blob)
     except Exception as e:
         assert not isinstance(e, (MemoryError, RecursionError))
+
+
+def test_multiscan_baseline_raises_loudly():
+    """A spec-valid baseline JPEG may split components across scans; this
+    decoder handles only single-scan baseline, and must say so rather than
+    silently returning the first scan's components (r04 advisor). Rewrite
+    the 3-component SOS header to cover 1 component; the guard fires
+    before entropy decode, so the stale entropy bytes are never read."""
+    img = _gradient(16, 16)
+    enc = bytearray(jpeg_encode(img))
+    sos = enc.find(b"\xff\xda")
+    assert sos >= 0 and enc[sos + 4] == 3          # len(2 bytes), then ns=3
+    # original segment: len(2) ns(1) 3*(cs,tdta) ss se ahal = 12 bytes
+    body = enc[sos + 2:sos + 14]
+    new_body = bytes([0, 8, 1]) + bytes(body[3:5]) + bytes(body[9:12])
+    enc[sos + 2:sos + 14] = new_body
+    with pytest.raises(NotImplementedError, match="multi-scan baseline"):
+        jpeg_decode(bytes(enc))

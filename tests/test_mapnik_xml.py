@@ -196,3 +196,17 @@ def test_tilejson_from_map_feeds_overzoom_fetch(spark):
     # z18 request shifted to the document's maxzoom=16: x,y >> 2
     assert (out[0].served_z, out[0].served_x, out[0].served_y) == (16, 1, 1)
     assert bytes(out[0].tile_pbf) == b"http://tiles.example.com/v1/16/1/1.pbf"
+
+
+def test_features_from_map_bad_wkt_raises(spark):
+    """A CSV row whose WKT lacks a numeric coordinate pair (POINT EMPTY,
+    malformed cell) must fail with a clear error naming the layer/row, not
+    an AttributeError on the regex match (r04 advisor)."""
+    import pytest
+
+    from avecado_spark.sources.mapnik_xml import features_from_map
+
+    doc = {"layers": [{"name": "broken", "status": "on",
+                       "rows": [{"id": "1", "wkt": "POINT EMPTY"}]}]}
+    with pytest.raises(ValueError, match="broken.*row 0.*POINT EMPTY"):
+        features_from_map(spark, doc, z=4)
