@@ -469,3 +469,31 @@ def render_tiles(df, styles: dict[str, tuple],
 
     return df.select("z", "x", "y", "tile_pbf").mapInPandas(
         run, schema="z int, x long, y long, png binary")
+
+
+def render_tiles_stats(df, styles: dict[str, tuple],
+                       background: tuple = (0x8C, 0xC6, 0x3F, 0xFF),
+                       tile_size: int = 256):
+    """(z, x, y, tile_pbf, …) → (z, x, y, n_painted): run the real
+    scanline rasterizer per tile and count pixels that differ from the
+    background. For a point layer this is the distinct-quantized-pixel
+    count — SQL-derivable from the page coordinates through the same MVT
+    quantization the encoder uses, which gives the raster leg an
+    oracle-checkable twin (pixel BYTES stay pinned by the PNG goldens)."""
+    import pandas as pd
+
+    bg = np.array(background, dtype=np.uint8)
+
+    def n_painted(tile_bytes) -> int:
+        img = render_tile(tile_bytes, styles, background, tile_size)
+        return int(((img != bg).any(axis=2)).sum())
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "z": pdf["z"], "x": pdf["x"], "y": pdf["y"],
+                "n_painted": [n_painted(b) for b in pdf["tile_pbf"]],
+            })
+
+    return df.select("z", "x", "y", "tile_pbf").mapInPandas(
+        run, schema="z int, x long, y long, n_painted long")

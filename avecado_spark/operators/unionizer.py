@@ -42,6 +42,7 @@ plans/pipeline.apply (the izer runs inside applyInPandas groups).
 from __future__ import annotations
 
 import math
+from operator import attrgetter
 
 import numpy as np
 
@@ -90,7 +91,8 @@ class _CurveApprox:
 
 
 class _Candidate:
-    __slots__ = ("position", "index", "feat", "directional", "x", "y", "dx", "dy")
+    __slots__ = ("position", "index", "feat", "directional", "x", "y",
+                 "dx", "dy", "key")
 
     def __init__(self, position, index, feat, directional, heuristic, distance):
         self.position = position
@@ -113,6 +115,19 @@ class _Candidate:
     def sort_key(self, tags):
         return (self.x, self.y,
                 tuple(str(self.feat["props"].get(t)) for t in tags))
+
+    def fill_key(self, tags):
+        # Precomputed ONCE per round in _get_candidates: props are stable
+        # between candidate collection and scoring, and the naive recompute
+        # (per sort comparison + per scoring probe) dominated the unionizer
+        # profile at many tiny groups. One-tag configs (the common case)
+        # skip the genexpr machinery.
+        if len(tags) == 1:
+            self.key = (self.x, self.y,
+                        (str(self.feat["props"].get(tags[0])),))
+        else:
+            self.key = (self.x, self.y,
+                        tuple(str(self.feat["props"].get(t)) for t in tags))
 
 
 def _make_couple(a: _Candidate, b: _Candidate):
@@ -151,22 +166,38 @@ def _acute_score(c):
 
 _SCORERS = {"greedy": _greedy_score, "obtuse": _obtuse_score, "acute": _acute_score}
 
+_KEY_GETTER = attrgetter("key")
+
 
 def _get_candidates(layer, match_tags, directional_tags, heuristic, distance):
     cands = []
+    has_dir = bool(directional_tags)
     for feat in layer:
         if not feat["_paths"]:
             continue
-        if any(t not in feat["props"] or feat["props"][t] is None
-               for t in match_tags):
+        # plain loops, not any(<genexpr>): this runs once per feature per
+        # round and the generator machinery measured ~20% of the walk
+        props = feat["props"]
+        skip = False
+        for t in match_tags:
+            if props.get(t) is None:  # absent or explicit None alike
+                skip = True
+                break
+        if skip:
             continue
-        directional = any(t in feat["props"] and feat["props"][t] is not None
-                          for t in directional_tags)
+        directional = False
+        if has_dir:
+            for t in directional_tags:
+                if props.get(t) is not None:
+                    directional = True
+                    break
         for i, path in enumerate(feat["_paths"]):
             if feat["_ptypes"][i] == "LINESTRING" and len(path) > 1:
                 cands.append(_Candidate(FRONT, i, feat, directional, heuristic, distance))
                 cands.append(_Candidate(BACK, i, feat, directional, heuristic, distance))
-    cands.sort(key=lambda c: c.sort_key(match_tags))  # stable → insertion order kept
+    for c in cands:
+        c.fill_key(match_tags)
+    cands.sort(key=_KEY_GETTER)  # stable → insertion order kept
     return cands
 
 
@@ -174,9 +205,9 @@ def _score_candidates(cands, match_tags, scorer):
     scored: dict[int, tuple] = {}
     n = len(cands)
     for i in range(n):
-        ki = cands[i].sort_key(match_tags)
+        ki = cands[i].key
         j = i + 1
-        while j < n and cands[j].sort_key(match_tags) == ki:
+        while j < n and cands[j].key == ki:
             couple = _make_couple(cands[i], cands[j])
             if couple is not None:
                 s = scorer(couple)
@@ -272,7 +303,11 @@ def unionize_features(features: list[dict], config: dict,
                 else:
                     paths.append(np.asarray(part[0], dtype=np.float64))
                     ptypes.append(bt)
-        layer.append({"id": feat["id"], "props": dict(feat["props"]),
+        # no defensive dict(props) copy: the reference mutates the feature
+        # set in place (unionizer.cpp operates on the layer's features),
+        # and both call sites (the izer walk, fixtures) treat input
+        # features as consumed
+        layer.append({"id": feat["id"], "props": feat["props"],
                       "_paths": paths, "_ptypes": ptypes})
 
     scorer = _SCORERS[heuristic]

@@ -158,7 +158,22 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
     """Distribute a post-processor pipeline over a feature DataFrame.
 
     df columns: (z int, x long, y long, layer string, id long,
-                 props map<string,string>, wkt string).
+                 props map<string,string>, <geometry>) where <geometry> is
+    either the legacy `wkt string` column or the PACKED representation
+    (`gtype string, coords array<double>, rings array<int>,
+    part_rings array<int>`) — auto-detected, output mirrors input.
+
+    The packed form is the fast interchange: coordinates cross the Arrow
+    boundary as flat float64 lists (a numpy array per cell on the pandas
+    side), so the sorted-run walk slices arrays instead of parsing and
+    re-printing WKT text per feature (the r04 profile: parse+print was
+    ~37% of walk time at millions of tiny groups). `coords` is
+    [x0,y0,x1,y1,…] over all rings of all parts in order, `rings` the
+    point count per ring, `part_rings` the ring count per part — EMPTY
+    geometries have part_rings=[]. Producers build coords JVM-side
+    (F.array of column expressions); consumers read point/part counts
+    with F.size, never touching text.
+
     One izer invocation per (z, x, y, layer) group — the exact shape of
     the reference izer interface (izer_base.hpp:14-21: all features of one
     layer of one tile in, mutated set out). Features may multiply (split
@@ -175,12 +190,65 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
     both (plan-asserted: tests/test_plan_quality.py)."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import functions as F
 
     from ..functions import wkt as _wkt
+    from ..functions.wkt import Geom
 
+    packed = "coords" in df.columns
     proc = PostProcessor(config)
+    geom_cols = (["gtype", "coords", "rings", "part_rings"] if packed
+                 else ["wkt"])
     out_schema = ("z int, x long, y long, layer string, id long, "
-                  "props map<string,string>, wkt string")
+                  "props_kv string, "
+                  + ("gtype string, coords array<double>, rings array<int>, "
+                     "part_rings array<int>" if packed else "wkt string"))
+
+    # props cross the Python boundary as ONE delimited string, not an Arrow
+    # map column (the map conversion builds per-row Python objects on both
+    # sides and measures ~1.4x the whole identity round-trip); the map
+    # contract is restored JVM-side with str_to_map after the walk.
+    # \x01 separates key from value, \x02 separates pairs — reserved bytes
+    # (tag keys/values are textual in every reference fixture).
+    entries = F.filter(F.map_entries(F.col("props")),
+                       lambda e: e["value"].isNotNull())
+    kv = F.array_join(
+        F.transform(entries,
+                    lambda e: F.concat(e["key"], F.lit("\x01"), e["value"])),
+        "\x02")
+    df = df.withColumn("props_kv", kv).drop("props")
+
+    def _unpack(gtype, coords, rings, part_rings) -> Geom:
+        c = np.asarray(coords, dtype=np.float64)
+        if len(part_rings) == 0:
+            return Geom(gtype, [])
+        if len(part_rings) == 1 and len(rings) == 1:
+            return Geom(gtype, [[c.reshape(-1, 2)]])
+        parts, pos, ri = [], 0, 0
+        for nr in part_rings:
+            rlist = []
+            for _ in range(nr):
+                npts = int(rings[ri])
+                rlist.append(c[pos:pos + 2 * npts].reshape(-1, 2))
+                pos += 2 * npts
+                ri += 1
+            parts.append(rlist)
+        return Geom(gtype, parts)
+
+    def _pack(g: Geom):
+        if not g.parts:
+            return g.type, np.empty(0), [], []
+        if len(g.parts) == 1 and len(g.parts[0]) == 1:
+            arr = g.parts[0][0]
+            return g.type, np.asarray(arr, dtype=np.float64).ravel(), \
+                [len(arr)], [1]
+        rings, flats, part_rings = [], [], []
+        for rlist in g.parts:
+            part_rings.append(len(rlist))
+            for arr in rlist:
+                rings.append(len(arr))
+                flats.append(np.asarray(arr, dtype=np.float64).ravel())
+        return g.type, np.concatenate(flats), rings, part_rings
 
     def _process_chunk(pdf: "pd.DataFrame", out: dict):
         zs = pdf["z"].to_numpy()
@@ -188,8 +256,14 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
         ys = pdf["y"].to_numpy()
         lays = pdf["layer"].to_numpy()
         ids = pdf["id"].to_numpy()
-        props_col = pdf["props"].to_numpy(dtype=object)
-        wkts = pdf["wkt"].to_numpy(dtype=object)
+        props_col = pdf["props_kv"].to_numpy(dtype=object)
+        if packed:
+            gtypes = pdf["gtype"].to_numpy(dtype=object)
+            coords_col = pdf["coords"].to_numpy(dtype=object)
+            rings_col = pdf["rings"].to_numpy(dtype=object)
+            pr_col = pdf["part_rings"].to_numpy(dtype=object)
+        else:
+            wkts = pdf["wkt"].to_numpy(dtype=object)
         n = len(pdf)
         # group run boundaries over the sorted key (vectorized)
         if n > 1:
@@ -203,9 +277,16 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
             z, x, y, layer_name = int(zs[a]), int(xs[a]), int(ys[a]), lays[a]
             feats = []
             for i in range(a, b):
-                props = dict(props_col[i]) if props_col[i] is not None else {}
+                s = props_col[i]
+                props = (dict(p.split("\x01", 1) for p in s.split("\x02"))
+                         if s else {})
+                if packed:
+                    geom = _unpack(gtypes[i], coords_col[i], rings_col[i],
+                                   pr_col[i])
+                else:
+                    geom = _wkt.loads(wkts[i])
                 feats.append({"id": int(ids[i]), "props": props,
-                              "geoms": [_wkt.loads(wkts[i])]})
+                              "geoms": [geom]})
             feats, _ = proc.process_layer(feats, layer_name, z, tile_px)
             for f in feats:
                 for g in f["geoms"]:
@@ -214,10 +295,21 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
                     out["y"].append(y)
                     out["layer"].append(layer_name)
                     out["id"].append(f["id"])
-                    out["props"].append({k: v for k, v in
-                                         f["props"].items()
-                                         if v is not None})
-                    out["wkt"].append(_wkt.dumps(g))
+                    out["props_kv"].append(
+                        "\x02".join(f"{k}\x01{v}" for k, v in
+                                    f["props"].items() if v is not None))
+                    if packed:
+                        gt, cs, rs, prs = _pack(g)
+                        out["gtype"].append(gt)
+                        out["coords"].append(cs)
+                        out["rings"].append(rs)
+                        out["part_rings"].append(prs)
+                    else:
+                        out["wkt"].append(_wkt.dumps(g))
+
+    def _empty_out():
+        return {c: [] for c in
+                ["z", "x", "y", "layer", "id", "props_kv"] + geom_cols}
 
     def run(batches):
         carry = None
@@ -237,16 +329,20 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
             carry = pdf.iloc[head_end:].reset_index(drop=True)
             head = pdf.iloc[:head_end]
             if len(head):
-                out = {"z": [], "x": [], "y": [], "layer": [], "id": [],
-                       "props": [], "wkt": []}
+                out = _empty_out()
                 _process_chunk(head, out)
                 yield pd.DataFrame(out)
         if carry is not None and len(carry):
-            out = {"z": [], "x": [], "y": [], "layer": [], "id": [],
-                   "props": [], "wkt": []}
+            out = _empty_out()
             _process_chunk(carry, out)
             yield pd.DataFrame(out)
 
-    return (df.repartition("z", "x", "y", "layer")
-              .sortWithinPartitions("z", "x", "y", "layer")
-              .mapInPandas(run, schema=out_schema))
+    walked = (df.repartition("z", "x", "y", "layer")
+                .sortWithinPartitions("z", "x", "y", "layer")
+                .mapInPandas(run, schema=out_schema))
+    props_back = F.when(
+        F.length("props_kv") > 0,
+        F.str_to_map(F.col("props_kv"), F.lit("\x02"), F.lit("\x01"))
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    return (walked.withColumn("props", props_back).drop("props_kv")
+                  .select("z", "x", "y", "layer", "id", "props", *geom_cols))

@@ -62,7 +62,20 @@ GEO_SQL = f"""(
 
 
 def _geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return geocode(pages_df(spark, sf_dir))
+    """Geocoded pages, slim projection, geocode-ONCE semantics (the north
+    star's 'lat/lon extracted once via vectorized Arrow UDF from text'):
+    the first caller in a session pays the text scan + Arrow UDF; every
+    later geo query reuses the cached (url, mx_mm, my_mm) table — the
+    sandbox analog of materializing the geocoded table once at corpus
+    scale (at 100 TB this is a written table, not a cache; same
+    one-generation persist_latest the dedup signature pipeline uses).
+    No current consumer reads text/lang downstream of _geo, so the cached
+    footprint is three columns."""
+    from .operators.dedup import persist_latest
+    return persist_latest(
+        f"geo:{sf_dir}",
+        geocode(pages_df(spark, sf_dir)).select("url", "mx_mm", "my_mm"),
+        reuse=True)
 
 
 # ---------------------------------------------------------------------------
@@ -545,11 +558,12 @@ def izer_unionize_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("pid", F.col("url").substr(32, 20).cast("long")))
 
     def seg(x0, x1):
-        return F.concat(F.lit("LINESTRING("),
-                        F.col("bx") + x0, F.lit(" "), F.col("by"),
-                        F.lit(", "),
-                        F.col("bx") + x1, F.lit(" "), F.col("by"),
-                        F.lit(")"))
+        # packed interchange: flat [x0,y0,x1,y1] doubles built JVM-side —
+        # no WKT text crosses the izer boundary
+        return F.array((F.col("bx") + x0).cast("double"),
+                       F.col("by").cast("double"),
+                       (F.col("bx") + x1).cast("double"),
+                       F.col("by").cast("double"))
 
     feats = (m.select(
         F.lit(10).alias("z"),
@@ -560,11 +574,14 @@ def izer_unionize_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid"),
         F.explode(F.array(
             F.struct((F.col("pid") * 2).alias("id"),
-                     seg(0, 100).alias("wkt")),
+                     seg(0, 100).alias("coords")),
             F.struct((F.col("pid") * 2 + 1).alias("id"),
-                     seg(100, 200).alias("wkt")))).alias("s"))
+                     seg(100, 200).alias("coords")))).alias("s"))
         .select("z", "x", "y", "layer", F.col("s.id").alias("id"),
-                "props", F.col("s.wkt").alias("wkt")))
+                "props", F.lit("LINESTRING").alias("gtype"),
+                F.col("s.coords").alias("coords"),
+                F.array(F.lit(2)).alias("rings"),
+                F.array(F.lit(1)).alias("part_rings")))
     conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
         {"type": "unionizer", "union_heuristic": "greedy",
          "tag_strategy": "intersect", "max_iterations": 1,
@@ -572,7 +589,7 @@ def izer_unionize_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = apply_to_tiles(feats, conf)
     return (out.groupBy("x", "y")
                .agg(F.count("*").alias("n_features"),
-                    F.sum(F.size(F.split(F.col("wkt"), ",")))
+                    F.sum((F.size(F.col("coords")) / 2).cast("long"))
                      .alias("n_points")))
 
 
@@ -601,16 +618,19 @@ def izer_labelize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("by", (F.col("my_mm") / 1000).cast("long"))
              .withColumn("pid", F.col("url").substr(32, 20).cast("long")))
     ln = F.lit(100) + (F.pmod(F.col("pid"), F.lit(5))) * 60
-    wkt = F.concat(F.lit("LINESTRING("),
-                   F.col("bx"), F.lit(" "), F.col("by"), F.lit(", "),
-                   F.col("bx") + ln, F.lit(" "), F.col("by"), F.lit(")"))
+    coords = F.array(F.col("bx").cast("double"), F.col("by").cast("double"),
+                     (F.col("bx") + ln).cast("double"),
+                     F.col("by").cast("double"))
     feats = m.select(F.lit(10).alias("z"),
                      tile_x_expr("mx_mm", 10).alias("x"),
                      tile_y_expr("my_mm", 10).alias("y"),
                      F.lit("roads").alias("layer"),
                      F.col("pid").alias("id"),
                      F.create_map(F.lit("a"), F.lit("yes")).alias("props"),
-                     wkt.alias("wkt"))
+                     F.lit("LINESTRING").alias("gtype"),
+                     coords.alias("coords"),
+                     F.array(F.lit(2)).alias("rings"),
+                     F.array(F.lit(1)).alias("part_rings"))
     conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
         {"type": "labelizer", "spacing": 130.0}]}]}
     out = apply_to_tiles(feats, conf)
@@ -632,26 +652,25 @@ def izer_generalize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _geo(spark, sf_dir)
     m = (base.withColumn("bx", (F.col("mx_mm") / 1000).cast("long"))
              .withColumn("by", (F.col("my_mm") / 1000).cast("long")))
-    wkt = F.concat(
-        F.lit("LINESTRING("),
-        F.col("bx"), F.lit(" "), F.col("by"), F.lit(", "),
-        F.col("bx") + 100, F.lit(" "), F.col("by") + 1, F.lit(", "),
-        F.col("bx") + 200, F.lit(" "), F.col("by"), F.lit(", "),
-        F.col("bx") + 300, F.lit(" "), F.col("by") + 1, F.lit(", "),
-        F.col("bx") + 400, F.lit(" "), F.col("by"), F.lit(")"))
+    bxd, byd = F.col("bx").cast("double"), F.col("by").cast("double")
+    coords = F.array(bxd, byd, bxd + 100, byd + 1, bxd + 200, byd,
+                     bxd + 300, byd + 1, bxd + 400, byd)
     feats = m.select(F.lit(10).alias("z"),
                      tile_x_expr("mx_mm", 10).alias("x"),
                      tile_y_expr("my_mm", 10).alias("y"),
                      F.lit("roads").alias("layer"),
                      F.col("url").substr(32, 20).cast("long").alias("id"),
                      F.create_map(F.lit("a"), F.lit("yes")).alias("props"),
-                     wkt.alias("wkt"))
+                     F.lit("LINESTRING").alias("gtype"),
+                     coords.alias("coords"),
+                     F.array(F.lit(5)).alias("rings"),
+                     F.array(F.lit(1)).alias("part_rings"))
     conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
         {"type": "generalizer", "algorithm": "douglas-peucker",
          "tolerance": 5.0}]}]}
     out = apply_to_tiles(feats, conf)
-    return (out.select("id",
-                       F.size(F.split(F.col("wkt"), ",")).alias("n_points"))
+    return (out.select("id", (F.size(F.col("coords")) / 2).cast("int")
+                       .alias("n_points"))
                .groupBy("n_points").agg(F.count("*").alias("n_lines")))
 
 
@@ -680,16 +699,18 @@ def izer_adminize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("my_mm").between(CITY_Y[0] - 1400000, CITY_Y[0] + 1400000)))
     bx = (F.col("mx_mm") / 1000).cast("long")
     by = (F.col("my_mm") / 1000).cast("long")
-    wkt = F.concat(F.lit("LINESTRING("),
-                   bx - 4000, F.lit(" "), by, F.lit(", "),
-                   bx + 4000, F.lit(" "), by, F.lit(")"))
+    coords = F.array((bx - 4000).cast("double"), by.cast("double"),
+                     (bx + 4000).cast("double"), by.cast("double"))
     feats = c.select(F.lit(10).alias("z"),
                      F.lit(0).cast("long").alias("x"),
                      F.lit(0).cast("long").alias("y"),
                      F.lit("roads").alias("layer"),
                      F.col("url").substr(32, 20).cast("long").alias("id"),
                      F.create_map().cast("map<string,string>").alias("props"),
-                     wkt.alias("wkt"))
+                     F.lit("LINESTRING").alias("gtype"),
+                     coords.alias("coords"),
+                     F.array(F.lit(2)).alias("rings"),
+                     F.array(F.lit(1)).alias("part_rings"))
     core_m = (CITY_X[0] // 1000, CITY_Y[0] // 1000, 1500)
     box_wkt = (f"POLYGON(({core_m[0]-1500} {core_m[1]-1500}, {core_m[0]+1500} {core_m[1]-1500}, "
                f"{core_m[0]+1500} {core_m[1]+1500}, {core_m[0]-1500} {core_m[1]+1500}, "
@@ -699,10 +720,9 @@ def izer_adminize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
          "datasource": {"inline_rows": [(box_wkt, "core")]}}]}]}
     out = apply_to_tiles(feats, conf)
     # count PATHS, not features: the splitter folds both outside pieces of
-    # one line into a single MULTILINESTRING feature ('(' count - 1 is the
-    # part count for MULTI*, 1 for plain LINESTRING)
-    n_paths = F.greatest(F.regexp_count(F.col("wkt"), F.lit(r"\(")) - 1,
-                         F.lit(1))
+    # one line into a single MULTILINESTRING feature — in the packed
+    # interchange the part count is just the part_rings length
+    n_paths = F.greatest(F.size(F.col("part_rings")), F.lit(1))
     return (out.groupBy(F.coalesce(F.col("props")["region"], F.lit("outside")).alias("region"))
                .agg(F.sum(n_paths).alias("n_segments")))
 
@@ -1285,5 +1305,48 @@ def cell_quadkey_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
                  tile_y_expr("my_mm", 14).alias("y"))
     return (t.select(quadkey_col(F.lit(14), F.col("x"), F.col("y")).alias("cell"))
              .groupBy("cell").agg(F.count("*").alias("n_docs")))
+
+
+_R_SCALE = WORLD_SIZE / float(1 << 6)
+_R_H = 0.5 * WORLD_SIZE
+
+
+@register("raster_pixels_oracle", f"""
+  WITH t AS (
+    SELECT {tile_x_sql('mx_mm', 6)} AS x, {tile_y_sql('my_mm', 6)} AS y,
+           mx_mm, my_mm
+    FROM {GEO_SQL} g
+  ), q AS (
+    SELECT x, y,
+      CAST(floor((mx_mm/1000.0 - (x * {_R_SCALE!r} - {_R_H!r})) / {_R_SCALE!r}
+                 * 4096 + 0.5) AS BIGINT) AS px,
+      CAST(floor((({_R_H!r} - y * {_R_SCALE!r}) - my_mm/1000.0) / {_R_SCALE!r}
+                 * 4096 + 0.5) AS BIGINT) AS py
+    FROM t
+  ), p AS (
+    SELECT x, y,
+           LEAST(GREATEST(px // 16, 0), 255) AS cx,
+           LEAST(GREATEST(py // 16, 0), 255) AS cy
+    FROM q
+  )
+  SELECT 6 AS z, x, y,
+         CAST(COUNT(DISTINCT cx * 256 + cy) AS BIGINT) AS n_painted
+  FROM p GROUP BY x, y
+""")
+def raster_pixels_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 with a DERIVABLE oracle (the izer_unionize_oracle trick applied
+    to the raster leg): render z6 point tiles through the real MVT decode +
+    scanline rasterizer, then count painted pixels per tile. For a
+    single-pixel point style the painted count equals the number of
+    DISTINCT pixels hit by the tile's quantized points — computable in SQL
+    from the page coordinates via the encoder's exact quantization
+    (floor(v*4096/scale + 0.5), the _mvt_build_oracle math) scaled to the
+    256px raster grid (//16, clip 255, matching render_tile's
+    astype(int) + np.clip). Pixel BYTES stay pinned by the PNG md5
+    goldens; this row pins the rasterizer's geometry placement."""
+    from .api import build_tiles
+    from .operators.raster import render_tiles_stats
+    tiles = build_tiles(pages_df(spark, sf_dir), z=6)
+    return render_tiles_stats(tiles, styles={"pages": (0x51, 0x21, 0x4D, 0xFF)})
 
 

@@ -146,6 +146,41 @@ def _run_pip_knn_10k(spark, sf_dir):
     }
 
 
+def _run_bigstar_1m(spark):
+    """Adversarial connected-components probe: ~10^6 edges mixing the two
+    shapes that break naive algorithms — a 500k-node chain (diameter 5*10^5:
+    min-label propagation would need 500k rounds) and a 300k-spoke hub
+    (skew: one node in 300k edges). large-star/small-star must converge in
+    O(log n) rounds regardless. Returns (n_edges, rounds); the round count
+    is asserted <= 2*log2(n_nodes) so a regression to diameter- or
+    skew-bound behavior fails the bench loudly."""
+    import math
+
+    from pyspark.sql import functions as F
+    from avecado_spark.operators.dedup import components_bigstar
+
+    chain = spark.range(0, 500_000, 1, 32).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    hub = spark.range(0, 300_000, 1, 32).select(
+        F.lit(600_000).cast("long").alias("u"),
+        (F.col("id") + 600_001).alias("v"))
+    # 100k disjoint 2-cliques spread over the id space (the common case:
+    # tiny near-dup clusters)
+    pairs = spark.range(0, 100_000, 1, 32).select(
+        (F.col("id") * 2 + 1_000_000).alias("u"),
+        (F.col("id") * 2 + 1_000_001).alias("v"))
+    edges = chain.union(hub).union(pairs)
+    n_nodes = 500_001 + 300_001 + 200_000
+    stars, rounds = components_bigstar(edges)
+    n_edges = stars.count()
+    limit = 2 * math.ceil(math.log2(n_nodes))
+    if rounds > limit:
+        raise RuntimeError(
+            f"bigstar rounds {rounds} > 2*log2(n) = {limit}: "
+            "lost the O(log n) convergence")
+    return n_edges, rounds
+
+
 def _profile_stages(cpus: int):
     """Per-stage wall time of the tile build via cumulative cut points:
     T1 = scan+synth+geocode+quantize (slim.count, pre-shuffle),
@@ -242,6 +277,10 @@ def main():
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t, 3)
 
+    t = time.time()
+    _, bigstar_rounds = _run_bigstar_1m(spark)
+    timings["dedup_components_bigstar_1m"] = round(time.time() - t, 3)
+
     # The heavy kNN probe runs LAST: its 3.65M x 10^4 exact-distance pass
     # leaves the JVM under GC/memory pressure and in r03 inflated the
     # query timed right after it 2.9x (dedup_minhash_bands 1.00s -> 2.90s;
@@ -265,6 +304,7 @@ def main():
         "docs_encoded": n_docs,
         "tiles_per_sec_z14": round(n_tiles / timings["tile_build_z14"], 1),
         "docs_per_sec_encoded": round(n_docs / timings["tile_build_z14"], 1),
+        "bigstar_1m_rounds": bigstar_rounds,
         **knn_metrics,
     }
     spark.stop()

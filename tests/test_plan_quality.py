@@ -287,7 +287,12 @@ def test_knn_rings_probe_is_slim_and_map_side(spark):
     probe_lines = [l for l in physical.splitlines() if "MapInPandas" in l]
     assert probe_lines and all("html" not in l and "text" not in l
                                for l in probe_lines)
-    exchanges = [l for l in physical.splitlines() if "Exchange" in l]
+    # the geocode-once cache makes InMemoryTableScan print its relation's
+    # child plan too, repeating the same Exchange line — count unique
+    # exchange signatures, not printed lines
+    import re
+    exchanges = {re.sub(r"plan_id=\d+", "", l).strip()
+                 for l in physical.splitlines() if "Exchange" in l}
     assert len(exchanges) <= 1  # only the synthesis DISTINCT
     assert "Join" not in physical
 
