@@ -120,8 +120,10 @@ def _minhash_sigs_expr(sh) -> "F.Column":
             lambda m, i: F.least(m, F.pmod(p.x + i * p.y, F.lit(M61)))))
 
 
-def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def minhash_bands_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, band, band_key): the whole signature +
+    banding pipeline as row-local expressions — works identically on a
+    static frame, a foreachBatch micro-batch, or a streaming frame."""
     sh = _shingle_arr(_tok_arr())
     sig = (docs.where(F.size(_tok_arr()) >= SHINGLE)
                .select("doc_id", _minhash_sigs_expr(sh).alias("sigs")))
@@ -133,6 +135,11 @@ def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(N_BANDS)])
     return (sig.select("doc_id", F.explode(band_arr).alias("bb"))
                .select("doc_id", "bb.band", "bb.band_key"))
+
+
+def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_bands_from_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def minhash_bands_sql() -> str:

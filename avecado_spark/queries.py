@@ -1227,6 +1227,49 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
               .limit(20))
 
 
+@register("tpch_window_top3", """
+  WITH rev AS (
+    SELECT o.o_custkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS rev_e4
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+  ), r AS (
+    SELECT c.c_nationkey, c.c_custkey, rev.rev_e4,
+           CAST(row_number() OVER (PARTITION BY c.c_nationkey
+                                   ORDER BY rev.rev_e4 DESC, c.c_custkey)
+                AS INTEGER) AS rnk
+    FROM customer c JOIN rev ON rev.o_custkey = c.c_custkey
+  )
+  SELECT c_nationkey, c_custkey, rev_e4, rnk FROM r WHERE rnk <= 3
+""")
+def tpch_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window shape (the q18-family relational surface the
+    registry lacked): top-3 customers by lifetime revenue per nation via
+    row_number() over (PARTITION BY nation ORDER BY revenue DESC).
+    Deterministic under ties (c_custkey tiebreak), money in integer
+    cents. Plan: one aggregation exchange on custkey, a broadcast of the
+    customer dim, then a SINGLE window exchange on the 25-key nation
+    partitioning — rank filters early, so the window state per partition
+    is the running row counter, not a buffered group."""
+    from pyspark.sql import Window
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev_expr = (F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long"))
+    rev = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_custkey").agg(F.sum(rev_expr).alias("rev_e4")))
+    w = (Window.partitionBy("c_nationkey")
+               .orderBy(F.col("rev_e4").desc(), F.col("c_custkey")))
+    return (rev.join(F.broadcast(c),
+                     F.col("o_custkey") == F.col("c_custkey"))
+               .select("c_nationkey", "c_custkey", "rev_e4")
+               .withColumn("rnk", F.row_number().over(w))
+               .where(F.col("rnk") <= 3))
+
+
 @register("tpch_q14_promo", """
   SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
                 CAST(round(l.l_extendedprice * 100) AS BIGINT)

@@ -324,3 +324,20 @@ def test_labelize_pipeline_single_shuffle(spark):
     out = apply_to_tiles(df, conf)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_window_top3_single_window_exchange(spark):
+    """tpch_window_top3 must rank in ONE window pass: a single Window node
+    fed by a single exchange on the nation partitioning, with the customer
+    dim broadcast (never shuffled against the aggregated revenue)."""
+    from avecado_spark.queries import queries
+    q = queries()["tpch_window_top3"](spark, SF)
+    import re
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # one Window node ("windowspecdefinition" inside the same line and the
+    # WindowGroupLimit rank-pushdown node are not extra passes)
+    assert len(re.findall(r"\bWindow \[", plan)) == 1
+    nation_exchanges = [l for l in plan.splitlines()
+                        if "Exchange" in l and "c_nationkey" in l]
+    assert len(nation_exchanges) == 1
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -609,3 +609,38 @@ def test_streaming_dedup_matches_batch(spark):
                spark.read.parquet(f"{SF_DIR}/documents.parquet")
                     .select("doc_id").collect()}
     assert all(r.doc_id in all_ids for r in kept)
+
+
+def test_streaming_lsh_pairs_matches_batch(spark):
+    """streaming/dedup.lsh_pairs_stream: documents re-split into 4 files
+    and streamed one file per trigger must surface exactly the batch
+    dedup_lsh_pairs candidate set — each pair once, in the micro-batch
+    where the later document arrives — with the band store accumulating
+    batch-partitioned parquet."""
+    from avecado_spark.operators.dedup import (minhash_bands_from_docs,
+                                               _pairs_from_bands)
+    from avecado_spark.streaming.dedup import lsh_pairs_stream
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = {(r.doc_a, r.doc_b) for r in
+                _pairs_from_bands(
+                    minhash_bands_from_docs(docs).persist()).collect()}
+    assert expected  # non-vacuous: the corpus seeds near-dups
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "docs")
+        docs.repartition(4).write.parquet(src)
+        store = os.path.join(d, "store")
+        q = lsh_pairs_stream(spark, src, store, max_files_per_trigger=1)
+        q.awaitTermination()
+        got_rows = spark.read.parquet(os.path.join(store, "pairs")).collect()
+        got = {(r.doc_a, r.doc_b) for r in got_rows}
+        assert got == expected
+        # exactly-once: no pair surfaced in two different micro-batches
+        assert len({(r.doc_a, r.doc_b) for r in got_rows}) == len(got_rows)
+        # the band store holds one partition per micro-batch
+        n_batches = len({r.batch_id for r in
+                         spark.read.parquet(os.path.join(store, "bands"))
+                              .select("batch_id").distinct().collect()})
+        assert n_batches >= 2  # maxFilesPerTrigger=1 over 4 files
