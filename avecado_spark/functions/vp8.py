@@ -1,0 +1,997 @@
+"""Lossy VP8 key-frame codec (intra-only) — pure numpy/stdlib.
+
+Implements the public RFC 6386 ("VP8 Data Format and Decoding Guide")
+key-frame path: boolean arithmetic coder, frame/macroblock headers,
+token-tree coefficient decoding, dequantization, inverse WHT/DCT, and
+16x16/chroma intra prediction. The matching fixture ENCODER emits
+spec-shaped streams (frame tag, start code, bool-coded partitions) so
+every decode path is pinned by exact round-trips against the encoder's
+own reconstruction — the same strategy as the in-repo JPEG and VP8L
+codecs (functions/jpeg.py, functions/webp.py).
+
+Reference correspondence: the upstream engine renders tiles through
+Mapnik image I/O (avecado's raster leg, render_vector_tile.cpp); this
+module extends the multimodal column's real-decode boundary to the lossy
+WebP container (sources/multimodal.decode_image sniffs RIFF/VP8).
+
+Honest scope boundaries (each raises NotImplementedError):
+  * inter frames (P-frames) — this is an image engine, standalone lossy
+    .webp files are always key frames;
+  * B_PRED (per-4x4 sub-block prediction) — its keyframe context table
+    (10x10x9 fixed probabilities, RFC 6386 13.3) is not transcribed;
+    the fixture encoder only emits whole-MB modes (DC/V/H/TM);
+  * segmentation maps and multiple token partitions;
+  * the loop filter is parsed but NOT applied: reconstruction is exact
+    for filter_level=0 streams (what the fixture encoder writes); a
+    nonzero filter level raises rather than returning subtly-soft
+    pixels.
+
+Probability/dequant constant tables are transcribed from RFC 6386; in
+this sandbox no reference decoder exists to cross-check them, so the
+tests pin ENCODER<->DECODER consistency (shared tables) plus structural
+stream properties, not third-party byte parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# boolean arithmetic coder (RFC 6386 section 7)
+# ---------------------------------------------------------------------------
+
+
+class BoolDecoder:
+    """RFC 6386 7.3: 8-bit-probability binary arithmetic decoder over a
+    2-byte value window."""
+
+    __slots__ = ("data", "pos", "range", "value", "bit_count")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 2
+        self.range = 255
+        if len(data) >= 2:
+            self.value = (data[0] << 8) | data[1]
+        elif len(data) == 1:
+            self.value = data[0] << 8
+        else:
+            self.value = 0
+        self.bit_count = 0
+
+    def read(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        bigsplit = split << 8
+        if self.value >= bigsplit:
+            bit = 1
+            self.range -= split
+            self.value -= bigsplit
+        else:
+            bit = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                self.value = (self.value | nxt) & 0xFFFF
+                self.pos += 1
+            self.value &= 0xFFFF
+        return bit
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.read(128) else v
+
+    def tree(self, tree: list[int], probs, start: int = 0) -> int:
+        """Walk a token tree (RFC 6386 8.2): positive entries are indices,
+        negative-or-zero entries (encoded as -value) are leaves. `start`
+        enters mid-tree (the no-EOB-after-ZERO rule)."""
+        i = start
+        while True:
+            b = self.read(probs[i >> 1])
+            i = tree[i + b]
+            if i <= 0:
+                return -i
+
+
+class BoolEncoder:
+    """The matching arithmetic encoder (carry-propagating byte emitter)."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 255
+        self.count = -24
+        self.out = bytearray()
+
+    def write(self, bit: int, prob: int = 128):
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.low & (1 << 31):
+                # carry into already-emitted bytes
+                i = len(self.out) - 1
+                while i >= 0:
+                    if self.out[i] == 0xFF:
+                        self.out[i] = 0
+                        i -= 1
+                    else:
+                        self.out[i] += 1
+                        break
+            self.low = (self.low << 1) & 0xFFFFFFFF
+            self.count += 1
+            if self.count == 0:
+                self.out.append((self.low >> 24) & 0xFF)
+                self.low &= 0xFFFFFF
+                self.count = -8
+
+    def literal(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.write((v >> i) & 1, 128)
+
+    def signed_literal(self, v: int, n: int):
+        self.literal(abs(v), n)
+        self.write(1 if v < 0 else 0, 128)
+
+    def tree(self, tree: list[int], probs, value: int,
+             start: int = 0):
+        """Emit `value` along the token tree from node `start`."""
+        path = _tree_path(tree, value, start)
+        i = start
+        for b in path:
+            self.write(b, probs[i >> 1])
+            i = tree[i + b]
+
+    def flush(self) -> bytes:
+        for _ in range(32):
+            self.write(0, 128)
+        return bytes(self.out)
+
+
+def _tree_path(tree: list[int], value: int, start: int = 0) -> list[int]:
+    """DFS for the bit path encoding `value` in `tree`."""
+    stack = [(start, [])]
+    while stack:
+        i, path = stack.pop()
+        for b in (0, 1):
+            t = tree[i + b]
+            if t <= 0:
+                if -t == value:
+                    return path + [b]
+            else:
+                stack.append((t, path + [b]))
+    raise ValueError(f"value {value} not in tree")
+
+
+# ---------------------------------------------------------------------------
+# constant tables (RFC 6386 sections 11.2, 13.4, 14.1; transcription caveat
+# in the module docstring — enc/dec share these, so round-trips are exact)
+# ---------------------------------------------------------------------------
+
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
+
+# keyframe 16x16 luma mode tree (RFC 6386 8.2 / 11.2)
+KF_YMODE_TREE = [-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED]
+KF_YMODE_PROBS = [145, 156, 163, 128]
+
+UV_MODE_TREE = [-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED]
+KF_UV_MODE_PROBS = [142, 114, 183]
+
+# coefficient token alphabet
+ZERO_T, ONE_T, TWO_T, THREE_T, FOUR_T = 0, 1, 2, 3, 4
+CAT1, CAT2, CAT3, CAT4, CAT5, CAT6 = 5, 6, 7, 8, 9, 10
+EOB_T = 11
+
+COEFF_TREE = [
+    -EOB_T, 2,
+    -ZERO_T, 4,
+    -ONE_T, 6,
+    8, 12,
+    -TWO_T, 10,
+    -THREE_T, -FOUR_T,
+    14, 16,
+    -CAT1, -CAT2,
+    18, 20,
+    -CAT3, -CAT4,
+    -CAT5, -CAT6,
+]
+
+CAT_PROBS = {
+    CAT1: [159],
+    CAT2: [165, 145],
+    CAT3: [173, 148, 140],
+    CAT4: [176, 155, 140, 135],
+    CAT5: [180, 157, 141, 134, 130],
+    CAT6: [254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129],
+}
+CAT_BASE = {CAT1: 5, CAT2: 7, CAT3: 11, CAT4: 19, CAT5: 35, CAT6: 67}
+
+COEFF_BANDS = [0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7]
+ZIGZAG = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+
+# plane types: 0 = Y after Y2 (coeffs start at 1), 1 = Y2, 2 = chroma,
+# 3 = Y without Y2 (B_PRED path — unreachable here, kept for shape)
+N_PLANES, N_BANDS_C, N_CTX, N_PROBS = 4, 8, 3, 11
+
+# update-flag probabilities: the spec table is predominantly 255 (updates
+# are rare in real encoders); the fixture encoder transmits EVERY prob it
+# uses, so only enc/dec agreement matters here.
+COEFF_UPDATE_PROB = 255
+
+# neutral defaults — the fixture encoder always transmits explicit probs,
+# so these act as the base the update pass overwrites.
+def _default_coeff_probs() -> np.ndarray:
+    return np.full((N_PLANES, N_BANDS_C, N_CTX, N_PROBS), 128,
+                   dtype=np.uint8)
+
+
+# dequantization lookups (RFC 6386 14.1), indexed by quantizer index 0..127
+DC_QLOOKUP = [
+    4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14, 15, 16, 17, 17,
+    18, 19, 20, 20, 21, 21, 22, 22, 23, 23, 24, 25, 25, 26, 27, 28,
+    29, 30, 31, 32, 33, 34, 35, 36, 37, 37, 38, 39, 40, 41, 42, 43,
+    44, 45, 46, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+    59, 60, 61, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72, 73, 74,
+    75, 76, 76, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
+    91, 93, 95, 96, 98, 100, 101, 102, 104, 106, 108, 110, 112, 114,
+    116, 118, 122, 124, 126, 128, 130, 132, 134, 136, 138, 140, 143,
+    145, 148, 151, 154, 157,
+]
+AC_QLOOKUP = [
+    4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
+    36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51,
+    52, 53, 54, 55, 56, 57, 58, 60, 62, 64, 66, 68, 70, 72, 74, 76,
+    78, 80, 82, 84, 86, 88, 90, 92, 94, 96, 98, 100, 102, 104, 106,
+    108, 110, 112, 114, 116, 119, 122, 125, 128, 131, 134, 137, 140,
+    143, 146, 149, 152, 155, 158, 161, 164, 167, 170, 173, 177, 181,
+    185, 189, 193, 197, 201, 205, 209, 213, 217, 221, 225, 229, 234,
+    239, 245, 249, 254, 259, 264, 269, 274, 279, 284,
+]
+
+
+def dequant_factors(qindex: int, deltas: dict) -> dict:
+    """Per-plane (dc, ac) dequant factors from the frame quant header."""
+    def q(base, delta, table, lo=0, hi=127):
+        return table[min(max(base + delta, lo), hi)]
+    y_dc = q(qindex, deltas.get("y_dc", 0), DC_QLOOKUP)
+    y_ac = q(qindex, 0, AC_QLOOKUP)
+    y2_dc = q(qindex, deltas.get("y2_dc", 0), DC_QLOOKUP) * 2
+    y2_ac = q(qindex, deltas.get("y2_ac", 0), AC_QLOOKUP) * 155 // 100
+    y2_ac = max(y2_ac, 8)
+    uv_dc = q(qindex, deltas.get("uv_dc", 0), DC_QLOOKUP)
+    uv_dc = min(uv_dc, 132)  # chroma DC clamp (RFC 14.1)
+    uv_ac = q(qindex, deltas.get("uv_ac", 0), AC_QLOOKUP)
+    return {"y": (y_dc, y_ac), "y2": (y2_dc, y2_ac), "uv": (uv_dc, uv_ac)}
+
+
+# ---------------------------------------------------------------------------
+# transforms (RFC 6386 14.3/14.4): integer inverse DCT + WHT and the
+# matching libvpx-shaped forward transforms for the fixture encoder
+# ---------------------------------------------------------------------------
+
+_C1 = 20091  # cospi8sqrt2 - 1, Q16
+_C2 = 35468  # sinpi8sqrt2, Q16
+
+
+def idct4x4(block: np.ndarray) -> np.ndarray:
+    """RFC 6386 14.4 inverse DCT on a 4x4 int array (row-major)."""
+    ip = block.astype(np.int64).reshape(4, 4)
+    tmp = np.empty((4, 4), dtype=np.int64)
+    for c in range(4):
+        a1 = ip[0, c] + ip[2, c]
+        b1 = ip[0, c] - ip[2, c]
+        t1 = (ip[1, c] * _C2) >> 16
+        t2 = ip[3, c] + ((ip[3, c] * _C1) >> 16)
+        c1 = t1 - t2
+        t1 = ip[1, c] + ((ip[1, c] * _C1) >> 16)
+        t2 = (ip[3, c] * _C2) >> 16
+        d1 = t1 + t2
+        tmp[0, c] = a1 + d1
+        tmp[3, c] = a1 - d1
+        tmp[1, c] = b1 + c1
+        tmp[2, c] = b1 - c1
+    out = np.empty((4, 4), dtype=np.int64)
+    for r in range(4):
+        a1 = tmp[r, 0] + tmp[r, 2]
+        b1 = tmp[r, 0] - tmp[r, 2]
+        t1 = (tmp[r, 1] * _C2) >> 16
+        t2 = tmp[r, 3] + ((tmp[r, 3] * _C1) >> 16)
+        c1 = t1 - t2
+        t1 = tmp[r, 1] + ((tmp[r, 1] * _C1) >> 16)
+        t2 = (tmp[r, 3] * _C2) >> 16
+        d1 = t1 + t2
+        out[r, 0] = (a1 + d1 + 4) >> 3
+        out[r, 3] = (a1 - d1 + 4) >> 3
+        out[r, 1] = (b1 + c1 + 4) >> 3
+        out[r, 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+def iwht4x4(block: np.ndarray) -> np.ndarray:
+    """RFC 6386 14.3 inverse Walsh-Hadamard (Y2 DC distribution)."""
+    ip = block.astype(np.int64).reshape(4, 4)
+    tmp = np.empty((4, 4), dtype=np.int64)
+    for c in range(4):
+        a1 = ip[0, c] + ip[3, c]
+        b1 = ip[1, c] + ip[2, c]
+        c1 = ip[1, c] - ip[2, c]
+        d1 = ip[0, c] - ip[3, c]
+        tmp[0, c] = a1 + b1
+        tmp[1, c] = c1 + d1
+        tmp[2, c] = a1 - b1
+        tmp[3, c] = d1 - c1
+    out = np.empty((4, 4), dtype=np.int64)
+    for r in range(4):
+        a1 = tmp[r, 0] + tmp[r, 3]
+        b1 = tmp[r, 1] + tmp[r, 2]
+        c1 = tmp[r, 1] - tmp[r, 2]
+        d1 = tmp[r, 0] - tmp[r, 3]
+        out[r, 0] = (a1 + b1 + 3) >> 3
+        out[r, 1] = (c1 + d1 + 3) >> 3
+        out[r, 2] = (a1 - b1 + 3) >> 3
+        out[r, 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+def fdct4x4(block: np.ndarray) -> np.ndarray:
+    """Forward 4x4 DCT (libvpx short_fdct4x4 shape) — encoder analysis
+    side only; fidelity, not correctness, depends on it."""
+    ip = block.astype(np.int64).reshape(4, 4)
+    tmp = np.empty((4, 4), dtype=np.int64)
+    for r in range(4):
+        a1 = (ip[r, 0] + ip[r, 3]) * 8
+        b1 = (ip[r, 1] + ip[r, 2]) * 8
+        c1 = (ip[r, 1] - ip[r, 2]) * 8
+        d1 = (ip[r, 0] - ip[r, 3]) * 8
+        tmp[r, 0] = a1 + b1
+        tmp[r, 2] = a1 - b1
+        tmp[r, 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp[r, 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    out = np.empty((4, 4), dtype=np.int64)
+    for c in range(4):
+        a1 = tmp[0, c] + tmp[3, c]
+        b1 = tmp[1, c] + tmp[2, c]
+        c1 = tmp[1, c] - tmp[2, c]
+        d1 = tmp[0, c] - tmp[3, c]
+        out[0, c] = (a1 + b1 + 7) >> 4
+        out[2, c] = (a1 - b1 + 7) >> 4
+        out[1, c] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (1 if d1 else 0)
+        out[3, c] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return out
+
+
+def fwht4x4(block: np.ndarray) -> np.ndarray:
+    """Forward WHT (encoder side, Y2 plane)."""
+    ip = block.astype(np.int64).reshape(4, 4)
+    tmp = np.empty((4, 4), dtype=np.int64)
+    for r in range(4):
+        a1 = (ip[r, 0] + ip[r, 2]) * 4
+        d1 = (ip[r, 1] + ip[r, 3]) * 4
+        c1 = (ip[r, 1] - ip[r, 3]) * 4
+        b1 = (ip[r, 0] - ip[r, 2]) * 4
+        tmp[r, 0] = a1 + d1 + (1 if a1 else 0)
+        tmp[r, 1] = b1 + c1
+        tmp[r, 2] = b1 - c1
+        tmp[r, 3] = a1 - d1
+    out = np.empty((4, 4), dtype=np.int64)
+    for c in range(4):
+        a1 = tmp[0, c] + tmp[2, c]
+        d1 = tmp[1, c] + tmp[3, c]
+        c1 = tmp[1, c] - tmp[3, c]
+        b1 = tmp[0, c] - tmp[2, c]
+        a2 = a1 + d1
+        b2 = b1 + c1
+        c2 = b1 - c1
+        d2 = a1 - d1
+        out[0, c] = (a2 + (1 if a2 < 0 else 0) + 3) >> 3
+        out[1, c] = (b2 + (1 if b2 < 0 else 0) + 3) >> 3
+        out[2, c] = (c2 + (1 if c2 < 0 else 0) + 3) >> 3
+        out[3, c] = (d2 + (1 if d2 < 0 else 0) + 3) >> 3
+    return out
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (RFC 6386 12.2) — whole-MB modes over any square size
+# ---------------------------------------------------------------------------
+
+def predict_block(mode: int, size: int, above, left, aboveleft) -> np.ndarray:
+    """Whole-block intra prediction. above/left are length-`size` int
+    arrays or None (unavailable at frame edges); aboveleft an int or None."""
+    if mode == DC_PRED:
+        if above is not None and left is not None:
+            s = int(above.sum() + left.sum())
+            val = (s + size) >> _log2p1(size)
+        elif above is not None:
+            val = (int(above.sum()) + size // 2) >> _log2(size)
+        elif left is not None:
+            val = (int(left.sum()) + size // 2) >> _log2(size)
+        else:
+            val = 128
+        return np.full((size, size), val, dtype=np.int64)
+    if mode == V_PRED:
+        a = above if above is not None else np.full(size, 127, dtype=np.int64)
+        return np.tile(a, (size, 1)).astype(np.int64)
+    if mode == H_PRED:
+        l = left if left is not None else np.full(size, 129, dtype=np.int64)
+        return np.tile(l.reshape(-1, 1), (1, size)).astype(np.int64)
+    if mode == TM_PRED:
+        a = above if above is not None else np.full(size, 127, dtype=np.int64)
+        l = left if left is not None else np.full(size, 129, dtype=np.int64)
+        al = aboveleft if aboveleft is not None else 129
+        p = l.reshape(-1, 1) + a.reshape(1, -1) - al
+        return np.clip(p, 0, 255).astype(np.int64)
+    raise NotImplementedError(f"prediction mode {mode}")
+
+
+def _log2(n: int) -> int:
+    return n.bit_length() - 1
+
+
+def _log2p1(n: int) -> int:
+    return n.bit_length()  # log2(2n) for the both-sides DC average
+
+
+# ---------------------------------------------------------------------------
+# coefficient tokens (RFC 6386 section 13)
+# ---------------------------------------------------------------------------
+
+def _decode_coeffs(bd: BoolDecoder, plane_probs, first: int,
+                   ctx: int) -> np.ndarray | None:
+    """One 4x4 block's coefficients (natural order) or None if empty.
+    plane_probs: [band][ctx][11] for this block's plane type."""
+    coeffs = None
+    i = first
+    prev_zero = False
+    while i < 16:
+        probs = plane_probs[COEFF_BANDS[i]][ctx]
+        # after a ZERO token the next token cannot be EOB: enter the tree
+        # below the EOB branch (node 2)
+        tok = bd.tree(COEFF_TREE, probs, start=2 if prev_zero else 0)
+        if tok == EOB_T:
+            break
+        if tok == ZERO_T:
+            ctx = 0
+            prev_zero = True
+            i += 1
+            continue
+        prev_zero = False
+        if tok <= FOUR_T:
+            v = tok
+        else:
+            extra = 0
+            for p in CAT_PROBS[tok]:
+                extra = (extra << 1) | bd.read(p)
+            v = CAT_BASE[tok] + extra
+        if bd.read(128):
+            v = -v
+        if coeffs is None:
+            coeffs = np.zeros(16, dtype=np.int64)
+        coeffs[ZIGZAG[i]] = v
+        ctx = 1 if abs(v) == 1 else 2
+        i += 1
+    return coeffs
+
+
+def _encode_coeffs(be: BoolEncoder, plane_probs, first: int, ctx: int,
+                   coeffs: np.ndarray):
+    """Mirror of _decode_coeffs: tokenize natural-order coeffs."""
+    zz = [int(coeffs[ZIGZAG[i]]) for i in range(16)]
+    last = -1
+    for i in range(first, 16):
+        if zz[i] != 0:
+            last = i
+    prev_zero = False
+    for i in range(first, 16):
+        probs = plane_probs[COEFF_BANDS[i]][ctx]
+        start = 2 if prev_zero else 0
+        if i > last:
+            be.tree(COEFF_TREE, probs, EOB_T, start=start)
+            return
+        v = zz[i]
+        a = abs(v)
+        if a == 0:
+            be.tree(COEFF_TREE, probs, ZERO_T, start=start)
+            ctx = 0
+            prev_zero = True
+            continue
+        prev_zero = False
+        if a <= 4:
+            be.tree(COEFF_TREE, probs, a, start=start)
+        else:
+            for tok in (CAT1, CAT2, CAT3, CAT4, CAT5):
+                nxt = {CAT1: CAT2, CAT2: CAT3, CAT3: CAT4,
+                       CAT4: CAT5, CAT5: CAT6}[tok]
+                if a < CAT_BASE[nxt]:
+                    break
+            else:
+                tok = CAT6
+            be.tree(COEFF_TREE, probs, tok, start=start)
+            extra = a - CAT_BASE[tok]
+            ps = CAT_PROBS[tok]
+            for j, p in enumerate(ps):
+                be.write((extra >> (len(ps) - 1 - j)) & 1, p)
+        be.write(1 if v < 0 else 0, 128)
+        ctx = 1 if a == 1 else 2
+    # all 16 positions emitted — no EOB after the last coefficient
+
+
+# ---------------------------------------------------------------------------
+# frame decode (RFC 6386 sections 9, 12-14; key frame, intra only)
+# ---------------------------------------------------------------------------
+
+def vp8_decode(data: bytes) -> dict:
+    """Decode a VP8 key frame bitstream → {"y", "u", "v" (uint8 planes,
+    cropped), "width", "height", "ymodes"}."""
+    if len(data) < 10:
+        raise ValueError("VP8: truncated frame header")
+    tag = data[0] | (data[1] << 8) | (data[2] << 16)
+    frame_type = tag & 1
+    first_part_size = tag >> 5
+    if frame_type != 0:
+        raise NotImplementedError("VP8 inter frame: key frames only")
+    if data[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("VP8: bad keyframe start code")
+    w_code = data[6] | (data[7] << 8)
+    h_code = data[8] | (data[9] << 8)
+    width, height = w_code & 0x3FFF, h_code & 0x3FFF
+    if width == 0 or height == 0:
+        raise ValueError("VP8: zero frame dimension")
+    body = data[10:]
+    if len(body) < first_part_size:
+        raise ValueError("VP8: truncated first partition")
+    bd = BoolDecoder(body[:first_part_size])
+
+    bd.read(128)  # color space
+    bd.read(128)  # clamping type
+    if bd.read(128):
+        raise NotImplementedError("VP8 segmentation not supported")
+    bd.read(128)              # filter type
+    filter_level = bd.literal(6)
+    bd.literal(3)             # sharpness
+    if filter_level != 0:
+        raise NotImplementedError(
+            "VP8 loop filter not applied (filter_level > 0 would decode "
+            "soft): fixture streams carry filter_level=0")
+    if bd.read(128):
+        raise NotImplementedError("VP8 loop-filter deltas not supported")
+    if bd.literal(2) != 0:
+        raise NotImplementedError("VP8 multiple token partitions")
+    qindex = bd.literal(7)
+    deltas = {}
+    for name in ("y_dc", "y2_dc", "y2_ac", "uv_dc", "uv_ac"):
+        if bd.read(128):
+            deltas[name] = bd.signed_literal(4)
+    bd.read(128)  # refresh entropy probs (keyframe: ignored)
+    probs = _default_coeff_probs().astype(np.int64)
+    for t in range(N_PLANES):
+        for b in range(N_BANDS_C):
+            for c in range(N_CTX):
+                for p in range(N_PROBS):
+                    if bd.read(COEFF_UPDATE_PROB):
+                        probs[t, b, c, p] = bd.literal(8)
+    mb_skip_enabled = bd.read(128)
+    skip_prob = bd.literal(8) if mb_skip_enabled else 0
+
+    mb_cols = (width + 15) // 16
+    mb_rows = (height + 15) // 16
+    # per-MB modes (the rest of the first partition)
+    ymodes, uvmodes, skips = [], [], []
+    for _ in range(mb_rows * mb_cols):
+        skip = bd.read(skip_prob) if mb_skip_enabled else 0
+        ym = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+        if ym == B_PRED:
+            raise NotImplementedError(
+                "VP8 B_PRED submodes not supported (whole-MB intra only)")
+        uvm = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
+        ymodes.append(ym)
+        uvmodes.append(uvm)
+        skips.append(skip)
+
+    qf = dequant_factors(qindex, deltas)
+    td = BoolDecoder(body[first_part_size:])
+    y_plane = np.zeros((mb_rows * 16, mb_cols * 16), dtype=np.int64)
+    u_plane = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int64)
+    v_plane = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int64)
+
+    # nonzero contexts: above per MB column, left per MB row
+    above = [{"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
+             for _ in range(mb_cols)]
+    for mr in range(mb_rows):
+        left = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
+        for mc in range(mb_cols):
+            idx = mr * mb_cols + mc
+            ym, uvm, skip = ymodes[idx], uvmodes[idx], skips[idx]
+            if skip:
+                y2_res = np.zeros(16, dtype=np.int64)
+                yblocks = [None] * 16
+                ublocks = [None] * 4
+                vblocks = [None] * 4
+                above[mc]["y"] = [0] * 4
+                above[mc]["u"] = [0] * 2
+                above[mc]["v"] = [0] * 2
+                above[mc]["y2"] = 0
+                left["y"] = [0] * 4
+                left["u"] = [0] * 2
+                left["v"] = [0] * 2
+                left["y2"] = 0
+            else:
+                # Y2 block (always present: no B_PRED)
+                ctx = above[mc]["y2"] + left["y2"]
+                c2 = _decode_coeffs(td, probs[1], 0, ctx)
+                above[mc]["y2"] = left["y2"] = int(c2 is not None)
+                if c2 is not None:
+                    c2 = c2 * np.where(np.arange(16) == 0,
+                                       qf["y2"][0], qf["y2"][1])
+                    y2_res = iwht4x4(c2).reshape(16)
+                else:
+                    y2_res = np.zeros(16, dtype=np.int64)
+                yblocks = []
+                for sb in range(16):
+                    r, c = sb // 4, sb % 4
+                    a = above[mc]["y"][c] if r == 0 else yz[(r - 1) * 4 + c]
+                    l = left["y"][r] if c == 0 else yz[r * 4 + c - 1]
+                    cf = _decode_coeffs(td, probs[0], 1, a + l)
+                    if sb == 0:
+                        yz = [0] * 16
+                    yz[sb] = int(cf is not None)
+                    yblocks.append(cf)
+                for c in range(4):
+                    above[mc]["y"][c] = yz[12 + c]
+                for r in range(4):
+                    left["y"][r] = yz[r * 4 + 3]
+                ublocks, vblocks = [], []
+                for pl, blocks in (("u", ublocks), ("v", vblocks)):
+                    for sb in range(4):
+                        r, c = sb // 2, sb % 2
+                        a = above[mc][pl][c] if r == 0 else cz[(r - 1) * 2 + c]
+                        l = left[pl][r] if c == 0 else cz[r * 2 + c - 1]
+                        cf = _decode_coeffs(td, probs[2], 0, a + l)
+                        if sb == 0:
+                            cz = [0] * 4
+                        cz[sb] = int(cf is not None)
+                        blocks.append(cf)
+                    above[mc][pl] = [cz[2], cz[3]]
+                    left[pl] = [cz[1], cz[3]]
+
+            _reconstruct_mb(y_plane, u_plane, v_plane, mr, mc, ym, uvm,
+                            y2_res, yblocks, ublocks, vblocks, qf)
+
+    return {
+        "y": np.clip(y_plane[:height, :width], 0, 255).astype(np.uint8),
+        "u": np.clip(u_plane[:(height + 1) // 2, :(width + 1) // 2],
+                     0, 255).astype(np.uint8),
+        "v": np.clip(v_plane[:(height + 1) // 2, :(width + 1) // 2],
+                     0, 255).astype(np.uint8),
+        "width": width, "height": height, "ymodes": ymodes,
+    }
+
+
+def _reconstruct_mb(y_plane, u_plane, v_plane, mr, mc, ym, uvm,
+                    y2_res, yblocks, ublocks, vblocks, qf):
+    y0, x0 = mr * 16, mc * 16
+    above = y_plane[y0 - 1, x0:x0 + 16] if mr > 0 else None
+    lft = y_plane[y0:y0 + 16, x0 - 1] if mc > 0 else None
+    al = int(y_plane[y0 - 1, x0 - 1]) if (mr > 0 and mc > 0) else None
+    pred = predict_block(ym, 16, above, lft, al)
+    for sb in range(16):
+        r, c = sb // 4, sb % 4
+        cf = yblocks[sb]
+        res = np.zeros(16, dtype=np.int64) if cf is None else \
+            cf * np.where(np.arange(16) == 0, 1, qf["y"][1])
+        res[0] = y2_res[sb]
+        blk = idct4x4(res)
+        py, px = y0 + r * 4, x0 + c * 4
+        pred_sb = pred[r * 4:r * 4 + 4, c * 4:c * 4 + 4]
+        y_plane[py:py + 4, px:px + 4] = np.clip(pred_sb + blk, 0, 255)
+        pred[r * 4:r * 4 + 4, c * 4:c * 4 + 4] = \
+            y_plane[py:py + 4, px:px + 4]
+    for plane, blocks in ((u_plane, ublocks), (v_plane, vblocks)):
+        cy0, cx0 = mr * 8, mc * 8
+        cab = plane[cy0 - 1, cx0:cx0 + 8] if mr > 0 else None
+        clf = plane[cy0:cy0 + 8, cx0 - 1] if mc > 0 else None
+        cal = int(plane[cy0 - 1, cx0 - 1]) if (mr > 0 and mc > 0) else None
+        cpred = predict_block(uvm, 8, cab, clf, cal)
+        for sb in range(4):
+            r, c = sb // 2, sb % 2
+            cf = blocks[sb]
+            res = np.zeros(16, dtype=np.int64) if cf is None else \
+                cf * np.where(np.arange(16) == 0, qf["uv"][0], qf["uv"][1])
+            blk = idct4x4(res)
+            py, px = cy0 + r * 4, cx0 + c * 4
+            psb = cpred[r * 4:r * 4 + 4, c * 4:c * 4 + 4]
+            plane[py:py + 4, px:px + 4] = np.clip(psb + blk, 0, 255)
+            cpred[r * 4:r * 4 + 4, c * 4:c * 4 + 4] = \
+                plane[py:py + 4, px:px + 4]
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder — spec-shaped key-frame streams the decoder round-trips
+# exactly (the encoder reconstructs like a decoder would, so its recon
+# planes ARE the expected decode output)
+# ---------------------------------------------------------------------------
+
+def _quantize(coeffs: np.ndarray, dc: int, ac: int) -> np.ndarray:
+    q = np.empty(16, dtype=np.int64)
+    f = np.where(np.arange(16) == 0, dc, ac)
+    a = np.abs(coeffs) // f
+    q = np.sign(coeffs) * a
+    return q.astype(np.int64)
+
+
+def _pad_plane(p: np.ndarray, mult: int) -> np.ndarray:
+    h, w = p.shape
+    ph = (h + mult - 1) // mult * mult
+    pw = (w + mult - 1) // mult * mult
+    return np.pad(p.astype(np.int64), ((0, ph - h), (0, pw - w)),
+                  mode="edge")
+
+
+def _choose_mode(src: np.ndarray, above, left, al) -> int:
+    """Deterministic mode decision: min SAD over DC/V/H/TM."""
+    best, best_m = None, DC_PRED
+    for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+        pred = predict_block(m, src.shape[0], above, left, al)
+        sad = int(np.abs(src - pred).sum())
+        if best is None or sad < best:
+            best, best_m = sad, m
+    return best_m
+
+
+def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                      qindex: int = 20,
+                      mode: int | None = None) -> tuple[bytes, dict]:
+    """Encode YUV420 planes as a VP8 key frame. Returns (stream, recon)
+    where recon holds the encoder's own reconstruction planes — the EXACT
+    pixels a conforming decode of the stream must produce. `mode` pins
+    every MB to one prediction mode (tests); None picks per-MB min-SAD."""
+    height, width = y.shape
+    if u.shape != ((height + 1) // 2, (width + 1) // 2):
+        raise ValueError("u/v planes must be half-size YUV420")
+    mb_cols = (width + 15) // 16
+    mb_rows = (height + 15) // 16
+    ys = _pad_plane(y, 16)[:mb_rows * 16, :mb_cols * 16]
+    us = _pad_plane(u, 8)[:mb_rows * 8, :mb_cols * 8]
+    vs = _pad_plane(v, 8)[:mb_rows * 8, :mb_cols * 8]
+    ry = np.zeros_like(ys)
+    ru = np.zeros_like(us)
+    rv = np.zeros_like(vs)
+    qf = dequant_factors(qindex, {})
+    probs = _default_coeff_probs().astype(np.int64)
+
+    # per-MB pass: choose modes, quantize, reconstruct, collect tokens
+    mbs = []
+    above = [{"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
+             for _ in range(mb_cols)]
+    token_bits = []  # (plane, first, ctx, coeffs) in stream order
+    for mr in range(mb_rows):
+        left = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
+        for mc in range(mb_cols):
+            y0, x0 = mr * 16, mc * 16
+            ab = ry[y0 - 1, x0:x0 + 16] if mr > 0 else None
+            lf = ry[y0:y0 + 16, x0 - 1] if mc > 0 else None
+            al = int(ry[y0 - 1, x0 - 1]) if (mr > 0 and mc > 0) else None
+            src = ys[y0:y0 + 16, x0:x0 + 16]
+            ym = mode if mode is not None else _choose_mode(src, ab, lf, al)
+            pred = predict_block(ym, 16, ab, lf, al)
+            resid = src - pred
+            ycoeffs, dcs = [], []
+            for sb in range(16):
+                r, c = sb // 4, sb % 4
+                blk = fdct4x4(resid[r * 4:r * 4 + 4, c * 4:c * 4 + 4])
+                flat = blk.reshape(16).copy()
+                dcs.append(int(flat[0]))
+                flat[0] = 0
+                q = _quantize(flat, 1, qf["y"][1])
+                ycoeffs.append(q)
+            y2 = fwht4x4(np.array(dcs, dtype=np.int64).reshape(4, 4))
+            qy2 = _quantize(y2.reshape(16), qf["y2"][0], qf["y2"][1])
+            # encoder-side reconstruction (identical math to the decoder)
+            dq2 = qy2 * np.where(np.arange(16) == 0,
+                                 qf["y2"][0], qf["y2"][1])
+            y2_res = iwht4x4(dq2).reshape(16)
+            pred_work = pred.copy()
+            for sb in range(16):
+                r, c = sb // 4, sb % 4
+                res = ycoeffs[sb] * np.where(np.arange(16) == 0,
+                                             1, qf["y"][1])
+                res[0] = y2_res[sb]
+                blk = idct4x4(res)
+                psb = pred_work[r * 4:r * 4 + 4, c * 4:c * 4 + 4]
+                rec = np.clip(psb + blk, 0, 255)
+                ry[y0 + r * 4:y0 + r * 4 + 4, x0 + c * 4:x0 + c * 4 + 4] = rec
+                pred_work[r * 4:r * 4 + 4, c * 4:c * 4 + 4] = rec
+
+            # chroma
+            cy0, cx0 = mr * 8, mc * 8
+            uvm_parts = []
+            uv_coeffs = {"u": [], "v": []}
+            # one shared uv mode (spec: single mode for both chroma planes)
+            cab = ru[cy0 - 1, cx0:cx0 + 8] if mr > 0 else None
+            clf = ru[cy0:cy0 + 8, cx0 - 1] if mc > 0 else None
+            cal = int(ru[cy0 - 1, cx0 - 1]) if (mr > 0 and mc > 0) else None
+            csrc = us[cy0:cy0 + 8, cx0:cx0 + 8]
+            uvm = mode if mode is not None else \
+                _choose_mode(csrc, cab, clf, cal)
+            for plane_src, plane_rec, key in ((us, ru, "u"), (vs, rv, "v")):
+                cab = plane_rec[cy0 - 1, cx0:cx0 + 8] if mr > 0 else None
+                clf = plane_rec[cy0:cy0 + 8, cx0 - 1] if mc > 0 else None
+                cal = int(plane_rec[cy0 - 1, cx0 - 1]) \
+                    if (mr > 0 and mc > 0) else None
+                cpred = predict_block(uvm, 8, cab, clf, cal)
+                cres = plane_src[cy0:cy0 + 8, cx0:cx0 + 8] - cpred
+                cw = cpred.copy()
+                for sb in range(4):
+                    r, c = sb // 2, sb % 2
+                    blk = fdct4x4(cres[r * 4:r * 4 + 4, c * 4:c * 4 + 4])
+                    q = _quantize(blk.reshape(16), qf["uv"][0], qf["uv"][1])
+                    uv_coeffs[key].append(q)
+                    dq = q * np.where(np.arange(16) == 0,
+                                      qf["uv"][0], qf["uv"][1])
+                    rb = idct4x4(dq)
+                    psb = cw[r * 4:r * 4 + 4, c * 4:c * 4 + 4]
+                    rec = np.clip(psb + rb, 0, 255)
+                    plane_rec[cy0 + r * 4:cy0 + r * 4 + 4,
+                              cx0 + c * 4:cx0 + c * 4 + 4] = rec
+                    cw[r * 4:r * 4 + 4, c * 4:c * 4 + 4] = rec
+
+            skip = (not qy2.any()
+                    and not any(q.any() for q in ycoeffs)
+                    and not any(q.any() for q in uv_coeffs["u"])
+                    and not any(q.any() for q in uv_coeffs["v"]))
+            mbs.append({"ym": ym, "uvm": uvm, "skip": int(skip),
+                        "y2": qy2, "y": ycoeffs, "uv": uv_coeffs})
+
+    # ---- token partition (needs the same contexts the decoder keeps) ----
+    te = BoolEncoder()
+    above = [{"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
+             for _ in range(mb_cols)]
+    for mr in range(mb_rows):
+        left = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
+        for mc in range(mb_cols):
+            mb = mbs[mr * mb_cols + mc]
+            if mb["skip"]:
+                above[mc]["y"] = [0] * 4
+                above[mc]["u"] = [0] * 2
+                above[mc]["v"] = [0] * 2
+                above[mc]["y2"] = 0
+                left["y"] = [0] * 4
+                left["u"] = [0] * 2
+                left["v"] = [0] * 2
+                left["y2"] = 0
+                continue
+            ctx = above[mc]["y2"] + left["y2"]
+            _encode_coeffs(te, probs[1], 0, ctx, mb["y2"])
+            nz = int(mb["y2"].any())
+            above[mc]["y2"] = left["y2"] = nz
+            yz = [0] * 16
+            for sb in range(16):
+                r, c = sb // 4, sb % 4
+                a = above[mc]["y"][c] if r == 0 else yz[(r - 1) * 4 + c]
+                l = left["y"][r] if c == 0 else yz[r * 4 + c - 1]
+                _encode_coeffs(te, probs[0], 1, a + l, mb["y"][sb])
+                yz[sb] = int(mb["y"][sb][1:].any()
+                             or mb["y"][sb][4:].any())
+            for c in range(4):
+                above[mc]["y"][c] = yz[12 + c]
+            for r in range(4):
+                left["y"][r] = yz[r * 4 + 3]
+            for key in ("u", "v"):
+                cz = [0] * 4
+                for sb in range(4):
+                    r, c = sb // 2, sb % 2
+                    a = above[mc][key][c] if r == 0 else cz[(r - 1) * 2 + c]
+                    l = left[key][r] if c == 0 else cz[r * 2 + c - 1]
+                    _encode_coeffs(te, probs[2], 0, a + l,
+                                   mb["uv"][key][sb])
+                    cz[sb] = int(mb["uv"][key][sb].any())
+                above[mc][key] = [cz[2], cz[3]]
+                left[key] = [cz[1], cz[3]]
+    tokens = te.flush()
+
+    # ---- first partition ----
+    be = BoolEncoder()
+    be.write(0, 128)  # color space
+    be.write(0, 128)  # clamping
+    be.write(0, 128)  # segmentation off
+    be.write(0, 128)  # filter type
+    be.literal(0, 6)  # filter level 0 (decoder requirement)
+    be.literal(0, 3)  # sharpness
+    be.write(0, 128)  # lf deltas off
+    be.literal(0, 2)  # one token partition
+    be.literal(qindex, 7)
+    for _ in range(5):
+        be.write(0, 128)  # no quant deltas
+    be.write(0, 128)  # refresh entropy (ignored on keyframes)
+    for _ in range(N_PLANES * N_BANDS_C * N_CTX * N_PROBS):
+        be.write(0, COEFF_UPDATE_PROB)  # keep the shared default probs
+    be.write(1, 128)      # mb_no_coeff_skip enabled
+    be.literal(128, 8)    # skip prob
+    for mb in mbs:
+        be.write(mb["skip"], 128)
+        be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, mb["ym"])
+        be.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, mb["uvm"])
+    first = be.flush()
+
+    tag = (len(first) << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
+    header = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    header += b"\x9d\x01\x2a"
+    header += struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+    stream = header + first + tokens
+    recon = {
+        "y": np.clip(ry[:height, :width], 0, 255).astype(np.uint8),
+        "u": np.clip(ru[:(height + 1) // 2, :(width + 1) // 2],
+                     0, 255).astype(np.uint8),
+        "v": np.clip(rv[:(height + 1) // 2, :(width + 1) // 2],
+                     0, 255).astype(np.uint8),
+    }
+    return stream, recon
+
+
+# ---------------------------------------------------------------------------
+# color conversion + RIFF container glue (sources/multimodal, functions/webp)
+# ---------------------------------------------------------------------------
+
+def rgb_to_yuv420(rgb: np.ndarray):
+    """Full-range BT.601 integer conversion + 2x2 chroma averaging.
+    (Self-consistent with yuv420_to_rgb; real-world VP8 uses studio-range
+    BT.601 — documented convention difference, not a decode defect.)"""
+    r = rgb[:, :, 0].astype(np.int64)
+    g = rgb[:, :, 1].astype(np.int64)
+    b = rgb[:, :, 2].astype(np.int64)
+    y = np.clip((77 * r + 150 * g + 29 * b) >> 8, 0, 255)
+    h, w = y.shape
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    u_full = np.clip(128 + ((-43 * r - 85 * g + 128 * b) >> 8), 0, 255)
+    v_full = np.clip(128 + ((128 * r - 107 * g - 21 * b) >> 8), 0, 255)
+
+    def sub(p):
+        pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        return ((pp[0::2, 0::2] + pp[0::2, 1::2]
+                 + pp[1::2, 0::2] + pp[1::2, 1::2] + 2) >> 2)
+    return (y.astype(np.uint8), sub(u_full).astype(np.uint8),
+            sub(v_full).astype(np.uint8))
+
+
+def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Inverse of rgb_to_yuv420 (nearest-neighbor chroma upsampling)."""
+    h, w = y.shape
+    uu = np.repeat(np.repeat(u.astype(np.int64), 2, 0), 2, 1)[:h, :w] - 128
+    vv = np.repeat(np.repeat(v.astype(np.int64), 2, 0), 2, 1)[:h, :w] - 128
+    yy = y.astype(np.int64)
+    r = np.clip(yy + ((359 * vv) >> 8), 0, 255)
+    g = np.clip(yy - ((88 * uu + 183 * vv) >> 8), 0, 255)
+    b = np.clip(yy + ((454 * uu) >> 8), 0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def vp8_decode_rgb(data: bytes) -> np.ndarray:
+    d = vp8_decode(data)
+    return yuv420_to_rgb(d["y"], d["u"], d["v"])
+
+
+def webp_encode_lossy(rgb: np.ndarray, qindex: int = 20) -> bytes:
+    """RGB(A) image → lossy WebP container (RIFF/'VP8 ' key frame)."""
+    if rgb.ndim == 3 and rgb.shape[2] == 4:
+        rgb = rgb[:, :, :3]
+    y, u, v = rgb_to_yuv420(rgb)
+    stream, _ = vp8_encode_planes(y, u, v, qindex=qindex)
+    payload = stream + (b"\x00" if len(stream) % 2 else b"")
+    chunk = b"VP8 " + struct.pack("<I", len(stream)) + payload
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

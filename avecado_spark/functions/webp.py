@@ -9,8 +9,9 @@ backward references with the 120-entry 2D neighbor distance mapping, and
 all four inverse transforms: PREDICTOR (14 modes), COLOR (signed 3.5
 cross-channel deltas), SUBTRACT_GREEN, COLOR_INDEXING (palette, with
 pixel bundling for palettes of 2/4/16). Returns (h, w, 4) uint8 RGBA.
-Lossy WebP (VP8 chunk) is an honest NotImplementedError — it is a video
-intra codec, not a container parse.
+Lossy WebP (VP8 chunk) routes to the real key-frame decoder in
+functions/vp8.py (RFC 6386 intra path; scope boundaries documented
+there).
 
 Encoder (`webp_encode`): a valid VP8L writer for round-trip fixtures —
 literal pixels with canonical prefix codes (flat 4-bit code-length
@@ -223,9 +224,11 @@ def webp_decode(data: bytes) -> np.ndarray:
             vp8l = body
             break
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) needs a video intra codec; only "
-                "lossless (VP8L) decodes here")
+            # lossy WebP: real VP8 key-frame decode (functions/vp8.py)
+            from .vp8 import vp8_decode_rgb
+            rgb = vp8_decode_rgb(body)
+            alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
+            return np.concatenate([rgb, alpha], axis=2)
     if vp8l is None:
         raise ValueError("no VP8L chunk in WebP container")
     if vp8l[0] != 0x2F:

@@ -4,11 +4,12 @@ A 100 TB training pipeline carries image/audio/video as `binary` columns
 with struct metadata; the Spark-side plumbing (schema, partitioning, Arrow
 batch shape, UDF signatures) is real and tested here. PNG images decode
 FOR REAL via the in-repo pure-numpy decoder (operators/raster.png_decode),
-baseline AND progressive JPEG via functions/jpeg.jpeg_decode, lossless
-WebP via functions/webp.webp_decode (VP8L: prefix codes, color cache,
-LZ77, all four transforms), RIFF/WAVE PCM audio via wav_decode below,
-and YUV4MPEG2 video via y4m_decode_frame. Remaining codecs (lossy-VP8
-WebP, mp3/aac, mp4/webm) are STUBBED — those
+baseline AND progressive JPEG via functions/jpeg.jpeg_decode, WebP in
+BOTH flavors via functions/webp.webp_decode (VP8L lossless: prefix
+codes, color cache, LZ77, all four transforms; lossy VP8 key frames via
+functions/vp8.py), RIFF/WAVE PCM audio via wav_decode below,
+and YUV4MPEG2 video via y4m_decode_frame. Remaining codecs (mp3/aac,
+mp4/webm, AVIF) are STUBBED — those
 libraries are not in this container — and raise NotImplementedError unless
 `deterministic_fake=True`, which produces a seeded fake decode so the
 downstream plumbing (resize → feature-extract shape) is exercised end to
@@ -55,11 +56,14 @@ def decode_image(payload: bytes, width: int, height: int,
     (SOF0/SOF2 — essentially all web JPEGs) decode FOR REAL via the
     in-repo pure-numpy codec (functions/jpeg.jpeg_decode: Huffman +
     dequant + IDCT + chroma upsample + YCbCr→RGB; progressive scans
-    accumulate coefficients), and lossless WebP via the full VP8L decoder
-    (functions/webp.webp_decode). Remaining formats (lossy-VP8 WebP,
-    AVIF, ...) need a codec library not present in this container:
-    NotImplementedError unless deterministic_fake=True, which derives a
-    shape-correct array from a sha256 keystream of the payload."""
+    accumulate coefficients). WebP decodes FOR REAL in both flavors:
+    lossless via the full VP8L decoder (functions/webp.webp_decode) and
+    lossy via the RFC 6386 VP8 key-frame decoder (functions/vp8.py —
+    intra path; scope boundaries documented there). Remaining formats
+    (AVIF, HEIC, ...) need a codec library not present in this
+    container: NotImplementedError unless deterministic_fake=True, which
+    derives a shape-correct array from a sha256 keystream of the
+    payload."""
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         from ..operators.raster import png_decode
         img = png_decode(bytes(payload))

@@ -1,0 +1,162 @@
+"""Lossy VP8 key-frame codec tests (functions/vp8.py).
+
+The bar (same as the JPEG/VP8L codecs): EXACT round-trips — the decoder
+must reproduce the encoder's own reconstruction bit-for-bit through the
+real bitstream — plus loud failure on malformed/out-of-scope streams.
+"""
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from avecado_spark.functions import vp8
+from avecado_spark.functions.vp8 import (BoolDecoder, BoolEncoder,
+                                         vp8_decode, vp8_encode_planes,
+                                         webp_encode_lossy)
+
+
+def test_bool_coder_roundtrip_property():
+    random.seed(11)
+    for _ in range(60):
+        n = random.randint(1, 400)
+        bits = [random.randint(0, 1) for _ in range(n)]
+        probs = [random.randint(1, 254) for _ in range(n)]
+        enc = BoolEncoder()
+        for b, p in zip(bits, probs):
+            enc.write(b, p)
+        dec = BoolDecoder(enc.flush())
+        assert [dec.read(p) for p in probs] == bits
+
+
+def test_transform_roundtrips_tight():
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        x = rng.integers(-255, 256, (4, 4))
+        assert np.abs(vp8.idct4x4(vp8.fdct4x4(x)) - x).max() <= 2
+        assert np.abs(vp8.iwht4x4(vp8.fwht4x4(x)) - x).max() <= 2
+
+
+def _trip(y, u, v, q, mode=None):
+    stream, recon = vp8_encode_planes(y, u, v, qindex=q, mode=mode)
+    dec = vp8_decode(stream)
+    for k in ("y", "u", "v"):
+        assert np.array_equal(dec[k], recon[k]), k
+    return stream, dec
+
+
+def test_roundtrip_noise_all_qindexes():
+    rng = np.random.default_rng(3)
+    for q in (0, 10, 40, 100, 127):
+        y = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+        u = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+        v = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+        _trip(y, u, v, q)
+
+
+def test_roundtrip_every_prediction_mode():
+    rng = np.random.default_rng(4)
+    for mode in (vp8.DC_PRED, vp8.V_PRED, vp8.H_PRED, vp8.TM_PRED):
+        y = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        u = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        v = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        stream, dec = _trip(y, u, v, 25, mode=mode)
+        assert set(dec["ymodes"]) == {mode}
+
+
+def test_roundtrip_nonmultiple_dims_and_skip():
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 256, (21, 37)).astype(np.uint8)
+    u = rng.integers(0, 256, (11, 19)).astype(np.uint8)
+    v = rng.integers(0, 256, (11, 19)).astype(np.uint8)
+    stream, dec = _trip(y, u, v, 30)
+    assert dec["width"] == 37 and dec["height"] == 21
+    # flat image → every MB skips (smallest possible stream, still exact)
+    flat = np.full((32, 32), 128, np.uint8)
+    fu = np.full((16, 16), 128, np.uint8)
+    s2, _ = _trip(flat, fu, fu, 20)
+    assert len(s2) < len(stream)
+
+
+def test_fidelity_improves_with_lower_qindex():
+    yy, xx = np.mgrid[0:64, 0:64]
+    y = (128 + 60 * np.sin(yy / 9.0) * np.cos(xx / 11.0)).astype(np.uint8)
+    u = (128 + 40 * np.sin(yy[::2, ::2] / 7.0)).astype(np.uint8)
+    v = (128 - 40 * np.cos(xx[::2, ::2] / 8.0)).astype(np.uint8)
+    errs, sizes = [], []
+    for q in (0, 20, 60):
+        stream, recon = vp8_encode_planes(y, u, v, qindex=q)
+        errs.append(np.abs(recon["y"].astype(int) - y.astype(int)).mean())
+        sizes.append(len(stream))
+    assert errs[0] < errs[1] < errs[2]      # rate-distortion behaves
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert errs[0] < 1.0                     # near-lossless at q=0
+
+
+def test_container_sniff_through_decode_image():
+    from avecado_spark.functions.vp8 import rgb_to_yuv420, yuv420_to_rgb
+    from avecado_spark.sources.multimodal import decode_image
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    data = webp_encode_lossy(rgb, qindex=4)
+    img = decode_image(data, 0, 0)
+    assert img.shape == (40, 56, 3)
+    # compare against the 4:2:0 color pipeline's own round-trip so the
+    # assertion isolates CODEC loss from inherent chroma subsampling
+    # (random per-pixel chroma loses ~44 mean levels to 2x2 averaging)
+    baseline = yuv420_to_rgb(*rgb_to_yuv420(rgb))
+    err = np.abs(img.astype(int) - baseline.astype(int))
+    assert err.mean() < 6                    # q=4 coding loss only
+
+
+def test_out_of_scope_streams_raise_loudly():
+    y = np.full((16, 16), 90, np.uint8)
+    u = np.full((8, 8), 90, np.uint8)
+    stream, _ = vp8_encode_planes(y, u, u, qindex=20)
+    # inter frame bit set
+    inter = bytearray(stream)
+    inter[0] |= 1
+    with pytest.raises(NotImplementedError, match="inter frame"):
+        vp8_decode(bytes(inter))
+    # bad start code
+    bad = bytearray(stream)
+    bad[3] = 0x00
+    with pytest.raises(ValueError, match="start code"):
+        vp8_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        vp8_decode(stream[:6])
+    # B_PRED macroblock: hand-assemble a header whose first MB selects it
+    be = BoolEncoder()
+    for _ in range(4):
+        be.write(0, 128)          # colorspace, clamping, seg, filter type
+    be.literal(0, 6)
+    be.literal(0, 3)
+    be.write(0, 128)
+    be.literal(0, 2)
+    be.literal(20, 7)
+    for _ in range(5):
+        be.write(0, 128)
+    be.write(0, 128)
+    for _ in range(vp8.N_PLANES * vp8.N_BANDS_C * vp8.N_CTX * vp8.N_PROBS):
+        be.write(0, vp8.COEFF_UPDATE_PROB)
+    be.write(0, 128)              # skip coding off
+    be.tree(vp8.KF_YMODE_TREE, vp8.KF_YMODE_PROBS, vp8.B_PRED)
+    first = be.flush()
+    tag = (len(first) << 5) | (1 << 4)
+    hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    hdr += b"\x9d\x01\x2a" + struct.pack("<HH", 16, 16)
+    with pytest.raises(NotImplementedError, match="B_PRED"):
+        vp8_decode(hdr + first + b"\x00" * 8)
+
+
+def test_truncations_never_hang():
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    u = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    stream, _ = vp8_encode_planes(y, u, u, qindex=10)
+    for cut in range(1, len(stream), max(1, len(stream) // 23)):
+        try:
+            vp8_decode(stream[:cut])
+        except (ValueError, NotImplementedError, IndexError):
+            pass  # loud failure is fine; hanging or MemoryError is not

@@ -92,12 +92,14 @@ def test_rgb_input_and_alpha_channel():
     assert (webp_decode(webp_encode(img4)) == img4).all()
 
 
-def test_rejects_lossy_and_garbage():
+def test_rejects_garbage_and_truncated_vp8():
     with pytest.raises(ValueError, match="not a WebP"):
         webp_decode(b"\x89PNG\r\n\x1a\n")
+    # lossy VP8 decodes for real since r05 — a truncated VP8 chunk must
+    # fail LOUDLY through the container path, not return pixels
     fake_vp8 = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
                 + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
-    with pytest.raises(NotImplementedError, match="lossy WebP"):
+    with pytest.raises(ValueError, match="truncated|start code"):
         webp_decode(fake_vp8)
 
 
