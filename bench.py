@@ -272,7 +272,8 @@ def main():
                  "text_quality", "text_lang_id", "text_fingerprint",
                  "events_window_5m", "events_window_sliding",
                  "events_sessionize", "j1d_pip_polygon",
-                 "tpch_q3_shipping", "izer_unionize_oracle"):
+                 "tpch_q3_shipping", "tpch_window_top3",
+                 "raster_pixels_oracle", "izer_unionize_oracle"):
         t = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t, 3)

@@ -224,11 +224,17 @@ def test_decode_image_real_png_and_media_features(spark):
     d = decode_image(png_encode(imgs[0]), 1, 1)
     assert d.shape == (40, 30, 3)
     # JPEG (baseline + progressive) and lossless WebP are REAL since
-    # round 4 — the remaining stub boundary is lossy-VP8 WebP and other
-    # compressed formats...
+    # round 5: lossy VP8 decodes for REAL (functions/vp8.py) — a valid
+    # lossy .webp round-trips through the sniffer...
+    from avecado_spark.functions.vp8 import webp_encode_lossy
+    rng5 = np.random.default_rng(5)
+    rgb5 = rng5.integers(0, 256, (24, 16, 3)).astype(np.uint8)
+    assert decode_image(webp_encode_lossy(rgb5, qindex=8), 0, 0).shape \
+        == (24, 16, 3)
+    # ...a truncated VP8 chunk fails loudly (ValueError, not pixels)...
     lossy = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
              + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(lossy, 8, 8)
     # ...and malformed streams fail loudly, not silently
     with pytest.raises(ValueError):
