@@ -497,3 +497,53 @@ def render_tiles_stats(df, styles: dict[str, tuple],
 
     return df.select("z", "x", "y", "tile_pbf").mapInPandas(
         run, schema="z int, x long, y long, n_painted long")
+
+
+def vectorize_tiles(df, background: tuple = (0x8C, 0xC6, 0x3F, 0xFF)):
+    """Raster → vector: explode rendered PNG tiles back into per-pixel
+    point features — the inverse leg of render_tiles (north-rule
+    "raster<->vector"). Input (z, x, y, png binary); output one row per
+    non-background pixel: (z, x, y, px, py, r, g, b). Runs the real PNG
+    decoder per tile, map-side (no shuffle: tiles in, pixel rows out
+    within the same task)."""
+    import pandas as pd
+
+    bg = np.array(background, dtype=np.uint8)
+
+    def run(batches):
+        for pdf in batches:
+            zs, xs, ys = [], [], []
+            pxs, pys = [], []
+            rs, gs, bs = [], [], []
+            for z, x, y, png in zip(pdf["z"], pdf["x"], pdf["y"],
+                                    pdf["png"]):
+                img = png_decode(bytes(png))
+                if img.shape[2] < 4:
+                    img = np.concatenate(
+                        [img] + [np.full(img.shape[:2] + (1,), 255,
+                                         dtype=np.uint8)] * (4 - img.shape[2]),
+                        axis=2)
+                mask = (img != bg).any(axis=2)
+                yy, xx = np.nonzero(mask)
+                n = len(xx)
+                zs.append(np.full(n, z)); xs.append(np.full(n, x))
+                ys.append(np.full(n, y))
+                pxs.append(xx); pys.append(yy)
+                rs.append(img[yy, xx, 0]); gs.append(img[yy, xx, 1])
+                bs.append(img[yy, xx, 2])
+            if not zs:
+                continue
+            yield pd.DataFrame({
+                "z": np.concatenate(zs).astype(np.int32),
+                "x": np.concatenate(xs).astype(np.int64),
+                "y": np.concatenate(ys).astype(np.int64),
+                "px": np.concatenate(pxs).astype(np.int32),
+                "py": np.concatenate(pys).astype(np.int32),
+                "r": np.concatenate(rs).astype(np.int32),
+                "g": np.concatenate(gs).astype(np.int32),
+                "b": np.concatenate(bs).astype(np.int32),
+            })
+
+    return df.select("z", "x", "y", "png").mapInPandas(
+        run, schema="z int, x long, y long, px int, py int, "
+                    "r int, g int, b int")

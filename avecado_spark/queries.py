@@ -1270,6 +1270,33 @@ def tpch_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
                .where(F.col("rnk") <= 3))
 
 
+@register("tpch_q18_bigorders", """
+  WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 28000
+  )
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, b.sum_qty_cents
+  FROM orders o JOIN big b ON b.l_orderkey = o.o_orderkey
+""")
+def tpch_q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style having-sum semijoin: orders whose total quantity
+    exceeds a threshold (the correlated-aggregate relational shape).
+    Quantities in integer cents for engine-exact sums; the aggregated
+    side drives an equi-join back to orders (Catalyst/AQE picks the
+    broadcast once the HAVING filter shrinks it)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (li.groupBy("l_orderkey").agg(F.sum(qty).alias("sum_qty_cents"))
+             .where(F.col("sum_qty_cents") > 28000))
+    return (o.join(big, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select("o_orderkey", "o_custkey", "o_orderdate",
+                     "sum_qty_cents"))
+
+
 @register("tpch_q14_promo", """
   SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
@@ -1391,5 +1418,49 @@ def raster_pixels_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.raster import render_tiles_stats
     tiles = build_tiles(pages_df(spark, sf_dir), z=6)
     return render_tiles_stats(tiles, styles={"pages": (0x51, 0x21, 0x4D, 0xFF)})
+
+
+@register("raster_vectorize_z6", f"""
+  WITH t AS (
+    SELECT {tile_x_sql('mx_mm', 6)} AS x, {tile_y_sql('my_mm', 6)} AS y,
+           mx_mm, my_mm
+    FROM {GEO_SQL} g
+  ), q AS (
+    SELECT x, y,
+      CAST(floor((mx_mm/1000.0 - (x * {_R_SCALE!r} - {_R_H!r})) / {_R_SCALE!r}
+                 * 4096 + 0.5) AS BIGINT) AS px,
+      CAST(floor((({_R_H!r} - y * {_R_SCALE!r}) - my_mm/1000.0) / {_R_SCALE!r}
+                 * 4096 + 0.5) AS BIGINT) AS py
+    FROM t
+  ), p AS (
+    SELECT DISTINCT x, y,
+           LEAST(GREATEST(px // 16, 0), 255) AS cx,
+           LEAST(GREATEST(py // 16, 0), 255) AS cy
+    FROM q
+  )
+  SELECT x, y,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(cx) AS BIGINT) AS sum_px,
+         CAST(sum(cy) AS BIGINT) AS sum_py
+  FROM p GROUP BY x, y
+""")
+def raster_vectorize_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster → VECTOR (the inverse leg of S9, north-rule
+    "raster<->vector"): render z6 point tiles to PNG, then run the real
+    PNG decoder distributed and explode every painted pixel back into a
+    point-feature row. The oracle re-derives the painted pixel SET per
+    tile from page coordinates through the encoder quantization (the
+    raster_pixels_oracle math) and checks count AND coordinate sums —
+    so the vectorizer's pixel positions, not just their number, are
+    hash-verified end-to-end through encode→render→PNG→decode→explode."""
+    from .api import build_tiles
+    from .operators.raster import render_tiles, vectorize_tiles
+    tiles = build_tiles(pages_df(spark, sf_dir), z=6)
+    pngs = render_tiles(tiles, styles={"pages": (0x51, 0x21, 0x4D, 0xFF)})
+    pts = vectorize_tiles(pngs)
+    return (pts.groupBy("x", "y")
+               .agg(F.count("*").alias("n_points"),
+                    F.sum("px").alias("sum_px"),
+                    F.sum("py").alias("sum_py")))
 
 

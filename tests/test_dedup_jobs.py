@@ -147,3 +147,31 @@ def test_persist_latest_reuse_rejects_dead_session_memo(spark):
         assert dedup.persist_latest(tag, spark.range(9), reuse=True) is out
     finally:
         dedup._PERSIST_LATEST.pop(tag, None).unpersist()
+
+
+def test_geocode_pages_job_materializes_bucketed_table(spark, tmp_path):
+    """jobs/geocode_pages.py: the durable geocode-once table — row count
+    equals the in-session geocode, the slim projection is all that lands,
+    and a tile-keyed self-join of the bucketed table plans without an
+    Exchange on either side (the 100 TB co-location property)."""
+    from jobs.geocode_pages import materialize_geocoded
+    from avecado_spark.operators.keys import geocode
+    from avecado_spark.sources.pages import pages_df
+
+    out = str(tmp_path / "geo")
+    metrics = materialize_geocoded(spark, SF_DIR, out, buckets=4)
+    expect = geocode(pages_df(spark, SF_DIR)).count()
+    assert metrics["rows"] == expect > 0
+    try:
+        t = spark.table(metrics["table"])
+        assert set(t.columns) == {"url", "mx_mm", "my_mm", "x", "y"}
+        import pyspark.sql.functions as F
+        a = t.groupBy("x").agg(F.count("*").alias("na"))
+        b = t.groupBy("x").agg(F.count("*").alias("nb"))
+        plan = a.join(b, "x")._jdf.queryExecution().executedPlan().toString()
+        # no SHUFFLE exchange on either side (a BroadcastExchange of the
+        # tiny aggregated result is fine — the point is the bucketed scan
+        # feeds both aggregates without hash-repartitioning)
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {metrics['table']}")
