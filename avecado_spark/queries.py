@@ -1357,18 +1357,18 @@ def raster_render_styled_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pngs.select("z", "x", "y", F.md5(F.col("png")).alias("png_md5"))
 
 
-@register("cell_quadkey_z14", f"""
-  WITH t AS (
-    SELECT {tile_x_sql('mx_mm', 14)} AS x, {tile_y_sql('my_mm', 14)} AS y
-    FROM {GEO_SQL} g
-  )
-  SELECT (14 * (1::BIGINT << 58) + x * (1::BIGINT << 29) + y) AS cell,
-         COUNT(*) AS n_docs
-  FROM t GROUP BY 1
-""")
 def cell_quadkey_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical cell index (H3/S2 stand-in — SURVEY §1.4): packed
-    quadkey with ancestor-by-shift containment; docs per cell."""
+    quadkey with ancestor-by-shift containment; docs per cell.
+
+    UNREGISTERED since r05: the cell id is a bijective repack of
+    tile_assign_z14's (z, x, y) keys over the identical grouping, so its
+    oracle row duplicated that one — and the driver's CORRECTNESS
+    artifact caps at 50 entries, so the registry keeps oracle-backed
+    queries at exactly 50 (r04 lost sim_ann_ivf to the cap). Coverage
+    lives in tests/test_mercator.py: pack/unpack bijection, the
+    ancestor-by-shift property, and per-cell counts equal to
+    tile_assign_z14's."""
     from .operators.keys import quadkey_col
     g = _geo(spark, sf_dir)
     t = g.select(tile_x_expr("mx_mm", 14).alias("x"),
@@ -1394,72 +1394,42 @@ _R_H = 0.5 * WORLD_SIZE
                  * 4096 + 0.5) AS BIGINT) AS py
     FROM t
   ), p AS (
-    SELECT x, y,
-           LEAST(GREATEST(px // 16, 0), 255) AS cx,
-           LEAST(GREATEST(py // 16, 0), 255) AS cy
-    FROM q
-  )
-  SELECT 6 AS z, x, y,
-         CAST(COUNT(DISTINCT cx * 256 + cy) AS BIGINT) AS n_painted
-  FROM p GROUP BY x, y
-""")
-def raster_pixels_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9 with a DERIVABLE oracle (the izer_unionize_oracle trick applied
-    to the raster leg): render z6 point tiles through the real MVT decode +
-    scanline rasterizer, then count painted pixels per tile. For a
-    single-pixel point style the painted count equals the number of
-    DISTINCT pixels hit by the tile's quantized points — computable in SQL
-    from the page coordinates via the encoder's exact quantization
-    (floor(v*4096/scale + 0.5), the _mvt_build_oracle math) scaled to the
-    256px raster grid (//16, clip 255, matching render_tile's
-    astype(int) + np.clip). Pixel BYTES stay pinned by the PNG md5
-    goldens; this row pins the rasterizer's geometry placement."""
-    from .api import build_tiles
-    from .operators.raster import render_tiles_stats
-    tiles = build_tiles(pages_df(spark, sf_dir), z=6)
-    return render_tiles_stats(tiles, styles={"pages": (0x51, 0x21, 0x4D, 0xFF)})
-
-
-@register("raster_vectorize_z6", f"""
-  WITH t AS (
-    SELECT {tile_x_sql('mx_mm', 6)} AS x, {tile_y_sql('my_mm', 6)} AS y,
-           mx_mm, my_mm
-    FROM {GEO_SQL} g
-  ), q AS (
-    SELECT x, y,
-      CAST(floor((mx_mm/1000.0 - (x * {_R_SCALE!r} - {_R_H!r})) / {_R_SCALE!r}
-                 * 4096 + 0.5) AS BIGINT) AS px,
-      CAST(floor((({_R_H!r} - y * {_R_SCALE!r}) - my_mm/1000.0) / {_R_SCALE!r}
-                 * 4096 + 0.5) AS BIGINT) AS py
-    FROM t
-  ), p AS (
     SELECT DISTINCT x, y,
            LEAST(GREATEST(px // 16, 0), 255) AS cx,
            LEAST(GREATEST(py // 16, 0), 255) AS cy
     FROM q
   )
   SELECT x, y,
-         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(count(*) AS BIGINT) AS n_painted,
          CAST(sum(cx) AS BIGINT) AS sum_px,
          CAST(sum(cy) AS BIGINT) AS sum_py
   FROM p GROUP BY x, y
 """)
-def raster_vectorize_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster → VECTOR (the inverse leg of S9, north-rule
-    "raster<->vector"): render z6 point tiles to PNG, then run the real
-    PNG decoder distributed and explode every painted pixel back into a
-    point-feature row. The oracle re-derives the painted pixel SET per
-    tile from page coordinates through the encoder quantization (the
-    raster_pixels_oracle math) and checks count AND coordinate sums —
-    so the vectorizer's pixel positions, not just their number, are
-    hash-verified end-to-end through encode→render→PNG→decode→explode."""
+def raster_pixels_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 + raster→VECTOR with a DERIVABLE oracle (the
+    izer_unionize_oracle trick applied to the raster leg): render z6
+    point tiles through the real MVT decode + scanline rasterizer to
+    PNG, then run the real PNG decoder distributed (vectorize_tiles) and
+    explode every painted pixel back into a point-feature row — the
+    north rule's raster<->vector inverse leg in the same checked query.
+    Per tile, the painted-pixel count AND coordinate sums are
+    SQL-derivable from page coordinates via the encoder's exact
+    quantization (floor(v*4096/scale + 0.5), the _mvt_build_oracle math)
+    scaled to the 256px raster grid (//16, clip 255, matching
+    render_tile's astype(int) + np.clip) — so pixel PLACEMENT, not just
+    counts, is hash-verified end-to-end through
+    encode→render→PNG→decode→explode. Pixel BYTES stay pinned by the
+    PNG md5 goldens; render_tiles_stats equivalence is pinned by
+    tests/test_pyramid_raster.py. (One registered row for the family:
+    the driver's CORRECTNESS artifact caps at 50 entries, so the
+    registry keeps oracle-backed queries at exactly 50.)"""
     from .api import build_tiles
     from .operators.raster import render_tiles, vectorize_tiles
     tiles = build_tiles(pages_df(spark, sf_dir), z=6)
     pngs = render_tiles(tiles, styles={"pages": (0x51, 0x21, 0x4D, 0xFF)})
     pts = vectorize_tiles(pngs)
     return (pts.groupBy("x", "y")
-               .agg(F.count("*").alias("n_points"),
+               .agg(F.count("*").alias("n_painted"),
                     F.sum("px").alias("sum_px"),
                     F.sum("py").alias("sum_py")))
 

@@ -86,3 +86,26 @@ def test_lonlat_mercator_roundtrip():
     assert lat2 == pytest.approx(lat, abs=1e-9)
     # null island maps to origin
     assert M.lonlat_to_mercator(0.0, 0.0) == pytest.approx((0.0, 0.0))
+
+
+def test_quadkey_cell_index_properties(spark):
+    """cell_quadkey_z14 (unregistered since r05 — its oracle row was a
+    bijective repack of tile_assign_z14's): pack/unpack bijection,
+    ancestor-by-shift containment, and per-cell counts identical to the
+    tile assignment it repacks."""
+    from avecado_spark import queries as q
+    from avecado_spark.queries import cell_quadkey_z14
+
+    sf = "/root/testdata/sf0.001"
+    cells = {r.cell: r.n_docs for r in cell_quadkey_z14(spark, sf).collect()}
+    tiles = {(r.x, r.y): r.n_docs for r in
+             q.queries()["tile_assign_z14"](spark, sf).collect()}
+    assert len(cells) == len(tiles) > 0
+    for cell, n in cells.items():
+        z = cell >> 58
+        x = (cell >> 29) & ((1 << 29) - 1)
+        y = cell & ((1 << 29) - 1)
+        assert z == 14 and tiles[(x, y)] == n       # bijection + counts
+        parent = ((z - 1) << 58) + ((x >> 1) << 29) + (y >> 1)
+        assert (parent >> 58) == 13                 # ancestor by shift
+        assert ((parent >> 29) & ((1 << 29) - 1)) == x >> 1

@@ -469,3 +469,25 @@ def test_overzoom_spark_surface(spark):
     parent = png_decode(out[(6, 10, 20)])
     quad = parent[:, :, 2] == 255
     assert quad[:128, 128:].all() and not quad[128:, :128].any()
+
+
+def test_render_tiles_stats_equals_vectorize_counts(spark):
+    """render_tiles_stats (image-side painted count) and vectorize_tiles
+    (PNG-decode pixel explosion) must agree tile-for-tile — the two
+    raster-analysis paths pinning each other; the registered
+    raster_pixels_oracle row carries the SQL-derivable twin."""
+    from avecado_spark.api import build_tiles
+    from avecado_spark.operators.raster import (render_tiles,
+                                                render_tiles_stats,
+                                                vectorize_tiles)
+    from avecado_spark.sources.pages import pages_df
+    import pyspark.sql.functions as F
+
+    tiles = build_tiles(pages_df(spark, "/root/testdata/sf0.001"), z=6)
+    style = {"pages": (0x51, 0x21, 0x4D, 0xFF)}
+    stats = {(r.x, r.y): r.n_painted for r in
+             render_tiles_stats(tiles, styles=style).collect()}
+    vec = {(r.x, r.y): r.n for r in
+           (vectorize_tiles(render_tiles(tiles, styles=style))
+            .groupBy("x", "y").agg(F.count("*").alias("n"))).collect()}
+    assert stats == vec and len(stats) > 0
