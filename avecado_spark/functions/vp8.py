@@ -14,17 +14,17 @@ Mapnik image I/O (avecado's raster leg, render_vector_tile.cpp); this
 module extends the multimodal column's real-decode boundary to the lossy
 WebP container (sources/multimodal.decode_image sniffs RIFF/VP8).
 
+The loop filter (RFC 6386 section 15) IS applied — normal and simple
+variants, any level/sharpness — after frame reconstruction (intra
+prediction uses unfiltered neighbors, like the spec).
+
 Honest scope boundaries (each raises NotImplementedError):
   * inter frames (P-frames) — this is an image engine, standalone lossy
     .webp files are always key frames;
   * B_PRED (per-4x4 sub-block prediction) — its keyframe context table
     (10x10x9 fixed probabilities, RFC 6386 13.3) is not transcribed;
     the fixture encoder only emits whole-MB modes (DC/V/H/TM);
-  * segmentation maps and multiple token partitions;
-  * the loop filter is parsed but NOT applied: reconstruction is exact
-    for filter_level=0 streams (what the fixture encoder writes); a
-    nonzero filter level raises rather than returning subtly-soft
-    pixels.
+  * segmentation maps and multiple token partitions.
 
 Probability/dequant constant tables are transcribed from RFC 6386; in
 this sandbox no reference decoder exists to cross-check them, so the
@@ -561,13 +561,9 @@ def vp8_decode(data: bytes) -> dict:
     bd.read(128)  # clamping type
     if bd.read(128):
         raise NotImplementedError("VP8 segmentation not supported")
-    bd.read(128)              # filter type
+    filter_type = bd.read(128)
     filter_level = bd.literal(6)
-    bd.literal(3)             # sharpness
-    if filter_level != 0:
-        raise NotImplementedError(
-            "VP8 loop filter not applied (filter_level > 0 would decode "
-            "soft): fixture streams carry filter_level=0")
+    sharpness = bd.literal(3)
     if bd.read(128):
         raise NotImplementedError("VP8 loop-filter deltas not supported")
     if bd.literal(2) != 0:
@@ -610,6 +606,7 @@ def vp8_decode(data: bytes) -> dict:
     v_plane = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int64)
 
     # nonzero contexts: above per MB column, left per MB row
+    mb_has_coeffs = []
     above = [{"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
              for _ in range(mb_cols)]
     for mr in range(mb_rows):
@@ -669,9 +666,16 @@ def vp8_decode(data: bytes) -> dict:
                     above[mc][pl] = [cz[2], cz[3]]
                     left[pl] = [cz[1], cz[3]]
 
+            mb_has_coeffs.append(
+                (not skip) and (any(b is not None for b in yblocks)
+                                or any(b is not None for b in ublocks)
+                                or any(b is not None for b in vblocks)
+                                or bool(np.any(y2_res))))
             _reconstruct_mb(y_plane, u_plane, v_plane, mr, mc, ym, uvm,
                             y2_res, yblocks, ublocks, vblocks, qf)
 
+    loop_filter_frame(y_plane, u_plane, v_plane, filter_level, sharpness,
+                      filter_type, mb_has_coeffs, mb_rows, mb_cols)
     return {
         "y": np.clip(y_plane[:height, :width], 0, 255).astype(np.uint8),
         "u": np.clip(u_plane[:(height + 1) // 2, :(width + 1) // 2],
@@ -755,10 +759,13 @@ def _choose_mode(src: np.ndarray, above, left, al) -> int:
 
 def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       qindex: int = 20,
-                      mode: int | None = None) -> tuple[bytes, dict]:
+                      mode: int | None = None,
+                      filter_level: int = 0, sharpness: int = 0,
+                      filter_type: int = 0) -> tuple[bytes, dict]:
     """Encode YUV420 planes as a VP8 key frame. Returns (stream, recon)
     where recon holds the encoder's own reconstruction planes — the EXACT
-    pixels a conforming decode of the stream must produce. `mode` pins
+    pixels a conforming decode of the stream must produce (loop filter
+    applied when filter_level > 0, matching the decoder). `mode` pins
     every MB to one prediction mode (tests); None picks per-MB min-SAD."""
     height, width = y.shape
     if u.shape != ((height + 1) // 2, (width + 1) // 2):
@@ -909,9 +916,9 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     be.write(0, 128)  # color space
     be.write(0, 128)  # clamping
     be.write(0, 128)  # segmentation off
-    be.write(0, 128)  # filter type
-    be.literal(0, 6)  # filter level 0 (decoder requirement)
-    be.literal(0, 3)  # sharpness
+    be.write(filter_type & 1, 128)
+    be.literal(filter_level, 6)
+    be.literal(sharpness, 3)
     be.write(0, 128)  # lf deltas off
     be.literal(0, 2)  # one token partition
     be.literal(qindex, 7)
@@ -933,11 +940,16 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     header += b"\x9d\x01\x2a"
     header += struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
     stream = header + first + tokens
+    # intra prediction above used the UNFILTERED ry/ru/rv; the loop filter
+    # runs once over the finished frame, exactly as the decoder does
+    fy, fu, fv = ry.copy(), ru.copy(), rv.copy()
+    loop_filter_frame(fy, fu, fv, filter_level, sharpness, filter_type,
+                      [not mb["skip"] for mb in mbs], mb_rows, mb_cols)
     recon = {
-        "y": np.clip(ry[:height, :width], 0, 255).astype(np.uint8),
-        "u": np.clip(ru[:(height + 1) // 2, :(width + 1) // 2],
+        "y": np.clip(fy[:height, :width], 0, 255).astype(np.uint8),
+        "u": np.clip(fu[:(height + 1) // 2, :(width + 1) // 2],
                      0, 255).astype(np.uint8),
-        "v": np.clip(rv[:(height + 1) // 2, :(width + 1) // 2],
+        "v": np.clip(fv[:(height + 1) // 2, :(width + 1) // 2],
                      0, 255).astype(np.uint8),
     }
     return stream, recon
@@ -995,3 +1007,153 @@ def webp_encode_lossy(rgb: np.ndarray, qindex: int = 20) -> bytes:
     chunk = b"VP8 " + struct.pack("<I", len(stream)) + payload
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# loop filter (RFC 6386 section 15) — normal and simple, vectorized per
+# edge. Applied to the reconstructed frame AFTER all MBs are decoded
+# (intra prediction within the frame uses UNFILTERED neighbors); both the
+# decoder and the fixture encoder run this same code, so round-trips stay
+# exact at any filter level.
+# ---------------------------------------------------------------------------
+
+def _c128(v):
+    return np.clip(v, -128, 127)
+
+
+def _filter_limits(level: int, sharpness: int, keyframe: bool = True):
+    interior = level
+    if sharpness:
+        interior >>= 1 if sharpness <= 4 else 2
+        interior = min(interior, 9 - sharpness)
+    interior = max(interior, 1)
+    mb_edge = ((level + 2) * 2) + interior
+    sb_edge = (level * 2) + interior
+    if level >= 40:
+        hev_t = 2
+    elif level >= 15:
+        hev_t = 1
+    else:
+        hev_t = 0
+    if not keyframe:
+        hev_t += 1
+    return interior, mb_edge, sb_edge, hev_t
+
+
+def _filter_rows(seg: np.ndarray, interior: int, edge_limit: int,
+                 hev_t: int, mb_edge: bool) -> np.ndarray:
+    """Normal filter over an (n, 8) segment [p3 p2 p1 p0 q0 q1 q2 q3]."""
+    p = seg.astype(np.int64) - 128
+    p3, p2, p1, p0, q0, q1, q2, q3 = (p[:, i] for i in range(8))
+    mask = (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2) <= edge_limit
+    mask &= (np.abs(p3 - p2) <= interior) & (np.abs(p2 - p1) <= interior) \
+        & (np.abs(p1 - p0) <= interior) & (np.abs(q1 - q0) <= interior) \
+        & (np.abs(q2 - q1) <= interior) & (np.abs(q3 - q2) <= interior)
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    out = p.copy()
+    if mb_edge:
+        a = _c128(_c128(p1 - q1) + 3 * (q0 - p0))
+        F = _c128(a + 4) >> 3
+        E = _c128(a + 3) >> 3
+        w = _c128(_c128(p1 - q1) + 3 * (q0 - p0))
+        a27 = _c128((27 * w + 63) >> 7)
+        a18 = _c128((18 * w + 63) >> 7)
+        a9 = _c128((9 * w + 63) >> 7)
+        m_h, m_n = mask & hev, mask & ~hev
+        out[:, 4] = np.where(m_h, q0 - F, np.where(m_n, q0 - a27, q0))
+        out[:, 3] = np.where(m_h, p0 + E, np.where(m_n, p0 + a27, p0))
+        out[:, 5] = np.where(m_n, q1 - a18, q1)
+        out[:, 2] = np.where(m_n, p1 + a18, p1)
+        out[:, 6] = np.where(m_n, q2 - a9, q2)
+        out[:, 1] = np.where(m_n, p2 + a9, p2)
+    else:
+        a = _c128(np.where(hev, _c128(p1 - q1), 0) + 3 * (q0 - p0))
+        F = _c128(a + 4) >> 3
+        E = _c128(a + 3) >> 3
+        out[:, 4] = np.where(mask, q0 - F, q0)
+        out[:, 3] = np.where(mask, p0 + E, p0)
+        F2 = (F + 1) >> 1
+        m2 = mask & ~hev
+        out[:, 5] = np.where(m2, q1 - F2, q1)
+        out[:, 2] = np.where(m2, p1 + F2, p1)
+    return (np.clip(_c128(out), -128, 127) + 128).astype(np.int64)
+
+
+def _simple_rows(seg: np.ndarray, edge_limit: int) -> np.ndarray:
+    p = seg.astype(np.int64) - 128
+    p1, p0, q0, q1 = p[:, 1], p[:, 2], p[:, 3], p[:, 4]
+    mask = (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2) <= edge_limit
+    a = _c128(_c128(p1 - q1) + 3 * (q0 - p0))
+    F = _c128(a + 4) >> 3
+    E = _c128(a + 3) >> 3
+    out = p.copy()
+    out[:, 3] = np.where(mask, q0 - F, q0)
+    out[:, 2] = np.where(mask, p0 + E, p0)
+    return (np.clip(_c128(out), -128, 127) + 128).astype(np.int64)
+
+
+def _filter_v_edge(plane, r0, span, x, limits, mb_edge, simple):
+    interior, mbE, sbE, hev_t = limits
+    e = mbE if mb_edge else sbE
+    if simple:
+        seg = plane[r0:r0 + span, x - 3:x + 3]
+        plane[r0:r0 + span, x - 3:x + 3] = _simple_rows(seg, e)
+    else:
+        seg = plane[r0:r0 + span, x - 4:x + 4]
+        plane[r0:r0 + span, x - 4:x + 4] = _filter_rows(
+            seg, interior, e, hev_t, mb_edge)
+
+
+def _filter_h_edge(plane, c0, span, y, limits, mb_edge, simple):
+    interior, mbE, sbE, hev_t = limits
+    e = mbE if mb_edge else sbE
+    if simple:
+        seg = plane[y - 3:y + 3, c0:c0 + span].T
+        plane[y - 3:y + 3, c0:c0 + span] = _simple_rows(seg, e).T
+    else:
+        seg = plane[y - 4:y + 4, c0:c0 + span].T
+        plane[y - 4:y + 4, c0:c0 + span] = _filter_rows(
+            seg, interior, e, hev_t, mb_edge).T
+
+
+def loop_filter_frame(yp, up, vp, level: int, sharpness: int,
+                      filter_type: int, mb_has_coeffs, mb_rows: int,
+                      mb_cols: int):
+    """In-place loop filter over reconstructed planes. mb_has_coeffs:
+    per-MB raster flags — MBs with no coefficients (whole-MB prediction)
+    skip their subblock-interior edges (RFC 6386 15.2). filter_type 1 is
+    the simple filter (luma only)."""
+    if level == 0:
+        return
+    limits = _filter_limits(level, sharpness)
+    simple = filter_type == 1
+    for mr in range(mb_rows):
+        for mc in range(mb_cols):
+            has = mb_has_coeffs[mr * mb_cols + mc]
+            x0, y0 = mc * 16, mr * 16
+            if mc > 0:
+                _filter_v_edge(yp, y0, 16, x0, limits, True, simple)
+            if has:
+                for dx in (4, 8, 12):
+                    _filter_v_edge(yp, y0, 16, x0 + dx, limits, False,
+                                   simple)
+            if mr > 0:
+                _filter_h_edge(yp, x0, 16, y0, limits, True, simple)
+            if has:
+                for dy in (4, 8, 12):
+                    _filter_h_edge(yp, x0, 16, y0 + dy, limits, False,
+                                   simple)
+            if simple:
+                continue  # simple filter touches luma only
+            cx0, cy0 = mc * 8, mr * 8
+            for pl in (up, vp):
+                if mc > 0:
+                    _filter_v_edge(pl, cy0, 8, cx0, limits, True, False)
+                if has:
+                    _filter_v_edge(pl, cy0, 8, cx0 + 4, limits, False,
+                                   False)
+                if mr > 0:
+                    _filter_h_edge(pl, cx0, 8, cy0, limits, True, False)
+                if has:
+                    _filter_h_edge(pl, cx0, 8, cy0 + 4, limits, False,
+                                   False)

@@ -240,3 +240,65 @@ def test_box_candidates_empty_inputs():
         assert pi.dtype == np.int64 and bi.dtype == np.int64
     pi, bi = _box_candidates(pts, boxes)
     assert list(pi) == [0] and list(bi) == [0]
+
+
+def test_packed_geom_interchange_roundtrip_property():
+    """The izer packed-coords interchange (plans/pipeline._pack/_unpack
+    closures, exercised here via equivalent standalone logic): random
+    geometries of every supported type survive pack → unpack exactly.
+    Guards the ring/part bookkeeping that replaced WKT text in r05."""
+    import numpy as np
+
+    from avecado_spark.functions.wkt import Geom, dumps, loads
+
+    rng = np.random.default_rng(123)
+
+    def rand_ring(n):
+        return rng.integers(-10**6, 10**6, (n, 2)).astype(np.float64)
+
+    def pack(g):
+        if not g.parts:
+            return g.type, np.empty(0), [], []
+        rings, flats, part_rings = [], [], []
+        for rlist in g.parts:
+            part_rings.append(len(rlist))
+            for arr in rlist:
+                rings.append(len(arr))
+                flats.append(np.asarray(arr, dtype=np.float64).ravel())
+        return g.type, np.concatenate(flats), rings, part_rings
+
+    def unpack(gtype, coords, rings, part_rings):
+        c = np.asarray(coords, dtype=np.float64)
+        if len(part_rings) == 0:
+            return Geom(gtype, [])
+        parts, pos, ri = [], 0, 0
+        for nr in part_rings:
+            rlist = []
+            for _ in range(nr):
+                npts = int(rings[ri])
+                rlist.append(c[pos:pos + 2 * npts].reshape(-1, 2))
+                pos += 2 * npts
+                ri += 1
+            parts.append(rlist)
+        return Geom(gtype, parts)
+
+    cases = []
+    for _ in range(40):
+        cases.append(Geom("POINT", [[rand_ring(1)]]))
+        cases.append(Geom("LINESTRING", [[rand_ring(rng.integers(2, 9))]]))
+        cases.append(Geom("MULTILINESTRING",
+                          [[rand_ring(rng.integers(2, 6))]
+                           for _ in range(rng.integers(1, 4))]))
+        cases.append(Geom("POLYGON",
+                          [[rand_ring(rng.integers(4, 8))
+                            for _ in range(rng.integers(1, 3))]]))
+        cases.append(Geom("MULTIPOLYGON",
+                          [[rand_ring(rng.integers(4, 7))
+                            for _ in range(rng.integers(1, 3))]
+                           for _ in range(rng.integers(1, 3))]))
+    cases.append(Geom("LINESTRING", []))          # EMPTY
+    for g in cases:
+        back = unpack(*pack(g))
+        assert back.type == g.type
+        # WKT text is the canonical equality form for nested arrays
+        assert dumps(back) == dumps(g)

@@ -160,3 +160,28 @@ def test_truncations_never_hang():
             vp8_decode(stream[:cut])
         except (ValueError, NotImplementedError, IndexError):
             pass  # loud failure is fine; hanging or MemoryError is not
+
+
+def test_loop_filter_roundtrip_all_levels():
+    """Normal AND simple loop filters at several levels/sharpnesses:
+    decode must equal the encoder's filtered reconstruction exactly, and
+    a nonzero level must actually move pixels vs level 0."""
+    rng = np.random.default_rng(13)
+    y = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+    u = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    v = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    for ft in (0, 1):
+        for fl in (10, 32, 63):
+            stream, recon = vp8_encode_planes(
+                y, u, v, qindex=30, filter_level=fl, filter_type=ft)
+            dec = vp8_decode(stream)
+            for k in ("y", "u", "v"):
+                assert np.array_equal(dec[k], recon[k]), (ft, fl, k)
+    for sh in (4, 7):
+        stream, recon = vp8_encode_planes(
+            y, u, v, qindex=30, filter_level=40, sharpness=sh)
+        dec = vp8_decode(stream)
+        assert np.array_equal(dec["y"], recon["y"])
+    _, r0 = vp8_encode_planes(y, u, v, qindex=60, filter_level=0)
+    _, r1 = vp8_encode_planes(y, u, v, qindex=60, filter_level=40)
+    assert not np.array_equal(r0["y"], r1["y"])
