@@ -126,28 +126,6 @@ def test_out_of_scope_streams_raise_loudly():
         vp8_decode(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         vp8_decode(stream[:6])
-    # B_PRED macroblock: hand-assemble a header whose first MB selects it
-    be = BoolEncoder()
-    for _ in range(4):
-        be.write(0, 128)          # colorspace, clamping, seg, filter type
-    be.literal(0, 6)
-    be.literal(0, 3)
-    be.write(0, 128)
-    be.literal(0, 2)
-    be.literal(20, 7)
-    for _ in range(5):
-        be.write(0, 128)
-    be.write(0, 128)
-    for _ in range(vp8.N_PLANES * vp8.N_BANDS_C * vp8.N_CTX * vp8.N_PROBS):
-        be.write(0, vp8.COEFF_UPDATE_PROB)
-    be.write(0, 128)              # skip coding off
-    be.tree(vp8.KF_YMODE_TREE, vp8.KF_YMODE_PROBS, vp8.B_PRED)
-    first = be.flush()
-    tag = (len(first) << 5) | (1 << 4)
-    hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
-    hdr += b"\x9d\x01\x2a" + struct.pack("<HH", 16, 16)
-    with pytest.raises(NotImplementedError, match="B_PRED"):
-        vp8_decode(hdr + first + b"\x00" * 8)
 
 
 def test_truncations_never_hang():
@@ -185,3 +163,38 @@ def test_loop_filter_roundtrip_all_levels():
     _, r0 = vp8_encode_planes(y, u, v, qindex=60, filter_level=0)
     _, r1 = vp8_encode_planes(y, u, v, qindex=60, filter_level=40)
     assert not np.array_equal(r0["y"], r1["y"])
+
+
+def test_bpred_roundtrip_all_submodes():
+    """B_PRED (per-4x4 prediction): forced-B_PRED encodes round-trip
+    exactly across noise, crops, and the loop filter, and the min-SAD
+    sub-mode search exercises many of the 10 predictors."""
+    rng = np.random.default_rng(17)
+    y = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+    u = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    v = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    for fl in (0, 32):
+        stream, recon = vp8_encode_planes(y, u, v, qindex=25,
+                                          mode=vp8.B_PRED, filter_level=fl)
+        dec = vp8_decode(stream)
+        for k in ("y", "u", "v"):
+            assert np.array_equal(dec[k], recon[k]), (fl, k)
+        assert set(dec["ymodes"]) == {vp8.B_PRED}
+    y2 = rng.integers(0, 256, (21, 37)).astype(np.uint8)
+    u2 = rng.integers(0, 256, (11, 19)).astype(np.uint8)
+    stream, recon = vp8_encode_planes(y2, u2, u2, qindex=40,
+                                      mode=vp8.B_PRED)
+    assert np.array_equal(vp8_decode(stream)["y"], recon["y"])
+
+
+def test_bpred_predictors_cover_and_bound():
+    """Each of the 10 sub-block predictors emits in-range 4x4 output for
+    random neighbors (no index errors at any mode)."""
+    rng = np.random.default_rng(2)
+    for m in range(10):
+        for _ in range(20):
+            out = vp8.predict_subblock(
+                m, rng.integers(0, 256, 4), rng.integers(0, 256, 4),
+                int(rng.integers(0, 256)), rng.integers(0, 256, 4))
+            assert out.shape == (4, 4)
+            assert out.min() >= 0 and out.max() <= 255
