@@ -113,3 +113,69 @@ def test_pipeline_adminizer_end_to_end():
     out, ran = proc.process_layer(feats, "point", 10)
     assert ran == 1
     assert out[0]["props"]["foo"] == "foo_value"
+
+
+def test_packed_and_wkt_interchange_agree(spark):
+    """The r05 packed-coords izer interchange and the legacy WKT path are
+    the same operator surface: identical features sent through both
+    representations must produce identical (id, props, geometry) sets
+    for a generalize + unionize pipeline."""
+    from pyspark.sql import functions as F
+
+    from avecado_spark.plans.pipeline import apply_to_tiles
+
+    # deterministic snapped segments: two per group so the unionizer has
+    # real work, zigzags so the generalizer does too
+    rows = []
+    for g in range(40):
+        bx, by = 1000 + g * 10, 2000 + (g % 7)
+        rows.append((10, g % 5, g // 5, "roads", g * 2,
+                     {"a": str(g)},
+                     [float(bx), float(by), float(bx + 50), float(by + 1),
+                      float(bx + 100), float(by)], 3))
+        rows.append((10, g % 5, g // 5, "roads", g * 2 + 1,
+                     {"a": str(g)},
+                     [float(bx + 100), float(by), float(bx + 200),
+                      float(by)], 2))
+    packed = spark.createDataFrame(
+        rows, "z int, x long, y long, layer string, id long, "
+              "props map<string,string>, coords array<double>, npts int") \
+        .select("z", "x", "y", "layer", "id", "props",
+                F.lit("LINESTRING").alias("gtype"), "coords",
+                F.array(F.col("npts")).alias("rings"),
+                F.array(F.lit(1)).alias("part_rings"))
+
+    def to_wkt(coords):
+        pts = ", ".join(f"{int(coords[i])} {int(coords[i+1])}"
+                        for i in range(0, len(coords), 2))
+        return f"LINESTRING({pts})"
+
+    wkt_rows = [(z, x, y, lay, i, props, to_wkt(cs))
+                for z, x, y, lay, i, props, cs, _ in rows]
+    legacy = spark.createDataFrame(
+        wkt_rows, "z int, x long, y long, layer string, id long, "
+                  "props map<string,string>, wkt string")
+
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "generalizer", "algorithm": "douglas-peucker",
+         "tolerance": 5.0},
+        {"type": "unionizer", "union_heuristic": "greedy",
+         "tag_strategy": "intersect", "max_iterations": 10,
+         "match_tags": ["a"]}]}]}
+
+    out_p = apply_to_tiles(packed, conf).collect()
+    out_w = apply_to_tiles(legacy, conf).collect()
+
+    def norm_packed(r):
+        pts = ", ".join(f"{int(r.coords[i])} {int(r.coords[i+1])}"
+                        for i in range(0, len(r.coords), 2))
+        return (r.z, r.x, r.y, r.layer, r.id,
+                tuple(sorted(r.props.items())), f"LINESTRING({pts})")
+
+    def norm_wkt(r):
+        return (r.z, r.x, r.y, r.layer, r.id,
+                tuple(sorted(r.props.items())), r.wkt)
+
+    assert sorted(map(norm_packed, out_p)) == sorted(map(norm_wkt, out_w))
+    # and the pipeline actually did work: unions shrank the feature count
+    assert 0 < len(out_p) < len(rows)
