@@ -68,7 +68,25 @@ def labelize_features(features: list[dict], config: dict) -> list[dict]:
 
     from ..functions.wkt import Geom
 
-    accepted: list[tuple[float, float]] = []
+    # collision suppression via a grid hash (cell = radius): a candidate
+    # only compares against accepted labels in its 3x3 neighborhood, so a
+    # label-dense tile stays O(accepted), not O(accepted^2). Chebyshev
+    # radius means any conflicting label lies within one cell step.
+    grid: dict[tuple[int, int], list[tuple[float, float]]] = {}
+
+    def collides(px: float, py: float) -> bool:
+        cx, cy = int(px // radius), int(py // radius)
+        for gx in (cx - 1, cx, cx + 1):
+            for gy in (cy - 1, cy, cy + 1):
+                for ax, ay in grid.get((gx, gy), ()):
+                    if max(abs(px - ax), abs(py - ay)) <= radius:
+                        return True
+        return False
+
+    def accept(px: float, py: float) -> None:
+        grid.setdefault((int(px // radius), int(py // radius)),
+                        []).append((px, py))
+
     labels: list[dict] = []
     for feat in features:
         for g in feat["geoms"]:
@@ -84,11 +102,10 @@ def labelize_features(features: list[dict], config: dict) -> list[dict]:
                     continue
                 k = max(1, int(length // spacing))
                 for px, py in _arc_positions(path, k):
-                    if radius > 0 and any(
-                            max(abs(px - ax), abs(py - ay)) <= radius
-                            for ax, ay in accepted):
-                        continue
-                    accepted.append((float(px), float(py)))
+                    if radius > 0:
+                        if collides(float(px), float(py)):
+                            continue
+                        accept(float(px), float(py))
                     props = dict(feat["props"])
                     props[role_key] = "label"
                     labels.append({

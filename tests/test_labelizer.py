@@ -114,3 +114,50 @@ def test_pipeline_integration_zoom_gated(spark):
                   if (r.props or {}).get("label_role") == "label"]
     assert len(z12_labels) == 2                   # floor(200/90) = 2
     assert all(r.wkt.startswith("POINT(") for r in z12_labels)
+
+
+def test_collision_grid_matches_naive_and_scales():
+    """The r05 grid-hash collision suppression must keep the exact greedy
+    semantics of the naive O(n^2) scan (same accept/reject order) — checked
+    against an in-test reimplementation over a label-dense line set."""
+    import numpy as np
+
+    from avecado_spark.functions.wkt import Geom
+    from avecado_spark.operators.labelizer import (_arc_positions,
+                                                   labelize_features)
+
+    rng = np.random.default_rng(31)
+    feats = []
+    for i in range(120):
+        x0, y0 = float(rng.integers(0, 2000)), float(rng.integers(0, 2000))
+        ln = float(rng.integers(150, 900))
+        path = np.array([[x0, y0], [x0 + ln, y0 + float(rng.integers(-40, 40))]])
+        feats.append({"id": i, "props": {"n": str(i)},
+                      "geoms": [Geom("LINESTRING", [[path]])]})
+
+    conf = {"spacing": 100.0, "collision_radius": 60.0}
+    out = labelize_features([dict(f, props=dict(f["props"]),
+                                  geoms=list(f["geoms"])) for f in feats],
+                            conf)
+    got = [(round(float(g.parts[0][0][0][0]), 6),
+            round(float(g.parts[0][0][0][1]), 6))
+           for f in out[len(feats):] for g in f["geoms"]]
+
+    # naive greedy reference
+    accepted = []
+    for f in feats:
+        path = f["geoms"][0].parts[0][0]
+        seg = np.diff(path, axis=0)
+        length = float(np.hypot(seg[:, 0], seg[:, 1]).sum())
+        k = max(1, int(length // 100.0))
+        for px, py in _arc_positions(path, k):
+            if any(max(abs(px - ax), abs(py - ay)) <= 60.0
+                   for ax, ay in accepted):
+                continue
+            accepted.append((float(px), float(py)))
+    want = [(round(ax, 6), round(ay, 6)) for ax, ay in accepted]
+    assert got == want
+    assert 0 < len(got) < sum(
+        max(1, int(float(np.hypot(*np.diff(f["geoms"][0].parts[0][0],
+                                           axis=0).T).sum()) // 100.0))
+        for f in feats)  # suppression actually fired
