@@ -120,10 +120,55 @@ def simplify_vw(arr: np.ndarray, tolerance: float) -> np.ndarray:
     return arr[alive]
 
 
+def simplify_zs(arr: np.ndarray, tolerance: float) -> np.ndarray:
+    """Zhao-Saalfeld sleeve fitting (linear-time; the fourth algorithm
+    name mapnik::simplify_algorithm_from_string accepts). A sleeve is the
+    half-width-`tolerance` corridor around the ray from the last KEPT
+    vertex through the first following vertex; vertices are consumed
+    while they stay inside the corridor (and ahead of the anchor), and
+    the vertex before the first escape is kept as the new anchor.
+    Implemented from the published algorithm (Zhao & Saalfeld 1997,
+    "Linear-time sleeve-fitting polyline simplification") — the
+    reference has no fixtures for it, so tests pin the algorithm's own
+    invariants (endpoints kept, corridor property, collinear collapse)."""
+    n = len(arr)
+    if n <= 2 or tolerance <= 0:
+        return arr
+
+    def in_sleeve(a, b, q):
+        d = b - a
+        L2 = float(d[0] * d[0] + d[1] * d[1])
+        if L2 == 0.0:
+            dq = q - a
+            return float(dq[0] * dq[0] + dq[1] * dq[1]) <= tolerance ** 2
+        w = q - a
+        if float(w[0] * d[0] + w[1] * d[1]) < 0.0:
+            return False  # behind the anchor: the sleeve is a ray
+        cross = float(d[0] * w[1] - d[1] * w[0])
+        return cross * cross <= tolerance * tolerance * L2
+
+    keep = [0]
+    anchor = arr[0]
+    guide = arr[1]
+    last_i = 1
+    for k in range(2, n):
+        if in_sleeve(anchor, guide, arr[k]):
+            last_i = k
+            continue
+        keep.append(last_i)
+        anchor = arr[last_i]
+        guide = arr[k]
+        last_i = k
+    if keep[-1] != n - 1:
+        keep.append(n - 1)
+    return arr[keep]
+
+
 _ALGORITHMS = {
     "radial-distance": simplify_radial,
     "douglas-peucker": simplify_dp,
     "visvalingam-whyatt": simplify_vw,
+    "zhao-saalfeld": simplify_zs,
 }
 
 

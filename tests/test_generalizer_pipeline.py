@@ -37,8 +37,9 @@ def test_radial_distance():
 
 
 def test_unknown_algorithm():
+    # zhao-saalfeld is REAL since r05 — only genuinely unknown names raise
     with pytest.raises(NotImplementedError):
-        simplify(ZIGZAG, 1.0, "zhao-saalfeld")
+        simplify(ZIGZAG, 1.0, "no-such-algorithm")
 
 
 def test_generalize_features_izer():
@@ -179,3 +180,47 @@ def test_packed_and_wkt_interchange_agree(spark):
     assert sorted(map(norm_packed, out_p)) == sorted(map(norm_wkt, out_w))
     # and the pipeline actually did work: unions shrank the feature count
     assert 0 < len(out_p) < len(rows)
+
+
+def test_zhao_saalfeld_sleeve_invariants():
+    """zhao-saalfeld (sleeve fitting): endpoints survive; a zigzag inside
+    the corridor collapses to its endpoints; an excursion beyond the
+    tolerance is anchored; collinear chains always collapse; the izer
+    surface accepts the algorithm name."""
+    import numpy as np
+
+    from avecado_spark.operators.generalizer import simplify, simplify_zs
+
+    # collinear → endpoints only at any positive tolerance
+    line = np.array([[0.0, 0], [1, 0], [2, 0], [3, 0], [4, 0]])
+    assert np.array_equal(simplify_zs(line, 0.5),
+                          np.array([[0.0, 0], [4, 0]]))
+    # small zigzag inside the sleeve collapses (guide vertex sets the ray
+    # direction, so keep it on-axis)...
+    zig = np.array([[0.0, 0], [1, 0], [2, 0.3], [3, -0.2], [4, 0]])
+    out = simplify_zs(zig, 1.0)
+    assert np.array_equal(out[[0, -1]], zig[[0, -1]])
+    assert len(out) == 2
+    # ...but survives when it escapes the corridor
+    big = np.array([[0.0, 0], [1, 5.0], [2, 0], [3, 0], [4, 0]])
+    out = simplify_zs(big, 1.0)
+    assert len(out) > 2 and any((out == [1, 5.0]).all(axis=1))
+    # corridor property: every dropped vertex is within tolerance of the
+    # simplified polyline's segments (sample check)
+    rng = np.random.default_rng(9)
+    pts = np.cumsum(rng.normal(0, 1, (200, 2)), axis=0)
+    tol = 2.5
+    out = simplify_zs(pts, tol)
+
+    def seg_d(q, a, b):
+        d = b - a
+        L2 = d @ d
+        t = 0.0 if L2 == 0 else np.clip((q - a) @ d / L2, 0, 1)
+        return np.hypot(*(q - (a + t * d)))
+
+    for q in pts:
+        dmin = min(seg_d(q, out[i], out[i + 1])
+                   for i in range(len(out) - 1))
+        assert dmin <= 2 * tol + 1e-9  # sleeve bound (anchor-ray corridor)
+    # registered under the mapnik name
+    assert len(simplify(line, 0.5, "zhao-saalfeld")) == 2
