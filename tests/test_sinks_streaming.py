@@ -644,3 +644,64 @@ def test_streaming_lsh_pairs_matches_batch(spark):
                          spark.read.parquet(os.path.join(store, "bands"))
                               .select("batch_id").distinct().collect()})
         assert n_batches >= 2  # maxFilesPerTrigger=1 over 4 files
+
+
+def test_streaming_lsh_replay_is_idempotent(spark):
+    """Restart semantics: re-running an already-committed micro-batch
+    (foreachBatch replay after a crash) must leave the band store and
+    pair log byte-identical — the batch_id-partitioned dynamic overwrite
+    replaces the batch's own partition instead of appending a duplicate."""
+    from avecado_spark.streaming.dedup import lsh_pairs_stream
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "docs")
+        docs.repartition(2).write.parquet(src)
+        store = os.path.join(d, "store")
+        q = lsh_pairs_stream(spark, src, store, max_files_per_trigger=1)
+        q.awaitTermination()
+        pairs_path = os.path.join(store, "pairs")
+        bands_path = os.path.join(store, "bands")
+        pairs_before = sorted((r.doc_a, r.doc_b, r.batch_id) for r in
+                              spark.read.parquet(pairs_path).collect())
+        bands_before = spark.read.parquet(bands_path).count()
+        batch_ids = sorted({r[2] for r in pairs_before} | {
+            r.batch_id for r in
+            spark.read.parquet(bands_path).select("batch_id")
+                 .distinct().collect()})
+        assert len(batch_ids) >= 2
+        # replay the LAST batch by hand: the batch's own band partition
+        # records exactly which documents it processed, so filter the
+        # source to those doc_ids (file->batch assignment inside the
+        # streaming source isn't glob order)
+        replay_id = batch_ids[-1]
+        batch_doc_ids = {r.doc_id for r in
+                         spark.read.parquet(bands_path)
+                              .where(f"batch_id = {replay_id}")
+                              .select("doc_id").distinct().collect()}
+        replay_docs = docs.where(docs.doc_id.isin(batch_doc_ids))
+        # mirror step()'s body exactly
+        from avecado_spark.operators.dedup import minhash_bands_from_docs
+        from pyspark.sql import functions as F
+        bands_new = minhash_bands_from_docs(replay_docs)
+        storeb = (spark.read.parquet(bands_path)
+                  .where(F.col("batch_id") < replay_id).drop("batch_id"))
+        everything = storeb.unionByName(bands_new)
+        pairs = (bands_new.alias("a")
+                 .join(everything.alias("b"),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.band_key") == F.col("b.band_key"))
+                       & (F.col("a.doc_id") != F.col("b.doc_id")))
+                 .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                         F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+                 .distinct())
+        for frame, path in ((pairs, pairs_path), (bands_new, bands_path)):
+            (frame.withColumn("batch_id", F.lit(int(replay_id)))
+                  .write.mode("overwrite").partitionBy("batch_id")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .parquet(path))
+        pairs_after = sorted((r.doc_a, r.doc_b, r.batch_id) for r in
+                             spark.read.parquet(pairs_path).collect())
+        assert pairs_after == pairs_before
+        assert spark.read.parquet(bands_path).count() == bands_before
