@@ -63,7 +63,8 @@ def decode_image(payload: bytes, width: int, height: int,
     (AVIF, HEIC, ...) need a codec library not present in this
     container: NotImplementedError unless deterministic_fake=True, which
     derives a shape-correct array from a sha256 keystream of the
-    payload."""
+    payload. GIF (87a/89a incl. interlace + LZW) decodes for real via
+    functions/gif.gif_decode — first frame composed, alpha dropped."""
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         from ..operators.raster import png_decode
         img = png_decode(bytes(payload))
@@ -81,6 +82,9 @@ def decode_image(payload: bytes, width: int, height: int,
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
         from ..functions.webp import webp_decode
         return webp_decode(bytes(payload))[:, :, :3]  # alpha dropped
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif import gif_decode
+        return gif_decode(bytes(payload))[:, :, :3]  # alpha dropped
     if not deterministic_fake:
         raise NotImplementedError(
             "non-PNG/JPEG/lossless-WebP image decode requires PIL/opencv "
