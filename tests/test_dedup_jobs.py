@@ -175,3 +175,37 @@ def test_geocode_pages_job_materializes_bucketed_table(spark, tmp_path):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {metrics['table']}")
+
+
+def test_embedding_int8_quantization_bounds(spark):
+    """quantize/dequantize: codes stay in [-127, 127], reconstruction
+    error <= scale/2 + eps per component, cosine top-k over dequantized
+    vectors matches the exact top-k on this corpus (rank stability at
+    int8 is the property that makes the 4x storage cut usable)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from avecado_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = S.dequantize_embeddings(S.quantize_embeddings(emb))
+    rows = q.select("vec_id", "embedding", "q", "q_scale",
+                    "embedding_dq").collect()
+    assert rows
+    for r in rows[:200]:
+        codes = np.array(r.q)
+        assert codes.min() >= -127 and codes.max() <= 127
+        v = np.array(r.embedding)
+        dq = np.array(r.embedding_dq)
+        assert np.abs(v - dq).max() <= r.q_scale / 2 + 1e-12
+    # rank stability: exact cosine top-5 of the first query vs int8 top-5
+    ref = np.array([np.array(r.embedding) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    dqm = np.array([np.array(r.embedding_dq) for r in rows])
+
+    def top5(mat, qv):
+        sim = mat @ qv / (np.linalg.norm(mat, axis=1)
+                          * np.linalg.norm(qv) + 1e-12)
+        return ids[np.argsort(-sim, kind="stable")[:5]].tolist()
+
+    assert top5(ref, ref[0]) == top5(dqm, dqm[0])
