@@ -289,11 +289,40 @@ def sample_frames(df: DataFrame, stride_s: float = 2.0, fps: float = 24.0,
 # audio: decode (stubbed) + frame-energy features
 # ---------------------------------------------------------------------------
 
+def _g711_mulaw_table() -> np.ndarray:
+    """ITU-T G.711 mu-law byte → linear int16 (the standard expansion:
+    complement, unpack exponent/mantissa with bias 0x84)."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte → linear int16 (even-bit inversion 0x55,
+    13-bit magnitude)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    # G.711 A-law sign convention: bit 7 SET (after the 0x55 inversion)
+    # encodes a POSITIVE sample (the opposite of mu-law)
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+_G711_TABLES = {6: _g711_alaw_table(), 7: _g711_mulaw_table()}
+
+
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM decode in pure numpy — no codec library needed for
-    the uncompressed container: chunk walk (fmt/data, unknown chunks
-    skipped per the RIFF padding rule), PCM formats 1 (8/16/24/32-bit
-    integer) and 3 (float32/64), channels downmixed to mono. Returns
+    """RIFF/WAVE decode in pure numpy — no codec library needed: chunk
+    walk (fmt/data, unknown chunks skipped per the RIFF padding rule),
+    PCM formats 1 (8/16/24/32-bit integer), 3 (float32/64), and the
+    G.711 telephony companders 6 (A-law) / 7 (mu-law) via the ITU-T
+    expansion tables; channels downmixed to mono. Returns
     (int16 mono samples, sample_rate)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -339,6 +368,9 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     elif code == 3:                         # IEEE float
         dt = "<f4" if bits == 32 else "<f8"
         s = np.frombuffer(data, dtype=dt).astype(np.float64) * 32767.0
+    elif code in (6, 7):                    # G.711 A-law / mu-law
+        s = _G711_TABLES[code][np.frombuffer(data, dtype=np.uint8)] \
+            .astype(np.float64)
     else:
         raise NotImplementedError(
             f"WAV format code {code} (compressed) needs a codec library")

@@ -377,3 +377,36 @@ def test_multiscan_baseline_raises_loudly():
     enc[sos + 2:sos + 14] = new_body
     with pytest.raises(NotImplementedError, match="multi-scan baseline"):
         jpeg_decode(bytes(enc))
+
+
+def test_wav_g711_mulaw_alaw_decode():
+    """WAV format codes 6 (A-law) / 7 (mu-law): ITU-T G.711 expansion —
+    anchors from the published reference expansion (mu: 0xFF/0x7F are the
+    two zeros, 0x00/0x80 the extremes at 16-bit scale +-32124; A-law has
+    no true zero — 0xD5 -> +8, 0x55 -> -8, extremes +-32256) and the
+    container path decodes a full byte ramp through wav_decode."""
+    import struct
+
+    import numpy as np
+
+    from avecado_spark.sources.multimodal import _G711_TABLES, wav_decode
+
+    mu, al = _G711_TABLES[7], _G711_TABLES[6]
+    assert mu[0xFF] == 0 and mu[0x7F] == 0
+    assert mu[0x00] == -32124 and mu[0x80] == 32124
+    assert al[0xD5] == 8 and al[0x55] == -8
+    assert al.max() == 32256 and al.min() == -32256
+    # companding is symmetric: decode(b) == -decode(b ^ 0x80)
+    b = np.arange(256)
+    assert np.array_equal(mu[b], -mu[b ^ 0x80])
+    assert np.array_equal(al[b], -al[b ^ 0x80])
+
+    for code, table in ((7, mu), (6, al)):
+        body = bytes(range(256))
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", code, 1, 8000, 8000, 1, 8)
+               + b"data" + struct.pack("<I", len(body)) + body)
+        s, rate = wav_decode(wav)
+        assert rate == 8000
+        assert np.array_equal(s, table[np.arange(256)])
