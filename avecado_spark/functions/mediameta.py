@@ -1,0 +1,215 @@
+"""Header-only media probing — metadata without decoding.
+
+At corpus scale the first media pass is a PROBE, not a decode: read a
+few hundred bytes per payload, classify the container, and extract the
+cheap facts (dimensions, sample rate, duration, codec id) that drive
+filtering and routing BEFORE any expensive decode runs. Everything here
+is pure byte parsing from the public container specs; no codec work.
+
+`probe_media(payload)` → dict with at least {"format": str}; per-format
+extras:
+  png/jpeg/gif/webp : width, height
+  wav               : sample_rate, channels, bits, duration_s, codec
+  y4m               : width, height, fps
+  mp3               : version, layer, bitrate_kbps, sample_rate,
+                      duration_s (estimated from size x bitrate) —
+                      header parse only, the audio stays undecoded
+  mp4/iso-bmff      : duration_s (mvhd), track handler types, brand —
+                      box walk only, streams stay undecoded
+Unknown payloads → {"format": "unknown"}.
+
+The Spark surface (`media_probe`) runs the probe inside mapInPandas —
+one map-side pass, no shuffle, payload bytes never leave the executor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                      192, 224, 256, 320, 0]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+                      112, 128, 144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def _probe_mp3(p: bytes) -> dict | None:
+    """First MPEG audio frame header (11-bit sync); layer III only."""
+    i = 0
+    if p[:3] == b"ID3" and len(p) >= 10:      # skip ID3v2 tag
+        sz = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        i = 10 + sz
+    if i + 4 > len(p) or p[i] != 0xFF or (p[i + 1] & 0xE0) != 0xE0:
+        return None
+    ver = (p[i + 1] >> 3) & 3                 # 3=MPEG1, 2=MPEG2, 0=2.5
+    layer = (p[i + 1] >> 1) & 3               # 1 = Layer III
+    if ver == 1 or layer != 1:
+        return None
+    br_idx = (p[i + 2] >> 4) & 0xF
+    sr_idx = (p[i + 2] >> 2) & 3
+    if sr_idx == 3 or br_idx in (0, 15):
+        return None
+    table = _MP3_BITRATES_V1L3 if ver == 3 else _MP3_BITRATES_V2L3
+    bitrate = table[br_idx]
+    rate = _MP3_RATES[ver][sr_idx]
+    audio_bytes = len(p) - i
+    return {"format": "mp3",
+            "version": {3: "1", 2: "2", 0: "2.5"}[ver],
+            "layer": 3, "bitrate_kbps": bitrate, "sample_rate": rate,
+            "duration_s": round(audio_bytes * 8 / (bitrate * 1000.0), 3)}
+
+
+def _probe_mp4(p: bytes) -> dict | None:
+    """ISO-BMFF box walk: ftyp brand, mvhd duration, trak handlers."""
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return None
+    out = {"format": "mp4", "brand": p[8:12].decode("latin1"),
+           "tracks": []}
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        pos = lo
+        while pos + 8 <= hi and depth < 8:
+            size = int.from_bytes(p[pos:pos + 4], "big")
+            tag = p[pos + 4:pos + 8]
+            if size == 1:                      # 64-bit size
+                if pos + 16 > hi:
+                    return
+                size = int.from_bytes(p[pos + 8:pos + 16], "big")
+                body = pos + 16
+            else:
+                body = pos + 8
+            if size < 8 or pos + size > hi:
+                return
+            if tag == b"mvhd" and body + 20 <= hi:
+                v = p[body]
+                if v == 1 and body + 28 <= hi:
+                    ts = int.from_bytes(p[body + 20:body + 24], "big")
+                    dur = int.from_bytes(p[body + 24:body + 32], "big")
+                else:
+                    ts = int.from_bytes(p[body + 12:body + 16], "big")
+                    dur = int.from_bytes(p[body + 16:body + 20], "big")
+                if ts:
+                    out["duration_s"] = round(dur / ts, 3)
+            elif tag == b"hdlr" and body + 12 <= hi:
+                out["tracks"].append(p[body + 8:body + 12]
+                                     .decode("latin1"))
+            elif tag in (b"moov", b"trak", b"mdia"):
+                walk(body, pos + size, depth + 1)
+            pos += size
+
+    walk(0, len(p))
+    return out
+
+
+def probe_media(payload: bytes) -> dict:
+    p = bytes(payload)
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+        w, h = struct.unpack(">II", p[16:24])
+        return {"format": "png", "width": w, "height": h}
+    if p[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 < len(p):
+            if p[pos] != 0xFF:
+                break
+            marker = p[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", p[pos + 5:pos + 9])
+                return {"format": "jpeg", "width": w, "height": h,
+                        "progressive": marker == 0xC2}
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            pos += 2 + struct.unpack(">H", p[pos + 2:pos + 4])[0]
+        return {"format": "jpeg"}
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        w, h = struct.unpack("<HH", p[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP" and len(p) >= 30:
+        tag = p[12:16]
+        if tag == b"VP8 " and p[23:26] == b"\x9d\x01\x2a":
+            w = (p[26] | (p[27] << 8)) & 0x3FFF
+            h = (p[28] | (p[29] << 8)) & 0x3FFF
+            return {"format": "webp", "codec": "vp8", "width": w,
+                    "height": h}
+        if tag == b"VP8L" and p[20] == 0x2F:
+            bits = int.from_bytes(p[21:25], "little")
+            return {"format": "webp", "codec": "vp8l",
+                    "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1}
+        return {"format": "webp", "codec": tag.decode("latin1").strip()}
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        pos = 12
+        meta = {"format": "wav"}
+        while pos + 8 <= len(p):
+            tag = p[pos:pos + 4]
+            sz = int.from_bytes(p[pos + 4:pos + 8], "little")
+            body = p[pos + 8:pos + 8 + sz]
+            if tag == b"fmt " and len(body) >= 16:
+                code = int.from_bytes(body[0:2], "little")
+                meta["codec"] = {1: "pcm", 3: "float", 6: "alaw",
+                                 7: "mulaw"}.get(code, f"code{code}")
+                meta["channels"] = int.from_bytes(body[2:4], "little")
+                meta["sample_rate"] = int.from_bytes(body[4:8], "little")
+                meta["bits"] = int.from_bytes(body[14:16], "little")
+                meta["_brate"] = int.from_bytes(body[8:12], "little")
+            elif tag == b"data":
+                if meta.get("_brate"):
+                    meta["duration_s"] = round(sz / meta["_brate"], 3)
+            pos += 8 + sz + (sz & 1)
+        meta.pop("_brate", None)
+        return meta
+    if p[:9] == b"YUV4MPEG2":
+        hdr = p[:p.find(b"\n")].decode("latin1", "replace").split(" ")
+        meta = {"format": "y4m"}
+        for part in hdr[1:]:
+            if part.startswith("W"):
+                meta["width"] = int(part[1:])
+            elif part.startswith("H"):
+                meta["height"] = int(part[1:])
+            elif part.startswith("F"):
+                num, den = part[1:].split(":")
+                meta["fps"] = round(int(num) / int(den), 3)
+        return meta
+    mp4 = _probe_mp4(p)
+    if mp4 is not None:
+        return mp4
+    mp3 = _probe_mp3(p)
+    if mp3 is not None:
+        return mp3
+    return {"format": "unknown"}
+
+
+def media_probe(df, payload_col: str = "payload"):
+    """Spark surface: (…, payload binary) → + probe struct (format,
+    width, height, sample_rate, duration_s, codec — nulls where not
+    applicable). One map-side pass; bytes never shuffle."""
+    import pandas as pd
+
+    schema = ("format string, width int, height int, sample_rate int, "
+              "duration_s double, codec string")
+
+    def run(batches):
+        for pdf in batches:
+            cols = {k: [] for k in ("format", "width", "height",
+                                    "sample_rate", "duration_s", "codec")}
+            keep = {c: pdf[c] for c in pdf.columns if c != payload_col}
+            for b in pdf[payload_col]:
+                m = probe_media(bytes(b))
+                cols["format"].append(m.get("format"))
+                cols["width"].append(m.get("width"))
+                cols["height"].append(m.get("height"))
+                cols["sample_rate"].append(m.get("sample_rate"))
+                cols["duration_s"].append(m.get("duration_s"))
+                cols["codec"].append(m.get("codec"))
+            yield pd.DataFrame({**keep, **cols})
+
+    out_cols = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != payload_col)
+    full = (out_schema + ", " if out_schema else "") + schema
+    return df.mapInPandas(run, schema=full)

@@ -1,0 +1,102 @@
+"""Header-only media probing (functions/mediameta.py): the corpus-scale
+first pass — classify and extract cheap facts from a few hundred bytes,
+no decode. Fixtures come from the in-repo encoders, so probe output is
+checked against known ground truth."""
+
+import struct
+
+import numpy as np
+
+from avecado_spark.functions.mediameta import media_probe, probe_media
+
+
+def _box(tag, payload):
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _fixtures():
+    from avecado_spark.functions.gif import gif_encode
+    from avecado_spark.functions.jpeg import jpeg_encode
+    from avecado_spark.functions.vp8 import webp_encode_lossy
+    from avecado_spark.functions.webp import webp_encode
+    from avecado_spark.operators.raster import png_encode
+    from avecado_spark.sources.multimodal import wav_encode
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (24, 31, 3)).astype(np.uint8)
+    pal = np.unique(rng.integers(0, 256, (20, 3)).astype(np.uint8), axis=0)
+    gimg = pal[rng.integers(0, len(pal), (24, 31))]
+    rgba = np.dstack([img, np.full((24, 31), 255, np.uint8)])
+    sig = (1000 * np.sin(np.arange(16000) * 0.1)).astype(np.int16)
+    mvhd = _box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 5500)
+                + b"\x00" * 80)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    moov = _box(b"moov", mvhd + _box(b"trak", _box(b"mdia", hdlr)))
+    return {
+        "png": (png_encode(img), {"format": "png", "width": 31,
+                                  "height": 24}),
+        "jpeg": (jpeg_encode(img), {"format": "jpeg", "width": 31,
+                                    "height": 24, "progressive": False}),
+        "gif": (gif_encode(gimg), {"format": "gif", "width": 31,
+                                   "height": 24}),
+        "webp_lossless": (webp_encode(rgba),
+                          {"format": "webp", "codec": "vp8l",
+                           "width": 31, "height": 24}),
+        "webp_lossy": (webp_encode_lossy(img, 20),
+                       {"format": "webp", "codec": "vp8",
+                        "width": 31, "height": 24}),
+        "wav": (wav_encode(sig, rate=16000),
+                {"format": "wav", "codec": "pcm", "channels": 1,
+                 "sample_rate": 16000, "bits": 16, "duration_s": 1.0}),
+        "y4m": (b"YUV4MPEG2 W320 H240 F30:1 Ip A1:1 C420\nFRAME\n"
+                + b"\x00" * 10,
+                {"format": "y4m", "width": 320, "height": 240,
+                 "fps": 30.0}),
+        "mp3": (bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 41700,
+                {"format": "mp3", "version": "1", "layer": 3,
+                 "bitrate_kbps": 128, "sample_rate": 44100,
+                 "duration_s": 2.607}),
+        "mp4": (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov,
+                {"format": "mp4", "brand": "isom", "tracks": ["vide"],
+                 "duration_s": 5.5}),
+    }
+
+
+def test_probe_every_format_ground_truth():
+    for name, (payload, want) in _fixtures().items():
+        assert probe_media(payload) == want, name
+    assert probe_media(b"\x00\x01garbage")["format"] == "unknown"
+    assert probe_media(b"")["format"] == "unknown"
+
+
+def test_probe_never_decodes_far():
+    """Probing must stay a header parse: truncating every fixture to its
+    first 64 bytes still classifies the format (dims/duration may be
+    absent for containers whose facts live later, never a crash)."""
+    for name, (payload, want) in _fixtures().items():
+        m = probe_media(payload[:64])
+        if name == "mp4":
+            assert m["format"] in ("mp4", "unknown")  # moov may be cut
+        elif name == "mp3":
+            assert m["format"] in ("mp3", "unknown")
+        else:
+            assert m["format"] == want["format"], name
+
+
+def test_media_probe_spark_surface(spark):
+    """The distributed probe: mixed payload kinds in one frame, one
+    map-side pass (no Exchange in the plan), correct per-row facts."""
+    fx = _fixtures()
+    rows = [(i, name, bytearray(payload))
+            for i, (name, (payload, _)) in enumerate(fx.items())]
+    df = spark.createDataFrame(rows, "id long, kind string, payload binary")
+    out = media_probe(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r.kind: r for r in out.collect()}
+    assert got["png"].format == "png" and got["png"].width == 31
+    assert got["webp_lossy"].codec == "vp8"
+    assert got["wav"].duration_s == 1.0 and got["wav"].sample_rate == 16000
+    assert got["mp3"].duration_s and got["mp3"].format == "mp3"
+    assert got["mp4"].duration_s == 5.5
+    assert got["y4m"].height == 240
