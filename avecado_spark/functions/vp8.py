@@ -817,7 +817,6 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     mbs = []
     above = [{"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
              for _ in range(mb_cols)]
-    token_bits = []  # (plane, first, ctx, coeffs) in stream order
     for mr in range(mb_rows):
         left = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
         for mc in range(mb_cols):
@@ -887,7 +886,6 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
             # chroma
             cy0, cx0 = mr * 8, mc * 8
-            uvm_parts = []
             uv_coeffs = {"u": [], "v": []}
             # one shared uv mode (spec: single mode for both chroma planes)
             cab = ru[cy0 - 1, cx0:cx0 + 8] if mr > 0 else None
