@@ -142,6 +142,8 @@ def _parse(data: bytes):
     if flags & 0x80:
         gct, pos = _read_color_table(data, pos, 2 << (flags & 7))
     transparent = None
+    disposal = 0
+    delay_cs = 0
     frames = []
     while pos < len(data):
         b = data[pos]
@@ -156,6 +158,8 @@ def _parse(data: bytes):
             body, pos = _read_subblocks(data, pos)
             if label == 0xF9 and len(body) >= 4:
                 transparent = body[3] if (body[0] & 1) else None
+                disposal = (body[0] >> 2) & 7
+                delay_cs = body[1] | (body[2] << 8)
             continue
         if b == 0x2C:  # image descriptor
             if len(data) - pos < 9:
@@ -181,8 +185,11 @@ def _parse(data: bytes):
                 grid = idx.reshape(h, w)
             frames.append({"left": left, "top": top, "w": w, "h": h,
                            "index": grid, "table": table,
-                           "transparent": transparent})
+                           "transparent": transparent,
+                           "disposal": disposal, "delay_cs": delay_cs})
             transparent = None
+            disposal = 0
+            delay_cs = 0
             continue
         raise ValueError(f"GIF: unknown block 0x{b:02x}")
     if not frames:
@@ -294,4 +301,88 @@ def gif_encode(rgb: np.ndarray, interlace: bool = False,
         chunk = lzw[i:i + 255]
         out += bytes([len(chunk)]) + chunk
     out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def gif_decode_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Animated GIF frame extraction: compose frames 0..frame_idx onto
+    the logical screen honoring the GIF89a disposal methods (0/1 leave,
+    2 restore-to-background = clear the frame's rect to transparent,
+    3 restore-to-previous), then return the composed frame as (h, w, 4)
+    RGBA. frame_idx clamps to the last frame (a short animation serves
+    its final state — the same convention as y4m_decode_frame's EOF)."""
+    sw, sh, frames = _parse(data)
+    frame_idx = min(frame_idx, len(frames) - 1)
+    screen = np.zeros((sh, sw, 4), dtype=np.uint8)
+    for i in range(frame_idx + 1):
+        f = frames[i]
+        if f["disposal"] == 3:
+            saved = screen[f["top"]:f["top"] + f["h"],
+                           f["left"]:f["left"] + f["w"]].copy()
+        rgb = f["table"][f["index"]]
+        region = screen[f["top"]:f["top"] + f["h"],
+                        f["left"]:f["left"] + f["w"]]
+        if f["transparent"] is not None:
+            opaque = f["index"] != f["transparent"]
+            region[:, :, :3][opaque] = rgb[opaque]
+            region[:, :, 3][opaque] = 255
+        else:
+            region[:, :, :3] = rgb
+            region[:, :, 3] = 255
+        if i == frame_idx:
+            break
+        # dispose before the NEXT frame draws
+        if f["disposal"] == 2:
+            screen[f["top"]:f["top"] + f["h"],
+                   f["left"]:f["left"] + f["w"]] = 0
+        elif f["disposal"] == 3:
+            screen[f["top"]:f["top"] + f["h"],
+                   f["left"]:f["left"] + f["w"]] = saved
+    return screen
+
+
+def gif_encode_frames(frames, disposal: int = 1,
+                      transparent: int | None = None,
+                      delay_cs: int = 10) -> bytes:
+    """Multi-frame GIF89a for animation fixtures. `frames`: list of
+    (rgb, left, top) patches — the first must cover the full screen at
+    (0, 0); later patches may be sub-rects. One GLOBAL palette built
+    over all patches (<= 256 colors total), the same disposal method and
+    delay on every frame."""
+    base, l0, t0 = frames[0]
+    if (l0, t0) != (0, 0):
+        raise ValueError("first frame must cover the screen at (0,0)")
+    h, w = base.shape[:2]
+    allpix = np.concatenate([f[0][:, :, :3].reshape(-1, 3)
+                             for f in frames])
+    colors = np.unique(allpix, axis=0)
+    if len(colors) > 256:
+        raise ValueError(f"gif_encode_frames: {len(colors)} colors > 256")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    n_table = 1 << bits
+    table = np.zeros((n_table, 3), dtype=np.uint8)
+    table[:len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    for rgb, left, top in frames:
+        fh, fw = rgb.shape[:2]
+        gce_flags = ((disposal & 7) << 2) | (1 if transparent is not None
+                                             else 0)
+        out += bytes([0x21, 0xF9, 4, gce_flags,
+                      delay_cs & 0xFF, (delay_cs >> 8) & 0xFF,
+                      transparent or 0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        idx = np.array([lut[tuple(px)] for px in
+                        rgb[:, :, :3].reshape(-1, 3)],
+                       dtype=np.uint8)
+        out += bytes([mcs])
+        lzw = _lzw_encode(idx, mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
     return bytes(out)

@@ -366,24 +366,43 @@ IVF_ASSIGN_SQL = f"""(
 
 
 def ann_ivf_df(spark: SparkSession, sf_dir: str,
-               k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
-    """IVF search with nprobe=1: score only vectors in the query's own
-    cell (cosine top-k within the cell)."""
+               k: int = TOP_K, n_queries: int = N_QUERIES,
+               nprobe: int = 1, n_cells: int = N_CELLS) -> DataFrame:
+    """IVF search: each query scores vectors in its `nprobe` nearest
+    cells (by centroid distance, ties → lowest cell id) — nprobe=1 is
+    the query's own cell (the registered oracle configuration), larger
+    nprobe trades scan width for recall, the IVF tuning knob. Candidates
+    come from a cell equi-join against the broadcast probe list; the
+    scan stays proportional to nprobe/n_cells of the corpus."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assign = ivf_assign_df(spark, sf_dir)
+    assign = ivf_assign_df(spark, sf_dir, n_cells)
     embb = emb.join(assign, "vec_id")
-    q = embb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        F.col("cell").alias("qc"))
-    cand = (q.join(embb, (F.col("cell") == F.col("qc"))
-                   & (F.col("vec_id") != F.col("query_id")))
-             .select("query_id", "vec_id",
-                     F.round(_dot(F.col("qv"), F.col("embedding"))
-                             / (_norm(F.col("qv")) * _norm(F.col("embedding"))), 4)
-                      .alias("cos")))
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cents = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv"))
+    d2 = F.aggregate(F.zip_with(F.col("qv"), F.col("cv"),
+                                lambda a, b: (a.cast("double") - b.cast("double"))
+                                * (a.cast("double") - b.cast("double"))),
+                     F.lit(0.0), lambda acc, v: acc + v)
     from pyspark.sql.window import Window
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (cand.withColumn("rank", F.row_number().over(w))
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
+    probed = (q.crossJoin(F.broadcast(cents))
+               .select("query_id", "qv", "cell", d2.alias("d2"))
+               .withColumn("rn", F.row_number().over(wq))
+               .where(F.col("rn") <= nprobe)
+               .select("query_id", "qv", "cell"))
+    cand = (probed.join(embb, ["cell"])
+                  .where(F.col("vec_id") != F.col("query_id"))
+                  .select("query_id", "vec_id",
+                          F.round(_dot(F.col("qv"), F.col("embedding"))
+                                  / (_norm(F.col("qv"))
+                                     * _norm(F.col("embedding"))), 4)
+                          .alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("vec_id"))
+    return (cand.dropDuplicates(["query_id", "vec_id"])
+                .withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", "vec_id", "cos", "rank"))
 

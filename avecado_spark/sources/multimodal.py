@@ -238,10 +238,14 @@ def decode_video_frame(payload: bytes, frame_idx: int, width: int, height: int,
     sampling stride, per-frame features — is exercised end to end)."""
     if bytes(payload[:9]) == b"YUV4MPEG2":
         return y4m_decode_frame(bytes(payload), frame_idx)
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        # animated GIF: disposal-composited frame (functions/gif.py)
+        from ..functions.gif import gif_decode_frame
+        return gif_decode_frame(bytes(payload), frame_idx)[:, :, :3]
     if not deterministic_fake:
         raise NotImplementedError(
             "compressed video codec not available in this container; "
-            "YUV4MPEG2 (.y4m) decodes natively — or pass "
+            "YUV4MPEG2 (.y4m) and animated GIF decode natively — or pass "
             "deterministic_fake=True for the test path")
     import hashlib
     seed = int.from_bytes(

@@ -209,3 +209,27 @@ def test_embedding_int8_quantization_bounds(spark):
         return ids[np.argsort(-sim, kind="stable")[:5]].tolist()
 
     assert top5(ref, ref[0]) == top5(dqm, dqm[0])
+
+
+def test_ivf_nprobe_improves_recall(spark):
+    """ann_ivf_df(nprobe): nprobe=1 keeps the registered oracle behavior;
+    larger nprobe is a superset scan, so recall against the exact
+    brute-force top-k is monotone non-decreasing (and strictly better on
+    this corpus at nprobe=4)."""
+    from avecado_spark.operators import similarity as S
+
+    exact = {}
+    for r in S.cosine_topk_df(spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(nprobe):
+        got = {}
+        for r in S.ann_ivf_df(spark, SF_DIR, nprobe=nprobe).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(q, set()) & e) for q, e in exact.items())
+        total = sum(len(e) for e in exact.values())
+        return hits / total
+
+    r1, r4 = recall(1), recall(4)
+    assert 0 < r1 <= r4 <= 1
+    assert r4 > r1  # wider probe genuinely finds more true neighbors

@@ -76,3 +76,55 @@ def test_decode_image_sniffs_gif():
     dec = decode_image(gif_encode(img), 0, 0)
     assert dec.shape == (21, 33, 3)
     assert np.array_equal(dec, img)
+
+
+def test_animation_disposal_compositing():
+    """3-frame animation with sub-rect patches: disposal 1 (leave) keeps
+    prior content under later frames; disposal 2 (restore-to-background)
+    clears the frame's rect before the next frame draws; frame_idx past
+    the end serves the final state."""
+    from avecado_spark.functions.gif import (gif_decode_frame,
+                                             gif_encode_frames,
+                                             gif_frame_count)
+
+    red = np.array([200, 0, 0], np.uint8)
+    blue = np.array([0, 0, 200], np.uint8)
+    green = np.array([0, 200, 0], np.uint8)
+    base = np.tile(red, (10, 10, 1))
+    patch = np.tile(blue, (4, 4, 1))
+    patch2 = np.tile(green, (2, 2, 1))
+    frames = [(base, 0, 0), (patch, 2, 2), (patch2, 0, 0)]
+
+    # disposal 1: every painted pixel persists
+    data = gif_encode_frames(frames, disposal=1)
+    assert gif_frame_count(data) == 3
+    f0 = gif_decode_frame(data, 0)
+    assert (f0[:, :, :3] == red).all()
+    f1 = gif_decode_frame(data, 1)
+    assert (f1[2:6, 2:6, :3] == blue).all()
+    assert (f1[0, 0, :3] == red).all()
+    f2 = gif_decode_frame(data, 2)
+    assert (f2[0:2, 0:2, :3] == green).all()
+    assert (f2[2:6, 2:6, :3] == blue).all()     # patch survived (leave)
+    assert (f2[8, 8, :3] == red).all()
+    # clamp past the end
+    assert np.array_equal(gif_decode_frame(data, 99), f2)
+
+    # disposal 2: the blue patch's rect is CLEARED before frame 2 draws
+    data2 = gif_encode_frames(frames, disposal=2)
+    g2 = gif_decode_frame(data2, 2)
+    assert (g2[0:2, 0:2, :3] == green).all()
+    assert (g2[3, 3, 3] == 0)                   # cleared to transparent
+    assert (g2[8, 8, 3] == 0)                   # base rect cleared too
+
+
+def test_decode_video_frame_routes_gif():
+    from avecado_spark.functions.gif import gif_encode_frames
+    from avecado_spark.sources.multimodal import decode_video_frame
+
+    a = np.tile(np.array([10, 20, 30], np.uint8), (6, 6, 1))
+    b = np.tile(np.array([200, 100, 0], np.uint8), (6, 6, 1))
+    data = gif_encode_frames([(a, 0, 0), (b, 0, 0)], disposal=1)
+    f0 = decode_video_frame(data, 0, 0, 0)
+    f1 = decode_video_frame(data, 1, 0, 0)
+    assert np.array_equal(f0, a) and np.array_equal(f1, b)
