@@ -204,16 +204,7 @@ def gif_frame_count(data: bytes) -> int:
 def gif_decode(data: bytes) -> np.ndarray:
     """First frame composed onto the logical screen → (h, w, 4) RGBA
     (transparent index → alpha 0; uncovered screen area → alpha 0)."""
-    sw, sh, frames = _parse(data)
-    img = np.zeros((sh, sw, 4), dtype=np.uint8)
-    f = frames[0]
-    rgb = f["table"][f["index"]]
-    alpha = np.full(f["index"].shape, 255, dtype=np.uint8)
-    if f["transparent"] is not None:
-        alpha[f["index"] == f["transparent"]] = 0
-    img[f["top"]:f["top"] + f["h"], f["left"]:f["left"] + f["w"], :3] = rgb
-    img[f["top"]:f["top"] + f["h"], f["left"]:f["left"] + f["w"], 3] = alpha
-    return img
+    return gif_decode_frame(data, 0)
 
 
 # ---------------------------------------------------------------------------
