@@ -14,8 +14,10 @@ extras:
   mp3               : version, layer, bitrate_kbps, sample_rate,
                       duration_s (estimated from size x bitrate) —
                       header parse only, the audio stays undecoded
-  mp4/iso-bmff      : duration_s (mvhd), track handler types, brand —
-                      box walk only, streams stay undecoded
+  mp4/iso-bmff      : duration_s (mvhd), brand, and per-track records
+                      {handler, codec (stsd 4cc), sample_count (stsz),
+                      duration_s (mdhd, else exact stts sample-delta
+                      sum)} — box walk only, streams stay undecoded
 Unknown payloads → {"format": "unknown"}.
 
 The Spark surface (`media_probe`) runs the probe inside mapInPandas —
@@ -64,15 +66,18 @@ def _probe_mp3(p: bytes) -> dict | None:
 
 
 def _probe_mp4(p: bytes) -> dict | None:
-    """ISO-BMFF box walk: ftyp brand, mvhd duration, trak handlers."""
+    """ISO-BMFF box walk: ftyp brand, mvhd duration, and per-track sample
+    tables — mdhd timescale/duration, stsd codec id, stsz sample count,
+    stts exact sample-delta duration (the corpus-filtering fact set for
+    video: codec, frame/sample count, exact duration — no codec work)."""
     if len(p) < 12 or p[4:8] != b"ftyp":
         return None
     out = {"format": "mp4", "brand": p[8:12].decode("latin1"),
            "tracks": []}
 
-    def walk(lo: int, hi: int, depth: int = 0):
+    def walk(lo: int, hi: int, depth: int = 0, trak: dict | None = None):
         pos = lo
-        while pos + 8 <= hi and depth < 8:
+        while pos + 8 <= hi and depth < 10:
             size = int.from_bytes(p[pos:pos + 4], "big")
             tag = p[pos + 4:pos + 8]
             if size == 1:                      # 64-bit size
@@ -86,22 +91,70 @@ def _probe_mp4(p: bytes) -> dict | None:
                 return
             if tag == b"mvhd" and body + 20 <= hi:
                 v = p[body]
-                if v == 1 and body + 28 <= hi:
+                if v == 1 and body + 32 <= hi:
                     ts = int.from_bytes(p[body + 20:body + 24], "big")
                     dur = int.from_bytes(p[body + 24:body + 32], "big")
-                else:
+                elif v == 0:
                     ts = int.from_bytes(p[body + 12:body + 16], "big")
                     dur = int.from_bytes(p[body + 16:body + 20], "big")
+                else:            # v1 truncated mid-field: skip, don't guess
+                    ts = dur = 0
                 if ts:
                     out["duration_s"] = round(dur / ts, 3)
-            elif tag == b"hdlr" and body + 12 <= hi:
-                out["tracks"].append(p[body + 8:body + 12]
-                                     .decode("latin1"))
-            elif tag in (b"moov", b"trak", b"mdia"):
-                walk(body, pos + size, depth + 1)
+            elif tag == b"mdhd" and trak is not None and body + 20 <= hi:
+                v = p[body]
+                if v == 1 and body + 32 <= hi:
+                    ts = int.from_bytes(p[body + 20:body + 24], "big")
+                    dur = int.from_bytes(p[body + 24:body + 32], "big")
+                elif v == 0:
+                    ts = int.from_bytes(p[body + 12:body + 16], "big")
+                    dur = int.from_bytes(p[body + 16:body + 20], "big")
+                else:
+                    ts = dur = 0
+                if ts:
+                    trak["_timescale"] = ts
+                    if dur:
+                        trak["duration_s"] = round(dur / ts, 3)
+            elif tag == b"hdlr" and trak is not None and body + 12 <= hi:
+                trak["handler"] = p[body + 8:body + 12].decode("latin1")
+            elif tag == b"stsd" and trak is not None and body + 16 <= hi:
+                # ver/flags(4) entry_count(4), then sample entries of
+                # size(4)+format-4cc(4): the first entry's 4cc IS the
+                # codec id (avc1, hvc1, mp4a, vp09, av01, ...)
+                if int.from_bytes(p[body + 4:body + 8], "big") >= 1:
+                    trak["codec"] = p[body + 12:body + 16].decode("latin1")
+            elif tag == b"stsz" and trak is not None and body + 12 <= hi:
+                trak["sample_count"] = int.from_bytes(
+                    p[body + 8:body + 12], "big")
+            elif tag == b"stts" and trak is not None and body + 8 <= hi:
+                n = int.from_bytes(p[body + 4:body + 8], "big")
+                total = cnt = 0
+                q = body + 8
+                for _ in range(min(n, 4096)):   # bounded header parse
+                    if q + 8 > hi:
+                        break
+                    c = int.from_bytes(p[q:q + 4], "big")
+                    d = int.from_bytes(p[q + 4:q + 8], "big")
+                    total += c * d
+                    cnt += c
+                    q += 8
+                trak["_stts_total"] = total
+                trak.setdefault("sample_count", cnt)
+            elif tag == b"trak":
+                rec: dict = {}
+                out["tracks"].append(rec)
+                walk(body, pos + size, depth + 1, rec)
+            elif tag in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body, pos + size, depth + 1, trak)
             pos += size
 
     walk(0, len(p))
+    for rec in out["tracks"]:
+        ts = rec.pop("_timescale", 0)
+        total = rec.pop("_stts_total", 0)
+        if "duration_s" not in rec and ts and total:
+            # exact sample-delta duration when mdhd carries none
+            rec["duration_s"] = round(total / ts, 3)
     return out
 
 
@@ -190,12 +243,16 @@ def media_probe(df, payload_col: str = "payload"):
     import pandas as pd
 
     schema = ("format string, width int, height int, sample_rate int, "
-              "duration_s double, codec string")
+              "duration_s double, codec string, "
+              "track_handlers array<string>, track_codecs array<string>, "
+              "track_samples array<long>, track_durations array<double>")
 
     def run(batches):
         for pdf in batches:
             cols = {k: [] for k in ("format", "width", "height",
-                                    "sample_rate", "duration_s", "codec")}
+                                    "sample_rate", "duration_s", "codec",
+                                    "track_handlers", "track_codecs",
+                                    "track_samples", "track_durations")}
             keep = {c: pdf[c] for c in pdf.columns if c != payload_col}
             for b in pdf[payload_col]:
                 m = probe_media(bytes(b))
@@ -205,6 +262,17 @@ def media_probe(df, payload_col: str = "payload"):
                 cols["sample_rate"].append(m.get("sample_rate"))
                 cols["duration_s"].append(m.get("duration_s"))
                 cols["codec"].append(m.get("codec"))
+                tr = m.get("tracks")
+                cols["track_handlers"].append(
+                    None if tr is None else [t.get("handler") for t in tr])
+                cols["track_codecs"].append(
+                    None if tr is None else [t.get("codec") for t in tr])
+                cols["track_samples"].append(
+                    None if tr is None else [t.get("sample_count")
+                                             for t in tr])
+                cols["track_durations"].append(
+                    None if tr is None else [t.get("duration_s")
+                                             for t in tr])
             yield pd.DataFrame({**keep, **cols})
 
     out_cols = [c for c in df.columns if c != payload_col]

@@ -25,6 +25,15 @@ keyframe sub-mode probability table (10x10x9 fixed contexts, RFC 6386
 share it, so round-trips stay exact; real-file entropy parity for
 B_PRED streams is the one untranscribed piece.
 
+REAL-FILE GUARD: because the RFC default coefficient/sub-mode
+probability tables are NOT transcribed, decoding a stream that relies
+on them would return silently corrupt pixels. The decoder therefore
+refuses (NotImplementedError) any stream that does not transmit its
+full explicit coefficient-probability set in the frame header; the
+in-repo fixture encoder always transmits it (~2.1 KB), real-world
+encoders essentially never do, so wild files fail loudly in the header
+before any pixel is produced.
+
 Honest scope boundaries (each raises NotImplementedError):
   * inter frames (P-frames) — this is an image engine, standalone lossy
     .webp files are always key frames;
@@ -578,13 +587,26 @@ def vp8_decode(data: bytes) -> dict:
         if bd.read(128):
             deltas[name] = bd.signed_literal(4)
     bd.read(128)  # refresh entropy probs (keyframe: ignored)
+    # The RFC 6386 13.4 default coefficient-probability table is NOT
+    # transcribed in this module (the in-repo stand-in is neutral), so a
+    # faithful decode is only possible when the stream transmits EVERY
+    # coefficient prob explicitly — which the in-repo fixture encoder
+    # does. Any prob left at its default would silently decode real-world
+    # files into garbage; refuse loudly instead (the first flag read with
+    # the wrong update-prob table desyncs anyway).
     probs = _default_coeff_probs().astype(np.int64)
     for t in range(N_PLANES):
         for b in range(N_BANDS_C):
             for c in range(N_CTX):
                 for p in range(N_PROBS):
-                    if bd.read(COEFF_UPDATE_PROB):
-                        probs[t, b, c, p] = bd.literal(8)
+                    if not bd.read(COEFF_UPDATE_PROB):
+                        raise NotImplementedError(
+                            "VP8: stream relies on the RFC 6386 default "
+                            "coefficient-probability tables, which are not "
+                            "transcribed here; only streams carrying a full "
+                            "explicit probability set (the in-repo fixture "
+                            "encoder's output) can be decoded faithfully")
+                    probs[t, b, c, p] = bd.literal(8)
     mb_skip_enabled = bd.read(128)
     skip_prob = bd.literal(8) if mb_skip_enabled else 0
 
@@ -793,12 +815,16 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       qindex: int = 20,
                       mode: int | None = None,
                       filter_level: int = 0, sharpness: int = 0,
-                      filter_type: int = 0) -> tuple[bytes, dict]:
+                      filter_type: int = 0,
+                      transmit_probs: bool = True) -> tuple[bytes, dict]:
     """Encode YUV420 planes as a VP8 key frame. Returns (stream, recon)
     where recon holds the encoder's own reconstruction planes — the EXACT
     pixels a conforming decode of the stream must produce (loop filter
     applied when filter_level > 0, matching the decoder). `mode` pins
-    every MB to one prediction mode (tests); None picks per-MB min-SAD."""
+    every MB to one prediction mode (tests); None picks per-MB min-SAD.
+    `transmit_probs=False` emits a stream that relies on the RFC default
+    coefficient tables (untranscribed here) — the decoder refuses such
+    streams; used only to pin that real-file guard in tests."""
     height, width = y.shape
     if u.shape != ((height + 1) // 2, (width + 1) // 2):
         raise ValueError("u/v planes must be half-size YUV420")
@@ -989,8 +1015,19 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     for _ in range(5):
         be.write(0, 128)  # no quant deltas
     be.write(0, 128)  # refresh entropy (ignored on keyframes)
-    for _ in range(N_PLANES * N_BANDS_C * N_CTX * N_PROBS):
-        be.write(0, COEFF_UPDATE_PROB)  # keep the shared default probs
+    if transmit_probs:
+        # transmit EVERY coefficient prob explicitly (~2.1 KB): the stream
+        # is then self-describing and the decoder never needs the RFC
+        # default table (untranscribed here — see the decoder's guard)
+        for t in range(N_PLANES):
+            for b in range(N_BANDS_C):
+                for c in range(N_CTX):
+                    for p in range(N_PROBS):
+                        be.write(1, COEFF_UPDATE_PROB)
+                        be.literal(int(probs[t, b, c, p]), 8)
+    else:
+        for _ in range(N_PLANES * N_BANDS_C * N_CTX * N_PROBS):
+            be.write(0, COEFF_UPDATE_PROB)  # rely on default probs
     be.write(1, 128)      # mb_no_coeff_skip enabled
     be.literal(128, 8)    # skip prob
     for mb in mbs:

@@ -439,19 +439,31 @@ def components_bigstar(edges: DataFrame,
                      smaller neighbor re-points to m and u itself points
                      to m — emit (v, m) for v in nbrs, plus (u, m).
     Both emit only (bigger, smaller) pairs, so the set stays canonical;
-    the fixpoint (star graphs) is detected by set equality (count + empty
-    subtract — two actions/round). Each round's edge set is
+    the fixpoint (star graphs) is detected in ONE action per round: a
+    lazy localCheckpoint materialized by a single count+bit_xor(xxhash64)
+    aggregate, compared to the prior round's pair — the definitive
+    subtract().isEmpty() set check runs only when both match (the final
+    round, plus astronomically-unlikely xor collisions), so convergence
+    never rests on the hash alone. Each round's edge set is
     localCheckpoint-ed: in an iterative loop the LOGICAL plan quadruples
     per round and Catalyst analysis time explodes (persist caches data
     but not the plan) — lineage truncation is the standard
     iterative-Spark hygiene here, and the 2-long-column rows make the
     RDD serialization cheap. Every op is join/groupBy-min — the same
     shuffle shape as one BFS round, but log-many of them."""
+    def _count_xor(df: DataFrame) -> tuple[int, int]:
+        # one action: computes every partition (materializing a pending
+        # lazy localCheckpoint as a side effect) and returns the set's
+        # (count, xor-of-row-hashes) fingerprint
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.bit_xor(F.xxhash64("u", "v")).alias("x")).first()
+        return int(r["n"]), (0 if r["x"] is None else int(r["x"]))
+
     e = (edges.select(F.greatest("u", "v").alias("u"),
                       F.least("u", "v").alias("v"))
               .where(F.col("u") != F.col("v"))
-              .distinct().localCheckpoint())
-    n_edges = e.count()
+              .distinct().localCheckpoint(eager=False))
+    n_edges, x_prev = _count_xor(e)
     rounds = 0
     if n_edges == 0:
         return e, rounds
@@ -470,11 +482,12 @@ def components_bigstar(edges: DataFrame,
                       .select(F.col("v").alias("u"), F.col("m").alias("v"))
                       .union(smin.select("u", F.col("m").alias("v")))
                       .where(F.col("u") != F.col("v"))
-                      .distinct().localCheckpoint())  # eager → large done
-        large.unpersist()
-        n_new = small.count()
-        converged = (n_new == n_edges) and small.subtract(e).isEmpty()
-        e, n_edges = small, n_new
+                      .distinct().localCheckpoint(eager=False))
+        n_new, x_new = _count_xor(small)  # materializes small (and large,
+        large.unpersist()                 # cached within the same job)
+        converged = (n_new == n_edges and x_new == x_prev
+                     and small.subtract(e).isEmpty())
+        e, n_edges, x_prev = small, n_new, x_new
         if converged:
             break
     else:

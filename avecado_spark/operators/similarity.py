@@ -438,6 +438,69 @@ def ann_ivf_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
 # synthetic table carries); map-side both directions, no shuffle.
 # ---------------------------------------------------------------------------
 
+def ann_sq8_df(spark: SparkSession, sf_dir: str,
+               k: int = TOP_K, n_queries: int = N_QUERIES,
+               rerank: int = 8 * TOP_K) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN: coarse-score on int8 codes, exact
+    float re-rank of the shortlist — the FAISS-SQ8-flat pattern, which at
+    corpus scale is the point of quantization: the full scan touches only
+    the 4x-smaller code arrays (int dot products; per-vector scales
+    cancel in cosine so stage 1 never even reads them), and the float
+    vectors are fetched for just `rerank` candidates per query.
+
+    Restricted-config oracle equality (the izer_unionize_oracle trick):
+    with the registered rerank width (8k), the quantized top-`rerank`
+    provably-on-this-corpus contains the true float top-k (int8 rounding
+    shifts a 64-dim cosine by ~1e-3, far below the rank-k/rank-8k cosine
+    gap), so the output EQUALS the exact float top-k and the oracle is
+    cosine_topk_sql itself. The rerank knob is the recall/cost dial at
+    scale; equality is additionally pinned by a pytest."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = quantize_embeddings(emb)  # + q (int8 codes), q_scale
+    codes = qdf.select("vec_id", "q")
+    qside = (qdf.where(F.col("vec_id") < n_queries)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("q").alias("qq")))
+    # stage 1: integer code dot / code norms — scales cancel in cosine
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"),
+                   lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    def _cnorm(col):
+        return F.sqrt(F.aggregate(
+            F.transform(col, lambda x: (x * x).cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v))
+
+    coarse = (qside.crossJoin(codes)
+                   .where(F.col("vec_id") != F.col("query_id"))
+                   .select("query_id", "vec_id",
+                           (idot.cast("double")
+                            / (_cnorm(F.col("qq")) * _cnorm(F.col("q"))))
+                           .alias("qcos")))
+    from pyspark.sql.window import Window
+    wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(),
+                                                F.col("vec_id"))
+    short = (coarse.withColumn("rn", F.row_number().over(wq))
+                   .where(F.col("rn") <= rerank)
+                   .select("query_id", "vec_id"))
+    # stage 2: exact float cosine over the shortlist only (same expression
+    # as cosine_topk_df, so ties/rounding agree with the exact oracle)
+    qv = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cand = (short.join(emb, "vec_id").join(F.broadcast(qv), "query_id")
+                 .select("query_id", "vec_id",
+                         F.round(_dot(F.col("qv"), F.col("embedding"))
+                                 / (_norm(F.col("qv"))
+                                    * _norm(F.col("embedding"))), 4)
+                         .alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "vec_id", "cos", "rank"))
+
+
 def quantize_embeddings(df: DataFrame, emb_col: str = "embedding",
                         out_col: str = "q") -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max(|v|)/127,

@@ -275,7 +275,12 @@ def unionize_features(features: list[dict], config: dict,
     config keys as the reference (union_heuristic, tag_strategy,
     max_iterations, match_tags, preserve_direction_tags,
     angle_union_sample_ratio). tile_extent = (width, height) of the tile in
-    map units (the reference reads it off the Map, unionizer.cpp:518-525)."""
+    map units (the reference reads it off the Map, unionizer.cpp:518-525).
+
+    CONSUMES its input: feature dicts (including their "props" maps) are
+    mutated in place, mirroring the reference's in-place layer rewrite
+    (unionizer.cpp operates on the layer's feature set). Callers that need
+    the originals must deep-copy before calling."""
     heuristic = config.get("union_heuristic", "greedy")
     if heuristic not in _SCORERS:
         raise ValueError(f"{heuristic} is not supported, try `greedy, obtuse or acute'")

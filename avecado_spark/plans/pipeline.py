@@ -197,6 +197,18 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
 
     packed = "coords" in df.columns
     proc = PostProcessor(config)
+    # FAST PATH eligibility: every izer in every range is a generalizer —
+    # per-feature, stateless, geometry-only. Then the walk needs no group
+    # boundaries (nothing crosses features), no props parse (the kv string
+    # passes through opaque), and no feature dicts/Geom objects at all:
+    # simplification runs directly over the packed ring slices. The plan
+    # shape (repartition + sort on the tile key) is kept identical so the
+    # fused encode step still reuses the one shuffle.
+    gen_only = packed and all(
+        izer.get("type") == "generalizer"
+        for ranges in config.values()
+        for rng in ranges
+        for izer in rng["process"])
     geom_cols = (["gtype", "coords", "rings", "part_rings"] if packed
                  else ["wkt"])
     out_schema = ("z int, x long, y long, layer string, id long, "
@@ -216,6 +228,18 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
         F.transform(entries,
                     lambda e: F.concat(e["key"], F.lit("\x01"), e["value"])),
         "\x02")
+    # a key/value containing a reserved byte would silently corrupt the
+    # rebuilt map — fail loudly instead (same stance as the mapnik_xml
+    # WKT guard); JVM-side, so the check costs one exists() per row
+    has_reserved = F.exists(
+        entries,
+        lambda e: e["key"].contains("\x01") | e["key"].contains("\x02")
+        | e["value"].contains("\x01") | e["value"].contains("\x02"))
+    kv = F.when(
+        has_reserved,
+        F.raise_error(F.lit(
+            "izer interchange: props key/value contains reserved "
+            "delimiter byte \\x01/\\x02"))).otherwise(kv)
     df = df.withColumn("props_kv", kv).drop("props")
 
     def _unpack(gtype, coords, rings, part_rings) -> Geom:
@@ -337,9 +361,78 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
             _process_chunk(carry, out)
             yield pd.DataFrame(out)
 
+    def _make_run_fast():
+        from ..operators.generalizer import simplify as _simplify
+        gen_ranges = {
+            layer_name: [
+                (meters_per_pixel(int(r["maxzoom"]) + 0.5, tile_px),
+                 meters_per_pixel(int(r["minzoom"]) - 0.5, tile_px),
+                 [(izer.get("algorithm", "douglas-peucker"),
+                   float(izer["tolerance"])) for izer in r["process"]])
+                for r in ranges]
+            for layer_name, ranges in config.items()}
+
+        def _steps_for(layer: str, z: int):
+            ranges = gen_ranges.get(layer)
+            if not ranges:
+                return None
+            scale = meters_per_pixel(z, tile_px)
+            for min_scale, max_scale, steps in ranges:
+                if min_scale <= scale <= max_scale:
+                    return steps  # first matching range only (the break)
+            return None
+
+        def run_fast(batches):
+            cache: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                zs = pdf["z"].to_numpy()
+                lays = pdf["layer"].to_numpy(dtype=object)
+                gtypes = pdf["gtype"].to_numpy(dtype=object)
+                coords_col = pdf["coords"].to_numpy(dtype=object).copy()
+                rings_col = pdf["rings"].to_numpy(dtype=object).copy()
+                for i in range(len(pdf)):
+                    key = (lays[i], int(zs[i]))
+                    steps = cache.get(key, False)
+                    if steps is False:
+                        steps = _steps_for(*key)
+                        cache[key] = steps
+                    if not steps or gtypes[i] in ("POINT", "MULTIPOINT"):
+                        continue
+                    rings = rings_col[i]
+                    if len(rings) == 0:
+                        continue
+                    c = np.asarray(coords_col[i], dtype=np.float64)
+                    if len(rings) == 1:
+                        ring = c.reshape(-1, 2)
+                        for alg, tol in steps:
+                            ring = _simplify(ring, tol, alg)
+                        coords_col[i] = ring.ravel()
+                        rings_col[i] = [len(ring)]
+                    else:
+                        pos, flats, nrings = 0, [], []
+                        for npts in rings:
+                            ring = c[pos:pos + 2 * int(npts)].reshape(-1, 2)
+                            pos += 2 * int(npts)
+                            for alg, tol in steps:
+                                ring = _simplify(ring, tol, alg)
+                            nrings.append(len(ring))
+                            flats.append(ring.ravel())
+                        coords_col[i] = np.concatenate(flats)
+                        rings_col[i] = nrings
+                out = {c: pdf[c] for c in ("z", "x", "y", "layer", "id",
+                                           "props_kv", "gtype")}
+                out["coords"] = coords_col
+                out["rings"] = rings_col
+                out["part_rings"] = pdf["part_rings"]
+                yield pd.DataFrame(out)
+        return run_fast
+
     walked = (df.repartition("z", "x", "y", "layer")
                 .sortWithinPartitions("z", "x", "y", "layer")
-                .mapInPandas(run, schema=out_schema))
+                .mapInPandas(_make_run_fast() if gen_only else run,
+                             schema=out_schema))
     props_back = F.when(
         F.length("props_kv") > 0,
         F.str_to_map(F.col("props_kv"), F.lit("\x02"), F.lit("\x01"))

@@ -181,6 +181,44 @@ def _run_bigstar_1m(spark):
     return n_edges, rounds
 
 
+def _ivf_recall(spark, sf_dir):
+    """recall@10 of the IVF search vs the exact cosine top-k, per nprobe —
+    records the recall/cost trade-off the nprobe knob buys (nprobe=1 is
+    the registered oracle configuration)."""
+    from avecado_spark.operators import similarity as S
+    exact = {(r.query_id, r.vec_id)
+             for r in S.cosine_topk_df(spark, sf_dir).collect()}
+    out = {}
+    for nprobe in (1, 2, 4):
+        got = {(r.query_id, r.vec_id)
+               for r in S.ann_ivf_df(spark, sf_dir, nprobe=nprobe).collect()}
+        out[f"nprobe_{nprobe}"] = round(len(got & exact) / len(exact), 3)
+    return out
+
+
+def _run_sessionize_stream(spark, sf_dir):
+    """applyInPandasWithState sessionizer to completion (availableNow)
+    over the sf events table — the streaming-overhead bench twin of
+    events_sessionize. The events file is linked into a temp dir (file
+    streaming sources need a directory); link time is untimed noise."""
+    import shutil
+    import tempfile
+
+    from avecado_spark.streaming.events import (run_available_now_update,
+                                                sessionize_stream)
+    with tempfile.TemporaryDirectory() as d:
+        try:
+            os.link(f"{sf_dir}/events.parquet",
+                    os.path.join(d, "events.parquet"))
+        except OSError:
+            shutil.copy(f"{sf_dir}/events.parquet",
+                        os.path.join(d, "events.parquet"))
+        rows = run_available_now_update(
+            sessionize_stream(spark, d), "bench_sessionize_stream")
+    spark.catalog.dropTempView("bench_sessionize_stream")
+    return len(rows)
+
+
 def _profile_stages(cpus: int):
     """Per-stage wall time of the tile build via cumulative cut points:
     T1 = scan+synth+geocode+quantize (slim.count, pre-shuffle),
@@ -269,6 +307,7 @@ def main():
                  "dedup_components_bigstar",
                  "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_lsh",
                  "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
+                 "sim_ann_sq8",
                  "text_quality", "text_lang_id", "text_fingerprint",
                  "events_window_5m", "events_window_sliding",
                  "events_sessionize", "j1d_pip_polygon",
@@ -277,6 +316,18 @@ def main():
         t = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t, 3)
+
+    # IVF recall/cost knob as a recorded number: recall@10 of the IVF
+    # search vs the exact cosine top-k, swept over nprobe (nprobe=1 is the
+    # registered oracle config; wider probes buy recall with scan width)
+    ivf_recall = _ivf_recall(spark, SF_DIR)
+
+    # streaming overhead vs the batch twin as a recorded ratio: the
+    # applyInPandasWithState sessionizer run to completion (availableNow)
+    # over the same sf events input that events_sessionize just timed
+    t = time.time()
+    _run_sessionize_stream(spark, SF_DIR)
+    timings["events_sessionize_stream"] = round(time.time() - t, 3)
 
     t = time.time()
     _, bigstar_rounds = _run_bigstar_1m(spark)
@@ -306,6 +357,7 @@ def main():
         "tiles_per_sec_z14": round(n_tiles / timings["tile_build_z14"], 1),
         "docs_per_sec_encoded": round(n_docs / timings["tile_build_z14"], 1),
         "bigstar_1m_rounds": bigstar_rounds,
+        "ivf_recall_at_10": ivf_recall,
         **knn_metrics,
     }
     spark.stop()

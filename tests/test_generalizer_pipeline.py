@@ -224,3 +224,29 @@ def test_zhao_saalfeld_sleeve_invariants():
         assert dmin <= 2 * tol + 1e-9  # sleeve bound (anchor-ray corridor)
     # registered under the mapnik name
     assert len(simplify(line, 0.5, "zhao-saalfeld")) == 2
+
+
+def test_props_reserved_bytes_fail_loudly(spark):
+    """The izer interchange serializes props with \\x01/\\x02 delimiters;
+    a tag value containing a reserved byte must raise (JVM-side guard),
+    never silently corrupt the rebuilt map."""
+    import pytest as _pytest
+
+    from avecado_spark.plans.pipeline import apply_to_tiles
+
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "generalizer", "tolerance": 1.0}]}]}
+    for badval in ("x\x01y", "x\x02y"):
+        bad = spark.createDataFrame(
+            [(10, 1, 1, "roads", 1, {"a": badval},
+              "LINESTRING(0 0, 1 1)")],
+            "z int, x long, y long, layer string, id long, "
+            "props map<string,string>, wkt string")
+        with _pytest.raises(Exception, match="reserved"):
+            apply_to_tiles(bad, conf).collect()
+    # clean props still flow
+    ok = spark.createDataFrame(
+        [(10, 1, 1, "roads", 1, {"a": "x y,z"}, "LINESTRING(0 0, 1 1)")],
+        "z int, x long, y long, layer string, id long, "
+        "props map<string,string>, wkt string")
+    assert apply_to_tiles(ok, conf).collect()[0].props == {"a": "x y,z"}

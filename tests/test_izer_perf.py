@@ -88,3 +88,73 @@ def test_sorted_run_walk_beats_per_group_apply(spark):
         f"sorted-run walk only {ratio:.1f}x faster than per-group "
         f"applyInPandas ({sorted_run:.2f}s vs {per_group:.2f}s) — "
         "the many-tiny-groups pathology is back")
+
+
+def _packed_zigzags(spark, n):
+    """n single-linestring features in ~500 tiny tile groups, packed
+    representation, zigzag shape so the generalizer has real work."""
+    cs = []
+    for i in range(6):
+        cs.append((F.col("id") + F.lit(float(i * 10))).cast("double"))
+        cs.append(F.lit(float(i % 2)))
+    return spark.range(n).select(
+        F.lit(10).alias("z"),
+        (F.col("id") % 500).alias("x"),
+        (F.col("id") % 97).alias("y"),
+        F.lit("roads").alias("layer"),
+        F.col("id"),
+        F.create_map(F.lit("a"),
+                     (F.col("id") % 7).cast("string")).alias("props"),
+        F.lit("LINESTRING").alias("gtype"),
+        F.array(*cs).alias("coords"),
+        F.array(F.lit(6)).alias("rings"),
+        F.array(F.lit(1)).alias("part_rings"))
+
+
+def test_generalize_fast_path_parity_and_speed(spark):
+    """A generalize-only pipeline takes the vectorized packed-array fast
+    path (no feature dicts, no props parse). Adding a no-op labelizer —
+    identical semantics, reference parity: labelizer.cpp:18-20 — forces
+    the general dict walk, giving an exact same-answer baseline: outputs
+    must match, and the fast path must be measurably faster."""
+    from avecado_spark.plans.pipeline import apply_to_tiles
+
+    feats = _packed_zigzags(spark, 20000).persist()
+    fast_conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "generalizer", "algorithm": "douglas-peucker",
+         "tolerance": 5.0}]}]}
+    dict_conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "generalizer", "algorithm": "douglas-peucker",
+         "tolerance": 5.0},
+        {"type": "labelizer"}]}]}
+
+    def norm(rows):
+        return sorted(
+            (r.z, r.x, r.y, r.layer, r.id, tuple(sorted(r.props.items())),
+             r.gtype, tuple(r.coords), tuple(r.rings), tuple(r.part_rings))
+            for r in rows)
+
+    try:
+        # parity on a small mixed slice first (points pass untouched)
+        small = feats.limit(200)
+        out_fast = apply_to_tiles(small, fast_conf).collect()
+        out_dict = apply_to_tiles(small, dict_conf).collect()
+        assert norm(out_fast) == norm(out_dict)
+        assert any(len(r.coords) < 12 for r in out_fast)  # simplified
+
+        # warm both paths, then time
+        apply_to_tiles(feats, fast_conf).count()
+        apply_to_tiles(feats, dict_conf).count()
+        t0 = time.time()
+        assert apply_to_tiles(feats, fast_conf).count() == 20000
+        fast = time.time() - t0
+        t0 = time.time()
+        assert apply_to_tiles(feats, dict_conf).count() == 20000
+        dict_path = time.time() - t0
+    finally:
+        feats.unpersist()
+
+    ratio = dict_path / max(fast, 1e-9)
+    assert ratio >= 1.15, (
+        f"generalize-only fast path only {ratio:.2f}x the dict walk "
+        f"({fast:.2f}s vs {dict_path:.2f}s) — fast path regressed")

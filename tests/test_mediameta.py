@@ -31,7 +31,18 @@ def _fixtures():
     mvhd = _box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 5500)
                 + b"\x00" * 80)
     hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
-    moov = _box(b"moov", mvhd + _box(b"trak", _box(b"mdia", hdlr)))
+    # full sample-table leg: mdhd timescale 30000 / duration 165000
+    # (5.5s), stsd first-entry codec avc1, stsz 165 samples, stts
+    # 165 x 1000-tick deltas
+    mdhd = _box(b"mdhd", b"\x00" * 12
+                + struct.pack(">II", 30000, 165000) + b"\x00" * 4)
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1)
+                + struct.pack(">I", 16) + b"avc1" + b"\x00" * 8)
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 165))
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, 165, 1000))
+    stbl = _box(b"stbl", stsd + stsz + stts)
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    moov = _box(b"moov", mvhd + _box(b"trak", mdia))
     return {
         "png": (png_encode(img), {"format": "png", "width": 31,
                                   "height": 24}),
@@ -57,8 +68,9 @@ def _fixtures():
                  "bitrate_kbps": 128, "sample_rate": 44100,
                  "duration_s": 2.607}),
         "mp4": (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov,
-                {"format": "mp4", "brand": "isom", "tracks": ["vide"],
-                 "duration_s": 5.5}),
+                {"format": "mp4", "brand": "isom", "duration_s": 5.5,
+                 "tracks": [{"handler": "vide", "codec": "avc1",
+                             "sample_count": 165, "duration_s": 5.5}]}),
     }
 
 
@@ -67,6 +79,25 @@ def test_probe_every_format_ground_truth():
         assert probe_media(payload) == want, name
     assert probe_media(b"\x00\x01garbage")["format"] == "unknown"
     assert probe_media(b"")["format"] == "unknown"
+
+
+def test_mp4_sample_table_fallbacks():
+    from avecado_spark.functions.mediameta import _probe_mp4
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # mdhd carries no duration -> exact stts sample-delta sum is used
+    mdhd0 = _box(b"mdhd", b"\x00" * 12 + struct.pack(">II", 30000, 0)
+                 + b"\x00" * 4)
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, 165, 1000))
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 165))
+    mdia = _box(b"mdia", mdhd0 + _box(b"minf", _box(b"stbl", stts + stsz)))
+    m = _probe_mp4(ftyp + _box(b"moov", _box(b"trak", mdia)))
+    assert m["tracks"] == [{"sample_count": 165, "duration_s": 5.5}]
+    # v1 mvhd whose 8-byte duration is cut at 4 bytes: skipped, not
+    # misparsed into a wrong duration (the old body+28 bound read short)
+    mvhd_v1_cut = _box(b"mvhd", b"\x01" + b"\x00" * 19
+                       + struct.pack(">I", 1000) + b"\x00" * 4)
+    m = _probe_mp4(ftyp + _box(b"moov", mvhd_v1_cut))
+    assert "duration_s" not in m
 
 
 def test_probe_never_decodes_far():

@@ -91,3 +91,16 @@ def test_oracle_parity(spark, duck, name):
         f"schema mismatch: spark={scols} duckdb={dcols}"
     assert len(srows) == len(drows), f"row count: spark={len(srows)} duckdb={len(drows)}"
     assert _canon(srows, [c.lower() for c in scols]) == _canon(drows, [c.lower() for c in dcols])
+
+
+def test_tpch_q14_duckdb_parity(spark, duck):
+    """tpch_q14_promo rotated out of the registry in r06 (the 50-row
+    artifact cap; sim_ann_sq8 took the slot) — its exact-oracle parity
+    lives here instead, same gate as the registered rows."""
+    from avecado_spark.queries import TPCH_Q14_SQL, tpch_q14_promo
+    sdf = tpch_q14_promo(spark, SF_ORACLE)
+    srows = sdf.collect()
+    drows = duck.sql(TPCH_Q14_SQL).fetchall()
+    assert len(srows) == len(drows) == 1
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, ["promo_e4", "total_e4"])

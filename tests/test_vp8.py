@@ -128,6 +128,23 @@ def test_out_of_scope_streams_raise_loudly():
         vp8_decode(stream[:6])
 
 
+def test_default_table_streams_refused():
+    """A stream that relies on the RFC default coefficient tables (which
+    this module does NOT transcribe) must be refused loudly, not decoded
+    into garbage — this pins the real-world-file guard."""
+    y = np.full((16, 16), 90, np.uint8)
+    u = np.full((8, 8), 90, np.uint8)
+    stream, _ = vp8_encode_planes(y, u, u, qindex=20, transmit_probs=False)
+    with pytest.raises(NotImplementedError, match="default "
+                       "coefficient-probability tables"):
+        vp8_decode(stream)
+    # and the full explicit-prob stream still round-trips exactly
+    full, recon = vp8_encode_planes(y, u, u, qindex=20)
+    dec = vp8_decode(full)
+    assert np.array_equal(dec["y"], recon["y"])
+    assert len(full) > len(stream)  # the ~2.1 KB explicit prob set
+
+
 def test_truncations_never_hang():
     rng = np.random.default_rng(9)
     y = rng.integers(0, 256, (32, 32)).astype(np.uint8)
