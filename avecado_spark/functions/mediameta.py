@@ -12,8 +12,13 @@ extras:
   wav               : sample_rate, channels, bits, duration_s, codec
   y4m               : width, height, fps
   mp3               : version, layer, bitrate_kbps, sample_rate,
-                      duration_s (estimated from size x bitrate) —
-                      header parse only, the audio stays undecoded
+                      duration_s (exact frame-count from a Xing/Info VBR
+                      header when present, else size x bitrate estimate)
+                      — header parse only, the audio stays undecoded
+  flac              : sample_rate, channels, bits, exact duration_s
+                      (STREAMINFO total-samples field)
+  ogg (opus/vorbis) : codec, channels, sample_rate, exact duration_s
+                      (last-page granule position at the granule rate)
   mp4/iso-bmff      : duration_s (mvhd), brand, and per-track records
                       {handler, codec (stsd 4cc), sample_count (stsz),
                       duration_s (mdhd, else exact stts sample-delta
@@ -39,7 +44,9 @@ _MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
 
 
 def _probe_mp3(p: bytes) -> dict | None:
-    """First MPEG audio frame header (11-bit sync); layer III only."""
+    """First MPEG audio frame header (11-bit sync); layer III only. A
+    Xing/Info VBR header in the first frame upgrades the size-estimated
+    duration to the exact frame-count one (frames x samples-per-frame)."""
     i = 0
     if p[:3] == b"ID3" and len(p) >= 10:      # skip ID3v2 tag
         sz = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
@@ -58,11 +65,81 @@ def _probe_mp3(p: bytes) -> dict | None:
     table = _MP3_BITRATES_V1L3 if ver == 3 else _MP3_BITRATES_V2L3
     bitrate = table[br_idx]
     rate = _MP3_RATES[ver][sr_idx]
-    audio_bytes = len(p) - i
-    return {"format": "mp3",
-            "version": {3: "1", 2: "2", 0: "2.5"}[ver],
-            "layer": 3, "bitrate_kbps": bitrate, "sample_rate": rate,
-            "duration_s": round(audio_bytes * 8 / (bitrate * 1000.0), 3)}
+    out = {"format": "mp3",
+           "version": {3: "1", 2: "2", 0: "2.5"}[ver],
+           "layer": 3, "bitrate_kbps": bitrate, "sample_rate": rate}
+    # Xing ("Xing"/"Info") header: sits after the side info of the first
+    # frame — MPEG1: 32B stereo / 17B mono; MPEG2/2.5: 17B / 9B
+    chan_mode = (p[i + 3] >> 6) & 3
+    side = (32 if chan_mode != 3 else 17) if ver == 3 \
+        else (17 if chan_mode != 3 else 9)
+    x = i + 4 + side
+    if p[x:x + 4] in (b"Xing", b"Info") and x + 12 <= len(p) \
+            and (int.from_bytes(p[x + 4:x + 8], "big") & 1):
+        frames = int.from_bytes(p[x + 8:x + 12], "big")
+        spf = 1152 if ver == 3 else 576        # layer III samples/frame
+        out["duration_s"] = round(frames * spf / rate, 3)
+        out["vbr"] = True
+    else:
+        audio_bytes = len(p) - i
+        out["duration_s"] = round(audio_bytes * 8 / (bitrate * 1000.0), 3)
+    return out
+
+
+def _probe_flac(p: bytes) -> dict | None:
+    """fLaC STREAMINFO (always the first metadata block): sample rate
+    (20 bits), channels (3), bits-per-sample (5), total samples (36) —
+    exact duration with no frame decoding."""
+    if p[:4] != b"fLaC" or len(p) < 4 + 4 + 34:
+        return None
+    hdr = p[4]
+    if (hdr & 0x7F) != 0:                     # first block must be STREAMINFO
+        return None
+    b = p[8:8 + 34]
+    bits = int.from_bytes(b[10:18], "big")    # 64 bits spanning the fields
+    rate = (bits >> 44) & 0xFFFFF
+    channels = ((bits >> 41) & 0x7) + 1
+    sample_bits = ((bits >> 36) & 0x1F) + 1
+    total = bits & 0xFFFFFFFFF                # 36-bit total samples
+    out = {"format": "flac", "sample_rate": rate, "channels": channels,
+           "bits": sample_bits}
+    if rate and total:
+        out["duration_s"] = round(total / rate, 3)
+    return out
+
+
+def _probe_ogg(p: bytes) -> dict | None:
+    """Ogg container: codec from the first packet (OpusHead / vorbis),
+    exact duration from the LAST page's granule position (sample count at
+    the stream's granule rate — 48 kHz for Opus regardless of input
+    rate, the Vorbis sample rate otherwise)."""
+    if p[:4] != b"OggS" or len(p) < 28:
+        return None
+    out = {"format": "ogg"}
+    nseg = p[26]
+    body = 27 + nseg
+    first = p[body:body + 64]
+    rate = None
+    pre_skip = 0
+    if first[:8] == b"OpusHead" and len(first) >= 14:
+        out["codec"] = "opus"
+        out["channels"] = first[9]
+        pre_skip = int.from_bytes(first[10:12], "little")
+        out["sample_rate"] = int.from_bytes(first[12:16], "little")
+        rate = 48000                           # Opus granules are 48 kHz
+    elif first[:7] == b"\x01vorbis" and len(first) >= 16:
+        out["codec"] = "vorbis"
+        out["channels"] = first[11]
+        out["sample_rate"] = int.from_bytes(first[12:16], "little")
+        rate = out["sample_rate"]
+    # last page: scan backwards for the final OggS capture
+    tail = p.rfind(b"OggS")
+    if rate and tail > 0 and tail + 14 <= len(p):
+        granule = int.from_bytes(p[tail + 6:tail + 14], "little",
+                                 signed=True)
+        if granule > 0:
+            out["duration_s"] = round(max(granule - pre_skip, 0) / rate, 3)
+    return out
 
 
 def _probe_mp4(p: bytes) -> dict | None:
@@ -227,6 +304,12 @@ def probe_media(payload: bytes) -> dict:
                 num, den = part[1:].split(":")
                 meta["fps"] = round(int(num) / int(den), 3)
         return meta
+    flac = _probe_flac(p)
+    if flac is not None:
+        return flac
+    ogg = _probe_ogg(p)
+    if ogg is not None:
+        return ogg
     mp4 = _probe_mp4(p)
     if mp4 is not None:
         return mp4

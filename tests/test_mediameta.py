@@ -131,3 +131,48 @@ def test_media_probe_spark_surface(spark):
     assert got["mp3"].duration_s and got["mp3"].format == "mp3"
     assert got["mp4"].duration_s == 5.5
     assert got["y4m"].height == 240
+
+
+def test_flac_streaminfo_probe():
+    bits64 = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 441000
+    streaminfo = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+                  + bits64.to_bytes(8, "big") + b"\x00" * 16)
+    payload = b"fLaC" + b"\x80" + len(streaminfo).to_bytes(3, "big") \
+        + streaminfo
+    assert probe_media(payload) == {
+        "format": "flac", "sample_rate": 44100, "channels": 2,
+        "bits": 16, "duration_s": 10.0}
+
+
+def test_mp3_xing_exact_duration():
+    """A Xing VBR header upgrades the size-estimate to the exact
+    frame-count duration (115 frames x 1152 samples @ 44100)."""
+    p = (bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32
+         + b"Xing" + (1).to_bytes(4, "big") + (115).to_bytes(4, "big")
+         + b"\x00" * 64)
+    m = probe_media(p)
+    assert m["format"] == "mp3" and m["vbr"] is True
+    assert m["duration_s"] == round(115 * 1152 / 44100, 3)
+
+
+def _ogg_page(header_type, granule, packet=b""):
+    segs = bytes([len(packet)]) if packet else bytes([0])
+    return (b"OggS\x00" + bytes([header_type])
+            + granule.to_bytes(8, "little", signed=True)
+            + b"\x00" * 12 + bytes([1]) + segs + packet)
+
+
+def test_ogg_opus_and_vorbis_probe():
+    opushead = (b"OpusHead\x01\x02" + (312).to_bytes(2, "little")
+                + (48000).to_bytes(4, "little") + b"\x00\x00\x00")
+    p = _ogg_page(2, 0, opushead) + _ogg_page(4, 960312)
+    m = probe_media(p)
+    assert m == {"format": "ogg", "codec": "opus", "channels": 2,
+                 "sample_rate": 48000,
+                 "duration_s": round((960312 - 312) / 48000, 3)}
+    vorb = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+            + (44100).to_bytes(4, "little") + b"\x00" * 8)
+    p = _ogg_page(2, 0, vorb) + _ogg_page(4, 441000)
+    m = probe_media(p)
+    assert m == {"format": "ogg", "codec": "vorbis", "channels": 2,
+                 "sample_rate": 44100, "duration_s": 10.0}
