@@ -1,0 +1,358 @@
+"""S2 cell ids — the real hierarchical sphere index (not a quadkey repack).
+
+The north rule asks for an "H3/S2 index" with cell-cover polygon joins; the
+h3/s2 libraries are not in this container, so this module implements the
+published S2 cell-id scheme from scratch in vectorized numpy: unit sphere →
+cube face → quadratic (u,v)→(s,t) projection → 2^30×2^30 leaf grid → Hilbert
+curve position, packed as `face(3 bits) ‖ curve position(2·level bits) ‖
+1000…0` in a 64-bit id.  The scheme (face layout, quadratic ST transform,
+Hilbert orientation tables) follows the public S2 geometry documentation
+(s2geometry.io, "S2 Cell Hierarchy"); everything here is derived from that
+published spec — no library code.
+
+Why S2 over the quadkey stand-in (operators/keys.quadkey_col):
+  * cells are quasi-equal-AREA on the sphere (the quadratic projection
+    bounds cell-size distortion to ~2.1×; mercator tiles blow up toward the
+    poles), so per-cell doc counts are comparable across latitudes — the
+    property that makes cell = shuffle-key a skew-safe choice at corpus
+    scale;
+  * the Hilbert curve gives LOCALITY: spatially close documents get close
+    cell ids, so range-partitioning by cell id co-locates neighborhoods
+    (quadkey interleaving jumps at quadrant boundaries);
+  * prefix containment is arithmetic (parent/range_min/range_max below) —
+    the containment join is a plain integer equality/range join, fully
+    JVM-side.
+
+Parity: the DuckDB oracle (s2_cell_sql) re-derives the id with an
+INDEPENDENT algorithm — a per-level 2-bit Hilbert walk in chained CTEs —
+while the numpy path uses the 4-bit lookup-table form; tests additionally
+pin a third pure-python walk.  Float-parity note: both sides compute the
+projection with the same IEEE ops (divisions, sqrt, sin/cos/exp); a last-ulp
+libm difference could in principle flip a floor() at a cell boundary, but at
+the level-12 grid the flip window is ~4e-16/2.4e-4 ≈ 2e-12 per document —
+negligible (and the driver gate would surface it loudly).
+
+Reference parallel: the reference engine has no sphere index at all — its
+spatial joins scan per-tile feature lists (adminizer.cpp:63-80); the cell
+index is the Spark-native replacement that makes the same joins broadcast-
+or shuffle-key-able at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6378137.0  # mercator sphere radius (functions/mercator.py)
+MAX_LEVEL = 30
+
+# Hilbert orientation algebra (published S2 scheme): orientation is 2 bits
+# (swap | invert); POS_TO_IJ[o][pos] = ij quadrant, IJ_TO_POS its row-wise
+# inverse; POS_TO_ORIENT[pos] xors into the orientation when descending.
+_SWAP, _INVERT = 1, 2
+POS_TO_ORIENT = (1, 0, 0, 3)
+POS_TO_IJ = ((0, 1, 3, 2),
+             (0, 2, 3, 1),
+             (3, 2, 0, 1),
+             (3, 1, 0, 2))
+IJ_TO_POS = tuple(tuple(row.index(ij) for ij in range(4)) for row in POS_TO_IJ)
+
+
+def _build_lookup() -> tuple[np.ndarray, np.ndarray]:
+    """4-bit-chunk lookup tables: key = i4<<6 | j4<<2 | orientation,
+    value = pos8<<2 | end_orientation (and the ij-direction inverse).
+    Built by running the definitional 2-bit walk four levels — the fast
+    path is thereby derived from, not independent of, the walk; the
+    INDEPENDENT check is the SQL/py walks in tests and the oracle."""
+    lookup_pos = np.zeros(1024, dtype=np.int64)
+    lookup_ij = np.zeros(1024, dtype=np.int64)
+    for o0 in range(4):
+        for i4 in range(16):
+            for j4 in range(16):
+                o, pos = o0, 0
+                for k in range(3, -1, -1):
+                    ij = (((i4 >> k) & 1) << 1) | ((j4 >> k) & 1)
+                    q = IJ_TO_POS[o][ij]
+                    pos = (pos << 2) | q
+                    o ^= POS_TO_ORIENT[q]
+                lookup_pos[(i4 << 6) | (j4 << 2) | o0] = (pos << 2) | o
+                lookup_ij[(pos << 2) | o0] = (i4 << 6) | (j4 << 2) | o
+    return lookup_pos, lookup_ij
+
+
+_LOOKUP_POS, _LOOKUP_IJ = _build_lookup()
+
+
+# ---------------------------------------------------------------------------
+# projection: integer mercator mm → cube face (u, v)
+# ---------------------------------------------------------------------------
+
+def xyz_from_mercator_mm(mx_mm, my_mm):
+    """Unnormalized direction vector for a web-mercator-mm point.
+
+    lon = mx/R; the Gudermannian identities sin(lat)=tanh(q),
+    cos(lat)=1/cosh(q) for q = my/R let the common 1/cosh(q) factor cancel
+    (face choice and (u,v) are scale-invariant), leaving
+    p = (cos lon, sin lon, sinh q) — no atan/tan calls, and sinh is spelled
+    (exp(q)-exp(-q))/2 so the DuckDB oracle runs the identical op chain."""
+    lon = np.asarray(mx_mm, dtype=np.float64) / 1000.0 / EARTH_RADIUS_M
+    q = np.asarray(my_mm, dtype=np.float64) / 1000.0 / EARTH_RADIUS_M
+    return np.cos(lon), np.sin(lon), (np.exp(q) - np.exp(-q)) * 0.5
+
+
+def face_uv_from_xyz(px, py, pz):
+    """Cube face (0..5) by largest-|component| axis, then the published
+    per-face (u, v) ratios.  The comparison chain (strict >, x-then-y-then-z)
+    is mirrored verbatim in the SQL oracle so ties break identically."""
+    ax, ay, az = np.abs(px), np.abs(py), np.abs(pz)
+    axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    face = np.where(axis == 0, np.where(px > 0, 0, 3),
+                    np.where(axis == 1, np.where(py > 0, 1, 4),
+                             np.where(pz > 0, 2, 5)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [py / px, -px / py, -px / pz, pz / px, pz / py], -py / pz)
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [pz / px, pz / py, -py / pz, py / px, -px / py], -px / pz)
+    return face.astype(np.int64), u, v
+
+
+def st_from_uv(u):
+    """Quadratic cell-space projection (the S2 default): near-uniform cell
+    areas at ~3 flops. s ∈ [0, 1] exactly for u ∈ [-1, 1]."""
+    # 1−3u for u<0 equals 1+3|u| bit-for-bit, so the single nonnegative
+    # sqrt below is FP-identical to the two-branch SQL form (and warning-free)
+    h = 0.5 * np.sqrt(1.0 + 3.0 * np.abs(u))
+    return np.where(u >= 0.0, h, 1.0 - h)
+
+
+def uv_from_st(s):
+    return np.where(s >= 0.5, (4.0 * s * s - 1.0) / 3.0,
+                    (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
+
+
+def leaf_ij(s):
+    """Leaf grid coordinate: floor(s·2^30) clamped. Multiplying by a power
+    of two is exact in fp64, so floor(s·2^30)>>18 == floor(s·2^12) etc. —
+    the SQL oracle may quantize directly at its level."""
+    return np.clip(np.floor(s * float(1 << MAX_LEVEL)).astype(np.int64),
+                   0, (1 << MAX_LEVEL) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert encode / decode
+# ---------------------------------------------------------------------------
+
+def cellid_from_face_ij(face, i, j):
+    """Leaf cell id (uint64) via the 4-bit lookup walk — 8 vectorized
+    table-gather iterations for any batch size."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    bits = face & _SWAP
+    n = face.astype(np.uint64) << np.uint64(60)
+    for k in range(7, -1, -1):
+        idx = (((i >> (4 * k)) & 15) << 6) | (((j >> (4 * k)) & 15) << 2) | bits
+        v = _LOOKUP_POS[idx]
+        n |= (v >> 2).astype(np.uint64) << np.uint64(8 * k)
+        bits = v & 3
+    return (n << np.uint64(1)) | np.uint64(1)
+
+
+def face_ij_from_cellid(ids):
+    """Inverse walk: (face, leaf i, leaf j) — for a non-leaf id the trailing
+    1000…0 marker decodes to the cell's center leaf column/row."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    face = (ids >> np.uint64(61)).astype(np.int64)
+    bits = face & _SWAP
+    i = np.zeros_like(face)
+    j = np.zeros_like(face)
+    for k in range(7, -1, -1):
+        nbits = 2 if k == 7 else 4
+        chunk = ((ids >> np.uint64(8 * k + 1)).astype(np.int64)
+                 & ((1 << (2 * nbits)) - 1))
+        v = _LOOKUP_IJ[(chunk << 2) | bits]
+        i |= (v >> 6) << (4 * k)
+        j |= ((v >> 2) & 15) << (4 * k)
+        bits = v & 3
+    return face, i, j
+
+
+def _cellid_walk_py(face: int, i: int, j: int, level: int = MAX_LEVEL) -> int:
+    """Definitional per-level 2-bit walk (scalar python) — the slow third
+    implementation the tests pin the fast path against. i, j are at `level`
+    resolution (i < 2^level)."""
+    o, pos = face & _SWAP, 0
+    for k in range(level):
+        ij = (((i >> (level - 1 - k)) & 1) << 1) | ((j >> (level - 1 - k)) & 1)
+        q = IJ_TO_POS[o][ij]
+        pos = (pos << 2) | q
+        o ^= POS_TO_ORIENT[q]
+    shift = 2 * (MAX_LEVEL - level)
+    return (face << 61) | (pos << (shift + 1)) | (1 << shift)
+
+
+# ---------------------------------------------------------------------------
+# id algebra (all O(1) arithmetic — the containment-join primitives)
+# ---------------------------------------------------------------------------
+
+def lsb_for_level(level: int) -> np.uint64:
+    return np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+
+
+def parent(ids, level: int):
+    """Ancestor at `level`: clear below the new lsb, set the new lsb."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    lsb = lsb_for_level(level)
+    neg = (~lsb) + np.uint64(1)          # two's-complement -lsb
+    return (ids & neg) | lsb
+
+
+def cell_level(ids):
+    ids = np.asarray(ids, dtype=np.uint64)
+    lsb = ids & ((~ids) + np.uint64(1))
+    tz = np.log2(lsb.astype(np.float64)).astype(np.int64)  # exact: power of 2
+    return MAX_LEVEL - (tz >> 1)
+
+
+def range_min(ids):
+    ids = np.asarray(ids, dtype=np.uint64)
+    lsb = ids & ((~ids) + np.uint64(1))
+    return ids - (lsb - np.uint64(1))
+
+
+def range_max(ids):
+    ids = np.asarray(ids, dtype=np.uint64)
+    lsb = ids & ((~ids) + np.uint64(1))
+    return ids + (lsb - np.uint64(1))
+
+
+def contains(parent_ids, child_ids) -> np.ndarray:
+    return ((range_min(parent_ids) <= np.asarray(child_ids, np.uint64))
+            & (np.asarray(child_ids, np.uint64) <= range_max(parent_ids)))
+
+
+def to_token(ids) -> list[str]:
+    """Canonical token: 16 hex digits, trailing zeros stripped."""
+    return [format(int(x), "016x").rstrip("0") or "X"
+            for x in np.asarray(ids, dtype=np.uint64)]
+
+
+def cellid_from_mercator_mm(mx_mm, my_mm, level: int = MAX_LEVEL) -> np.ndarray:
+    """mm coords → SIGNED int64 cell ids at `level` (faces 4/5 set bit 63;
+    the signed view is the Spark/DuckDB interchange form)."""
+    px, py, pz = xyz_from_mercator_mm(mx_mm, my_mm)
+    face, u, v = face_uv_from_xyz(px, py, pz)
+    ids = cellid_from_face_ij(face, leaf_ij(st_from_uv(u)),
+                              leaf_ij(st_from_uv(v)))
+    if level < MAX_LEVEL:
+        ids = parent(ids, level)
+    return ids.view(np.int64)
+
+
+def lonlat_rad_from_cellid(ids):
+    """Cell-center (leaf-resolution) lon/lat in radians — inverse transform
+    for tests and cover bounds."""
+    face, i, j = face_ij_from_cellid(np.asarray(ids, dtype=np.uint64))
+    s = (i.astype(np.float64) + 0.5) / float(1 << MAX_LEVEL)
+    t = (j.astype(np.float64) + 0.5) / float(1 << MAX_LEVEL)
+    u, v = uv_from_st(s), uv_from_st(t)
+    x, y, z = xyz_from_face_uv(face, u, v)
+    return np.arctan2(y, x), np.arctan2(z, np.hypot(x, y))
+
+
+def xyz_from_face_uv(face, u, v):
+    """Published inverse face layout (unnormalized)."""
+    one = np.ones_like(u)
+    x = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [one, -u, -u, -one, v], v)
+    y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [u, one, -v, -v, -one], u)
+    z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4],
+                  [v, v, one, -u, -u], -one)
+    return x, y, z
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generator — the independent cross-engine implementation
+# ---------------------------------------------------------------------------
+
+def s2_cell_sql(level: int, src_sql: str,
+                cols: str = "url", mx: str = "mx_mm", my: str = "my_mm") -> str:
+    """SQL computing the signed level-`level` cell id for every row of
+    `src_sql` (must expose `mx`/`my` integer-mm columns), as `cell` plus the
+    pass-through `cols`.  Independent of the numpy fast path: projection in
+    plain SQL expressions, then `level` chained-CTE steps of the 2-bit
+    Hilbert walk with the orientation algebra inlined as CASEs."""
+    n = 1 << level
+    steps = []
+    for k in range(level):
+        bit = 1 << (level - 1 - k)
+        prev = f"w{k - 1}" if k else "ij"
+        steps.append(f"""w{k} AS (
+  SELECT {cols}, face, i, j,
+    pos * 4 + q AS pos,
+    xor(o, CASE q WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END) AS o
+  FROM (
+    SELECT {cols}, face, i, j, pos, o,
+      CASE o
+        WHEN 0 THEN CASE ij2 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END
+        WHEN 1 THEN CASE ij2 WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END
+        WHEN 2 THEN CASE ij2 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END
+        ELSE        CASE ij2 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 0 END
+      END AS q
+    FROM (SELECT {cols}, face, i, j, pos, o,
+                 ((i // {bit}) % 2) * 2 + ((j // {bit}) % 2) AS ij2
+          FROM {prev})
+  )
+)""")
+    shift = 2 * (MAX_LEVEL - level)
+    last = f"w{level - 1}"
+    return f"""WITH pts AS (
+  SELECT {cols}, {mx} / 1000.0 / {EARTH_RADIUS_M!r} AS lon,
+         {my} / 1000.0 / {EARTH_RADIUS_M!r} AS qq
+  FROM {src_sql} s2src
+), xyz AS (
+  SELECT {cols}, cos(lon) AS px, sin(lon) AS py,
+         (exp(qq) - exp(-qq)) * 0.5 AS pz
+  FROM pts
+), fc AS (
+  SELECT {cols}, px, py, pz,
+    CASE WHEN abs(px) > abs(py)
+         THEN CASE WHEN abs(px) > abs(pz)
+                   THEN CASE WHEN px > 0 THEN 0 ELSE 3 END
+                   ELSE CASE WHEN pz > 0 THEN 2 ELSE 5 END END
+         ELSE CASE WHEN abs(py) > abs(pz)
+                   THEN CASE WHEN py > 0 THEN 1 ELSE 4 END
+                   ELSE CASE WHEN pz > 0 THEN 2 ELSE 5 END END
+    END AS face
+  FROM xyz
+), fuv AS (
+  SELECT {cols}, face,
+    CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+              WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS u,
+    CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+              WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS v
+  FROM fc
+), st AS (
+  SELECT {cols}, face,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3*u) ELSE 1 - 0.5 * sqrt(1 - 3*u) END AS s,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3*v) ELSE 1 - 0.5 * sqrt(1 - 3*v) END AS t
+  FROM fuv
+), ij AS (
+  SELECT {cols}, i, j, face % 2 AS o, 0 AS pos, face
+  FROM (SELECT {cols}, face,
+               least(greatest(CAST(floor(s * {n}) AS BIGINT), 0), {n - 1}) AS i,
+               least(greatest(CAST(floor(t * {n}) AS BIGINT), 0), {n - 1}) AS j
+        FROM st)
+),
+{",".join(steps)}
+SELECT {cols},
+  CASE WHEN hid >= 9223372036854775808
+       THEN hid - 18446744073709551616 ELSE hid END::BIGINT AS cell
+FROM (SELECT {cols},
+             CAST(face AS HUGEINT) * {1 << 61}
+             + CAST(pos AS HUGEINT) * {1 << (shift + 1)} + {1 << shift} AS hid
+      FROM {last})
+"""
