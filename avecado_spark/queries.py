@@ -1149,7 +1149,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("n_name").agg(F.sum(rev).alias("revenue_e4")))
 
 
-@register("tpch_q6_forecast", """
+TPCH_Q6_SQL = """
   SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
            * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
          CAST(count(*) AS BIGINT) AS n_rows
@@ -1158,12 +1158,20 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND l_shipdate < DATE '1995-01-01'
     AND round(l_discount * 100) BETWEEN 5 AND 7
     AND l_quantity < 24
-""")
+"""
+
+
 def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style: pure scan + filter + agg — the query whose plan
     should be a single-stage pushed-filter scan with a map-side partial
     sum (no join, no wide shuffle). Discounts compared in integer
-    percent so the predicate is float-exact on both engines."""
+    percent so the predicate is float-exact on both engines.
+
+    UNREGISTERED since r06 (the 50-row artifact cap; s2_cell_docs_l12
+    took the slot): the scan+filter+agg shape is already plan-tested and
+    covered by tpch_q1_pricing's conditional aggregation; exact-oracle
+    parity is pinned by tests/test_oracle_parity.py::
+    test_tpch_q6_duckdb_parity against the identical TPCH_Q6_SQL."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     disc_pct = F.round(F.col("l_discount") * 100).cast("long")
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long") * disc_pct)
@@ -1397,6 +1405,50 @@ def cell_quadkey_z14(spark: SparkSession, sf_dir: str) -> DataFrame:
                  tile_y_expr("my_mm", 14).alias("y"))
     return (t.select(quadkey_col(F.lit(14), F.col("x"), F.col("y")).alias("cell"))
              .groupBy("cell").agg(F.count("*").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# S2 cell index (SURVEY §1.4 / north rule "H3/S2 index") — the REAL
+# Hilbert cube-face index (functions/s2.py), not the quadkey repack above
+# ---------------------------------------------------------------------------
+
+from .functions.s2 import s2_cell_sql
+
+_S2_LEVEL = 12
+
+_S2_DOCS_SQL = f"""
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(mx_mm) AS BIGINT) AS min_mx,
+         CAST(sum(my_mm) AS BIGINT) AS sum_my
+  FROM ({s2_cell_sql(_S2_LEVEL,
+                     f"(SELECT url, mx_mm, my_mm FROM {GEO_SQL} g)",
+                     cols="url, mx_mm, my_mm")}) c
+  GROUP BY cell
+"""
+
+
+@register("s2_cell_docs_l12", _S2_DOCS_SQL)
+def s2_cell_docs_l12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs per level-12 S2 cell — the corpus-scale spatial shuffle key.
+
+    Spark side: one Arrow-batched numpy Hilbert walk (8 table gathers per
+    batch) producing a plain long, then a JVM-side hash aggregate; the
+    oracle re-derives every id with an INDEPENDENT per-level 2-bit walk in
+    chained DuckDB CTEs, so a single flipped bit anywhere in the projection
+    or curve tables hash-mismatches. Value columns are all-numeric on
+    purpose: a min(url) here turns both aggregate phases into
+    SortAggregate (string agg buffers aren't mutable), the wrong shape at
+    corpus scale. Scale: cells are quasi-equal-area on the sphere (unlike
+    mercator tiles), so the groupBy keys stay balanced at any latitude
+    mix; Hilbert locality makes cell ranges the natural partition-pruning
+    predicate for a corpus bucketed by cell."""
+    from .operators.keys import with_s2_cell
+    g = _geo(spark, sf_dir)
+    return (with_s2_cell(g, _S2_LEVEL)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("mx_mm").alias("min_mx"),
+                 F.sum("my_mm").alias("sum_my")))
 
 
 _R_SCALE = WORLD_SIZE / float(1 << 6)

@@ -93,6 +93,19 @@ def test_oracle_parity(spark, duck, name):
     assert _canon(srows, [c.lower() for c in scols]) == _canon(drows, [c.lower() for c in dcols])
 
 
+def test_tpch_q6_duckdb_parity(spark, duck):
+    """tpch_q6_forecast rotated out of the registry in r06 (the 50-row
+    artifact cap; s2_cell_docs_l12 took the slot) — its exact-oracle
+    parity lives here instead, same gate as the registered rows."""
+    from avecado_spark.queries import TPCH_Q6_SQL, tpch_q6_forecast
+    sdf = tpch_q6_forecast(spark, SF_ORACLE)
+    srows = sdf.collect()
+    drows = duck.sql(TPCH_Q6_SQL).fetchall()
+    assert len(srows) == len(drows) == 1
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, ["revenue_e4", "n_rows"])
+
+
 def test_tpch_q14_duckdb_parity(spark, duck):
     """tpch_q14_promo rotated out of the registry in r06 (the 50-row
     artifact cap; sim_ann_sq8 took the slot) — its exact-oracle parity
