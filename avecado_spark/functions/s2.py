@@ -275,6 +275,127 @@ def xyz_from_face_uv(face, u, v):
 
 
 # ---------------------------------------------------------------------------
+# cell rect bounds + bbox covering — the cell-cover index for polygon joins
+# ---------------------------------------------------------------------------
+
+def _cell_rect_bound(face: int, u0: float, u1: float, v0: float, v1: float):
+    """EXACT lon/lat bounding rect of the sphere region a face (u,v)-rect
+    maps to, as (lon_lo, lon_hi, lat_lo, lat_hi); lon may be "unwrapped"
+    (outside ±π) so an interval never straddles the antimeridian cut —
+    intersection tests shift by 2π.
+
+    Equatorial faces: lon = base + atan(p) is monotonic in one axis (p),
+    and lat = atan(w/sqrt(1+p²)) attains extrema at w-endpoints with the
+    p-endpoint nearest/farthest 0 — closed forms, no sampling.  Polar
+    faces: lat from the radial min/max of the rect (pole if it contains
+    the origin), lon from the corner-direction arc (the support directions
+    of a convex region not containing the origin lie at its vertices)."""
+    import math
+
+    if face in (0, 1, 3, 4):
+        if face in (0, 1):
+            p0, p1, w0, w1 = u0, u1, v0, v1
+        else:  # faces 3/4: lon along v, lat numerator is -u
+            p0, p1, w0, w1 = v0, v1, -u1, -u0
+        base = {0: 0.0, 1: math.pi / 2, 3: math.pi, 4: -math.pi / 2}[face]
+        lon_lo, lon_hi = base + math.atan(p0), base + math.atan(p1)
+        p_near = 0.0 if p0 <= 0.0 <= p1 else min(abs(p0), abs(p1))
+        p_far = max(abs(p0), abs(p1))
+
+        def lat_at(w, favor_near):
+            p = p_near if favor_near else p_far
+            return math.atan(w / math.sqrt(1.0 + p * p))
+
+        lat_hi = lat_at(w1, w1 > 0)
+        lat_lo = lat_at(w0, w0 < 0)
+        return lon_lo, lon_hi, lat_lo, lat_hi
+
+    # polar faces: face 2 xyz=(-u,-v,1), face 5 xyz=(v,u,-1)
+    contains_origin = u0 <= 0.0 <= u1 and v0 <= 0.0 <= v1
+    du = 0.0 if u0 <= 0.0 <= u1 else min(abs(u0), abs(u1))
+    dv = 0.0 if v0 <= 0.0 <= v1 else min(abs(v0), abs(v1))
+    r2min = du * du + dv * dv
+    r2max = max(u0 * u0, u1 * u1) + max(v0 * v0, v1 * v1)
+    top = math.atan(1.0 / math.sqrt(r2min)) if r2min > 0 else math.pi / 2
+    bot = math.atan(1.0 / math.sqrt(r2max)) if r2max > 0 else math.pi / 2
+    lat_lo, lat_hi = (bot, top) if face == 2 else (-top, -bot)
+    if contains_origin:
+        return -math.pi, math.pi, lat_lo, lat_hi
+    corners = [(cu, cv) for cu in (u0, u1) for cv in (v0, v1)]
+    if face == 2:
+        angs = [math.atan2(-cv, -cu) for cu, cv in corners]
+    else:
+        angs = [math.atan2(cu, cv) for cu, cv in corners]
+    ref = angs[0]
+    rel = [math.remainder(a - ref, 2.0 * math.pi) for a in angs]
+    return ref + min(rel), ref + max(rel), lat_lo, lat_hi
+
+
+def _lon_overlap(lo0, hi0, lo1, hi1) -> bool:
+    """Interval overlap on the circle for possibly-unwrapped intervals."""
+    import math
+    for shift in (-2.0 * math.pi, 0.0, 2.0 * math.pi):
+        if lo0 + shift <= hi1 and lo1 <= hi0 + shift:
+            return True
+    return False
+
+
+def cover_bbox_rad(lon_lo: float, lat_lo: float, lon_hi: float, lat_hi: float,
+                   level: int, max_cells: int = 200_000) -> np.ndarray:
+    """All level-`level` cells whose EXACT rect bound intersects the lon/lat
+    bbox (radians) — a conservative superset of the cells intersecting any
+    region inside the bbox, which is the candidate-generation contract for
+    cover joins (a contained point's cell can never be missed).  BFS over
+    the cell tree from the 6 face roots; returns signed int64 cell ids."""
+    pad = 1e-12
+    lon_lo, lat_lo, lon_hi, lat_hi = (lon_lo - pad, lat_lo - pad,
+                                      lon_hi + pad, lat_hi + pad)
+    out: list[int] = []
+    stack: list[tuple[int, int, int, int]] = [(f, 0, 0, 0) for f in range(6)]
+    while stack:
+        face, lvl, ci, cj = stack.pop()
+        scale = 1.0 / (1 << lvl)
+        s0, s1 = ci * scale, (ci + 1) * scale
+        t0, t1 = cj * scale, (cj + 1) * scale
+        u0, u1 = (float(uv_from_st(np.float64(s0))),
+                  float(uv_from_st(np.float64(s1))))
+        v0, v1 = (float(uv_from_st(np.float64(t0))),
+                  float(uv_from_st(np.float64(t1))))
+        g_lo, g_hi, la_lo, la_hi = _cell_rect_bound(face, u0, u1, v0, v1)
+        if la_hi < lat_lo or la_lo > lat_hi \
+                or not _lon_overlap(g_lo, g_hi, lon_lo, lon_hi):
+            continue
+        if lvl == level:
+            out.append((face, ci, cj))
+            if len(out) > max_cells:
+                raise ValueError(
+                    f"s2 cover exceeds {max_cells} cells at level {level}; "
+                    "choose a coarser level for this bbox")
+            continue
+        for di in (0, 1):
+            for dj in (0, 1):
+                stack.append((face, lvl + 1, ci * 2 + di, cj * 2 + dj))
+    if not out:
+        return np.zeros(0, dtype=np.int64)
+    faces = np.array([f for f, _, _ in out], dtype=np.int64)
+    ii = np.array([i << (MAX_LEVEL - level) for _, i, _ in out], dtype=np.int64)
+    jj = np.array([j << (MAX_LEVEL - level) for _, _, j in out], dtype=np.int64)
+    ids = parent(cellid_from_face_ij(faces, ii, jj), level)
+    return ids.view(np.int64)
+
+
+def cover_mercator_bbox_mm(minx: int, miny: int, maxx: int, maxy: int,
+                           level: int, max_cells: int = 200_000) -> np.ndarray:
+    """Cover of a web-mercator-mm bbox: the mercator→lon/lat transform is
+    monotonic per axis, so the bbox maps to a lon/lat bbox exactly."""
+    r = EARTH_RADIUS_M * 1000.0
+    lon_lo, lon_hi = minx / r, maxx / r
+    lat_lo = float(np.arctan(np.sinh(miny / r)))
+    lat_hi = float(np.arctan(np.sinh(maxy / r)))
+    return cover_bbox_rad(lon_lo, lat_lo, lon_hi, lat_hi, level, max_cells)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle generator — the independent cross-engine implementation
 # ---------------------------------------------------------------------------
 

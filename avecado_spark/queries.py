@@ -282,7 +282,7 @@ _EDGES_SQL = "(VALUES " + ", ".join(
 ) + ") AS e(idx, ax, ay, bx, by, val)"
 
 
-@register("j1d_pip_polygon", f"""
+_PIP_RINGS_SQL = f"""
   WITH crossings AS (
     SELECT g.url, e.idx, e.val,
            CASE WHEN (e.ay > g.my_mm) != (e.by > g.my_mm)
@@ -297,7 +297,10 @@ _EDGES_SQL = "(VALUES " + ", ".join(
   SELECT g.url, min_by(i.val, i.idx) AS admin
   FROM {GEO_SQL} g LEFT JOIN inside i USING (url)
   GROUP BY g.url
-""")
+"""
+
+
+@register("j1d_pip_polygon", _PIP_RINGS_SQL)
 def j1d_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 with GENERAL admin polygons (pentagon + triangle, concavity-ready
     crossing-number test, no boxes): broadcast map-side probe, lowest-index
@@ -306,6 +309,21 @@ def j1d_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _geo(spark, sf_dir).select("url", "mx_mm", "my_mm")
     from .operators.adminizer import adminize_points_rings
     return adminize_points_rings(g, ADMIN_RINGS).select("url", "admin")
+
+
+@register("j1e_pip_s2cover", _PIP_RINGS_SQL)
+def j1e_pip_s2cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via the S2 CELL-COVER broadcast index (north star's "S2 cell-cover
+    indexes"): same polygons and same answer as j1d_pip_polygon, but
+    candidates come from a cover-cell lookup (each point's level-8 Hilbert
+    cell binary-searched against the broadcast cover table) instead of the
+    dense bbox matrix — the O(points·log cover) shape that holds at 10^4+
+    admin polygons.  The oracle is the IDENTICAL crossing-number SQL as
+    j1d: a cover that missed any containing cell would drop rows and
+    hash-mismatch, so candidate recall is oracle-checked, not assumed."""
+    g = _geo(spark, sf_dir).select("url", "mx_mm", "my_mm")
+    from .operators.adminizer import adminize_points_s2cover
+    return adminize_points_s2cover(g, ADMIN_RINGS, level=8).select("url", "admin")
 
 
 @register("j2_knn_nearest", f"""
@@ -1183,7 +1201,7 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_rows")))
 
 
-@register("tpch_q12_priority", """
+TPCH_Q12_SQL = """
   SELECT o.o_orderpriority,
          CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
               AS BIGINT) AS returned_lines,
@@ -1192,12 +1210,20 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
   WHERE l.l_shipdate >= DATE '1996-01-01'
     AND l.l_shipdate < DATE '1997-01-01'
   GROUP BY o.o_orderpriority
-""")
+"""
+
+
 def tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-style: fact-to-dim join + conditional counting per
     priority class (the synthetic schema carries no shipmode/commitdate,
     so the gating predicate is the shipdate year and the mode split is
-    the return flag — same join + CASE-aggregation shape)."""
+    the return flag — same join + CASE-aggregation shape).
+
+    UNREGISTERED since r06 (the 50-row artifact cap; j1e_pip_s2cover took
+    the slot): the join + CASE-aggregation shape stays covered by
+    tpch_q3/q5/q10; exact-oracle parity is pinned by
+    tests/test_oracle_parity.py::test_tpch_q12_duckdb_parity against the
+    identical TPCH_Q12_SQL."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))

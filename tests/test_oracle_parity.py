@@ -106,6 +106,19 @@ def test_tpch_q6_duckdb_parity(spark, duck):
         == _canon(drows, ["revenue_e4", "n_rows"])
 
 
+def test_tpch_q12_duckdb_parity(spark, duck):
+    """tpch_q12_priority rotated out of the registry in r06 (the 50-row
+    artifact cap; j1e_pip_s2cover took the slot) — its exact-oracle
+    parity lives here instead, same gate as the registered rows."""
+    from avecado_spark.queries import TPCH_Q12_SQL, tpch_q12_priority
+    sdf = tpch_q12_priority(spark, SF_ORACLE)
+    srows = sdf.collect()
+    drows = duck.sql(TPCH_Q12_SQL).fetchall()
+    assert len(srows) == len(drows)
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, ["o_orderpriority", "returned_lines", "all_lines"])
+
+
 def test_tpch_q14_duckdb_parity(spark, duck):
     """tpch_q14_promo rotated out of the registry in r06 (the 50-row
     artifact cap; sim_ann_sq8 took the slot) — its exact-oracle parity
