@@ -340,17 +340,36 @@ def _lon_overlap(lo0, hi0, lo1, hi1) -> bool:
     return False
 
 
+def _lon_within(lo0, hi0, lo1, hi1) -> bool:
+    """[lo0,hi0] ⊆ [lo1,hi1] on the circle (unwrapped intervals)."""
+    import math
+    for shift in (-2.0 * math.pi, 0.0, 2.0 * math.pi):
+        if lo0 + shift >= lo1 and hi0 + shift <= hi1:
+            return True
+    return False
+
+
 def cover_bbox_rad(lon_lo: float, lat_lo: float, lon_hi: float, lat_hi: float,
-                   level: int, max_cells: int = 200_000) -> np.ndarray:
-    """All level-`level` cells whose EXACT rect bound intersects the lon/lat
-    bbox (radians) — a conservative superset of the cells intersecting any
-    region inside the bbox, which is the candidate-generation contract for
-    cover joins (a contained point's cell can never be missed).  BFS over
-    the cell tree from the 6 face roots; returns signed int64 cell ids."""
+                   level: int, max_cells: int = 200_000,
+                   adaptive: bool = False) -> np.ndarray:
+    """Cells whose EXACT rect bound intersects the lon/lat bbox (radians) —
+    a conservative superset of the cells intersecting any region inside the
+    bbox, which is the candidate-generation contract for cover joins (a
+    contained point's cell can never be missed).  BFS over the cell tree
+    from the 6 face roots; returns signed int64 cell ids.
+
+    Fixed mode (adaptive=False): all cells at exactly `level` — the shape
+    for an EQUALITY join on a level-`level` doc column, but cover size
+    grows 4× per level (O(area)).  Adaptive mode: `level` is the MAX
+    level; a cell whose rect bound lies fully inside the bbox is emitted
+    where it is (its whole subtree is inside — collapsing is sound because
+    bound ⊇ region), so the cover is O(perimeter) cells at mixed levels —
+    the canonical S2 covering, joined via [range_min, range_max] leaf-id
+    ranges instead of equality."""
     pad = 1e-12
     lon_lo, lat_lo, lon_hi, lat_hi = (lon_lo - pad, lat_lo - pad,
                                       lon_hi + pad, lat_hi + pad)
-    out: list[int] = []
+    out: list[tuple[int, int, int, int]] = []
     stack: list[tuple[int, int, int, int]] = [(f, 0, 0, 0) for f in range(6)]
     while stack:
         face, lvl, ci, cj = stack.pop()
@@ -365,8 +384,10 @@ def cover_bbox_rad(lon_lo: float, lat_lo: float, lon_hi: float, lat_hi: float,
         if la_hi < lat_lo or la_lo > lat_hi \
                 or not _lon_overlap(g_lo, g_hi, lon_lo, lon_hi):
             continue
-        if lvl == level:
-            out.append((face, ci, cj))
+        inside = adaptive and lat_lo <= la_lo and la_hi <= lat_hi \
+            and _lon_within(g_lo, g_hi, lon_lo, lon_hi)
+        if lvl == level or inside:
+            out.append((face, lvl, ci, cj))
             if len(out) > max_cells:
                 raise ValueError(
                     f"s2 cover exceeds {max_cells} cells at level {level}; "
@@ -377,22 +398,27 @@ def cover_bbox_rad(lon_lo: float, lat_lo: float, lon_hi: float, lat_hi: float,
                 stack.append((face, lvl + 1, ci * 2 + di, cj * 2 + dj))
     if not out:
         return np.zeros(0, dtype=np.int64)
-    faces = np.array([f for f, _, _ in out], dtype=np.int64)
-    ii = np.array([i << (MAX_LEVEL - level) for _, i, _ in out], dtype=np.int64)
-    jj = np.array([j << (MAX_LEVEL - level) for _, _, j in out], dtype=np.int64)
-    ids = parent(cellid_from_face_ij(faces, ii, jj), level)
+    faces = np.array([f for f, _, _, _ in out], dtype=np.int64)
+    lvls = np.array([l for _, l, _, _ in out], dtype=np.int64)
+    ii = np.array([i << (MAX_LEVEL - l) for _, l, i, _ in out], dtype=np.int64)
+    jj = np.array([j << (MAX_LEVEL - l) for _, l, _, j in out], dtype=np.int64)
+    leaf = cellid_from_face_ij(faces, ii, jj)
+    lsb = np.uint64(1) << (np.uint64(2) * (np.uint64(MAX_LEVEL) - lvls.astype(np.uint64)))
+    ids = (leaf & ((~lsb) + np.uint64(1))) | lsb
     return ids.view(np.int64)
 
 
 def cover_mercator_bbox_mm(minx: int, miny: int, maxx: int, maxy: int,
-                           level: int, max_cells: int = 200_000) -> np.ndarray:
+                           level: int, max_cells: int = 200_000,
+                           adaptive: bool = False) -> np.ndarray:
     """Cover of a web-mercator-mm bbox: the mercator→lon/lat transform is
     monotonic per axis, so the bbox maps to a lon/lat bbox exactly."""
     r = EARTH_RADIUS_M * 1000.0
     lon_lo, lon_hi = minx / r, maxx / r
     lat_lo = float(np.arctan(np.sinh(miny / r)))
     lat_hi = float(np.arctan(np.sinh(maxy / r)))
-    return cover_bbox_rad(lon_lo, lat_lo, lon_hi, lat_hi, level, max_cells)
+    return cover_bbox_rad(lon_lo, lat_lo, lon_hi, lat_hi, level, max_cells,
+                          adaptive=adaptive)
 
 
 # ---------------------------------------------------------------------------

@@ -310,7 +310,8 @@ def main():
                  "sim_ann_sq8",
                  "text_quality", "text_lang_id", "text_fingerprint",
                  "events_window_5m", "events_window_sliding",
-                 "events_sessionize", "j1d_pip_polygon",
+                 "events_sessionize", "j1d_pip_polygon", "j1e_pip_s2cover",
+                 "s2_cell_docs_l12",
                  "tpch_q3_shipping", "tpch_window_top3",
                  "raster_pixels_oracle", "izer_unionize_oracle"):
         t = time.time()

@@ -302,7 +302,8 @@ def test_q6_scan_filter_agg_single_wide_stage(spark):
     predicates pushed to the parquet scan, no join, and exactly one
     exchange (the final single-group aggregation)."""
     from avecado_spark.queries import queries
-    q = queries()["tpch_q6_forecast"](spark, SF)
+    from avecado_spark.queries import tpch_q6_forecast  # unregistered r06
+    q = tpch_q6_forecast(spark, SF)
     plan = q._jdf.queryExecution().executedPlan().toString()
     pushed = plan.split("PushedFilters")[1][:300]
     assert "l_shipdate" in pushed
