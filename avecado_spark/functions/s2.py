@@ -421,6 +421,100 @@ def cover_mercator_bbox_mm(minx: int, miny: int, maxx: int, maxy: int,
                           adaptive=adaptive)
 
 
+def cover_polygon_mm(ring_mm, max_level: int, max_cells: int = 200_000,
+                     adaptive: bool = True) -> np.ndarray:
+    """Cover of the polygon REGION itself (mercator-mm ring), not its bbox —
+    for thin or diagonal polygons this prunes the bbox's dead corners, the
+    difference between a candidate set proportional to the polygon and one
+    proportional to its bounding box.
+
+    Cell → lon/lat rect bound → mercator rect (both axis transforms are
+    monotonic; latitude clamps at the mercator world edge).  A cell is
+    PRUNED only when the exact rect/polygon intersection test says disjoint
+    (rect bound ⊇ cell region, so pruning can never lose a candidate);
+    it COLLAPSES (adaptive) when all rect corners are covered and no
+    polygon edge crosses a rect edge — exact for simple polygons.  Face-3
+    cells carry unwrapped longitudes, so the rect is tested at ±world
+    shifts as well."""
+    from . import geometry as G
+
+    ring = np.asarray(ring_mm, dtype=np.float64)
+    rc = G.close_ring(ring)
+    edges = list(zip(rc[:-1], rc[1:]))
+    rmm = EARTH_RADIUS_M * 1000.0
+    world = float(np.pi) * rmm
+
+    def merc_y(lat: float) -> float:
+        s = np.sin(min(max(lat, -1.5707), 1.5707))
+        if abs(s) >= 1.0:
+            return np.sign(s) * 2.0 * world
+        return float(np.arctanh(s)) * rmm
+
+    def rect_vs_poly(x0, x1, y0, y1):
+        """(intersects, within) under the three world shifts."""
+        inter = within = False
+        for shift in (-2.0 * world, 0.0, 2.0 * world):
+            a, b = x0 + shift, x1 + shift
+            rect = np.array([[a, y0], [b, y0], [b, y1], [a, y1]])
+            if not G.boxes_intersect((a, y0, b, y1), G.bbox(ring)):
+                continue
+            if G.points_cover(rect, [ring]).all():
+                crossed = False
+                rrc = G.close_ring(rect)
+                for i in range(4):
+                    p0, p1 = tuple(rrc[i]), tuple(rrc[i + 1])
+                    for q0, q1 in edges:
+                        if G._seg_seg_params(p0, p1, tuple(q0), tuple(q1)):
+                            crossed = True
+                            break
+                    if crossed:
+                        break
+                inter = True
+                if not crossed:
+                    within = True
+                continue
+            if G.polygon_intersects_polygon([rect], [ring]):
+                inter = True
+        return inter, within
+
+    out: list[tuple[int, int, int, int]] = []
+    stack: list[tuple[int, int, int, int]] = [(f, 0, 0, 0) for f in range(6)]
+    while stack:
+        face, lvl, ci, cj = stack.pop()
+        scale = 1.0 / (1 << lvl)
+        u0, u1 = (float(uv_from_st(np.float64(ci * scale))),
+                  float(uv_from_st(np.float64((ci + 1) * scale))))
+        v0, v1 = (float(uv_from_st(np.float64(cj * scale))),
+                  float(uv_from_st(np.float64((cj + 1) * scale))))
+        g_lo, g_hi, la_lo, la_hi = _cell_rect_bound(face, u0, u1, v0, v1)
+        pad = 1e-12
+        inter, within = rect_vs_poly((g_lo - pad) * rmm, (g_hi + pad) * rmm,
+                                     merc_y(la_lo - pad), merc_y(la_hi + pad))
+        if not inter:
+            continue
+        if lvl == max_level or (adaptive and within):
+            out.append((face, lvl, ci, cj))
+            if len(out) > max_cells:
+                raise ValueError(
+                    f"s2 polygon cover exceeds {max_cells} cells at level "
+                    f"{max_level}; choose a coarser level")
+            continue
+        for di in (0, 1):
+            for dj in (0, 1):
+                stack.append((face, lvl + 1, ci * 2 + di, cj * 2 + dj))
+    if not out:
+        return np.zeros(0, dtype=np.int64)
+    faces = np.array([f for f, _, _, _ in out], dtype=np.int64)
+    lvls = np.array([l for _, l, _, _ in out], dtype=np.int64)
+    ii = np.array([i << (MAX_LEVEL - l) for _, l, i, _ in out], dtype=np.int64)
+    jj = np.array([j << (MAX_LEVEL - l) for _, l, _, j in out], dtype=np.int64)
+    leaf = cellid_from_face_ij(faces, ii, jj)
+    lsb = np.uint64(1) << (np.uint64(2)
+                           * (np.uint64(MAX_LEVEL) - lvls.astype(np.uint64)))
+    ids = (leaf & ((~lsb) + np.uint64(1))) | lsb
+    return ids.view(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle generator — the independent cross-engine implementation
 # ---------------------------------------------------------------------------

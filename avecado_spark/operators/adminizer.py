@@ -454,6 +454,7 @@ def adminize_points_s2cover(df: DataFrame,
 def adminize_points_s2ranges(df: DataFrame,
                              polygons: list[tuple[int, list, str]],
                              max_level: int = 12,
+                             cover: str = "bbox",
                              x_col: str = "mx_mm", y_col: str = "my_mm",
                              out_col: str = "admin") -> DataFrame:
     """adminize_points_rings semantics via ADAPTIVE S2 covers joined on
@@ -470,21 +471,32 @@ def adminize_points_s2ranges(df: DataFrame,
     crossing-number PIP confirms candidates; output contract identical to
     adminize_points_rings (pinned by tests + the j1d oracle family).
 
+    cover="polygon" covers the polygon REGION itself (s2.cover_polygon_mm)
+    instead of its bbox: for thin or diagonal polygons the candidate set
+    shrinks from O(bbox area) to O(polygon area + perimeter) while staying
+    a strict superset of the truth (pruning uses the exact rect/polygon
+    disjointness test), so recall is unchanged by construction.
+
     Scale note: the per-polygon searchsorted loop is the right shape up to
     ~10^3 polygons; at ADM2 scale (10^4+) flatten all covers into one
     globally sorted laminar range table and resolve the containment chain
     once per point."""
     from ..functions import s2
 
+    if cover not in ("bbox", "polygon"):
+        raise ValueError(f"unknown cover kind: {cover!r}")
     polys = sorted(polygons)
     rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
     values = [v for _, _, v in polys]
     ranges = []
     for ring in rings:
-        bb = G.bbox(ring)
-        cells = s2.cover_mercator_bbox_mm(int(bb[0]), int(bb[1]),
-                                          int(bb[2]), int(bb[3]),
-                                          max_level, adaptive=True)
+        if cover == "polygon":
+            cells = s2.cover_polygon_mm(ring, max_level)
+        else:
+            bb = G.bbox(ring)
+            cells = s2.cover_mercator_bbox_mm(int(bb[0]), int(bb[1]),
+                                              int(bb[2]), int(bb[3]),
+                                              max_level, adaptive=True)
         cu = cells.view(np.uint64)
         rmin, rmax = s2.range_min(cu), s2.range_max(cu)
         order = np.argsort(rmin)
