@@ -707,3 +707,265 @@ def adminize_points_knn_rings(df: DataFrame,
             yield out
 
     return df.mapInPandas(probe, schema=schema)
+
+
+def polygons_to_df(spark, polygons: list[tuple[int, list, str]]):
+    """The polygon side as a DataFrame (pid, value, coords flat ring) — the
+    input shape for the SHUFFLE spatial join, where the admin table is too
+    large to broadcast.  pid is the position in the reference's sorted
+    polygon order, so min(pid) reproduces mode=first semantics."""
+    rows = []
+    for pid, (_, ring, val) in enumerate(sorted(polygons)):
+        coords = [float(c) for xy in ring for c in xy]
+        rows.append((pid, val, coords))
+    return spark.createDataFrame(rows, "pid long, value string, coords array<double>")
+
+
+def adminize_points_s2join(df: DataFrame, polys_df: DataFrame,
+                           id_col: str = "url",
+                           max_level: int = 12,
+                           cover: str = "bbox",
+                           x_col: str = "mx_mm", y_col: str = "my_mm",
+                           out_col: str = "admin") -> DataFrame:
+    """adminize_points_rings semantics as a DISTRIBUTED SHUFFLE join — the
+    path for a polygon side too large to broadcast (10^6+ polygons: every
+    OSM admin area, parcel tables).  Both sides stay DataFrames end-to-end;
+    no driver-side index, no broadcast of the polygon table.
+
+    Shape (the canonical S2 join at corpus scale):
+      1. polygon side: one map-side pass computes each polygon's ADAPTIVE
+         mixed-level cover (bbox or region, s2.cover_*) → (cell, pid) rows.
+      2. point side: one vectorized map-side pass computes the LEAF id;
+         ancestors at the cover's distinct levels are pure JVM bit math
+         (mask/or on the long), exploded to (cell, point) rows.
+      3. candidates = equi-join on cell — a plain shuffled hash/sort-merge
+         join Catalyst and AQE handle like any other key join (skew rules
+         apply: a continent-sized polygon's cover is many cells, so its
+         candidates spread over many keys instead of one hot row).
+         Adaptive covers are DISJOINT ranges, so each (point, polygon)
+         pair joins at most once — no dedup pass needed.
+      4. exact crossing-number PIP on candidate pairs only (Arrow-batched),
+         then groupBy(point).min(struct(pid, value)) reproduces the
+         reference's mode=first ascending-index semantics JVM-side.
+
+    Parity-pinned against the broadcast dense probe on the same inputs."""
+    from pyspark.sql import functions as F
+
+    from ..functions import s2
+
+    if cover not in ("bbox", "polygon"):
+        raise ValueError(f"unknown cover kind: {cover!r}")
+    spark = df.sparkSession
+
+    # -- 1. polygon covers ---------------------------------------------------
+    def gen_covers(batches):
+        for pdf in batches:
+            out_cell, out_lvl, out_pid = [], [], []
+            for pid, coords in zip(pdf["pid"].tolist(), pdf["coords"]):
+                ring = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+                if cover == "polygon":
+                    cells = s2.cover_polygon_mm(ring, max_level)
+                else:
+                    bb = G.bbox(ring)
+                    cells = s2.cover_mercator_bbox_mm(
+                        int(bb[0]), int(bb[1]), int(bb[2]), int(bb[3]),
+                        max_level, adaptive=True)
+                out_cell.append(cells)
+                out_lvl.append(s2.cell_level(cells.view(np.uint64)))
+                out_pid.append(np.full(len(cells), pid, dtype=np.int64))
+            yield pd.DataFrame({
+                "cell": np.concatenate(out_cell) if out_cell else np.zeros(0, np.int64),
+                "lvl": np.concatenate(out_lvl).astype(np.int64) if out_lvl else np.zeros(0, np.int64),
+                "pid": np.concatenate(out_pid) if out_pid else np.zeros(0, np.int64),
+            })
+
+    from .dedup import persist_latest
+    covers = polys_df.mapInPandas(gen_covers, schema="cell long, lvl long, pid long")
+    # one-generation cache: the cover table feeds both the distinct-level
+    # probe (a driver action over <= MAX_LEVEL tiny rows) and the join
+    covers = persist_latest("s2join_covers", covers)
+    levels = sorted(r[0] for r in covers.select("lvl").distinct().collect())
+
+    # -- 2. point leaf ids + JVM ancestors ----------------------------------
+    from pyspark.sql.types import LongType, StructField, StructType
+    leaf_schema = StructType(list(df.schema.fields)
+                             + [StructField("s2_leaf", LongType())])
+
+    def add_leaf(batches):
+        for pdf in batches:
+            leaf = s2.cellid_from_mercator_mm(
+                pdf[x_col].to_numpy(dtype=np.int64),
+                pdf[y_col].to_numpy(dtype=np.int64))
+            pdf["s2_leaf"] = leaf
+            yield pdf
+
+    pts = df.mapInPandas(add_leaf, schema=leaf_schema)
+
+    def _signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    ancestors = []
+    for lvl in levels:
+        lsb = 1 << (2 * (s2.MAX_LEVEL - lvl))
+        mask = _signed((~(2 * lsb - 1)) & ((1 << 64) - 1))
+        ancestors.append(F.col("s2_leaf").bitwiseAND(F.lit(mask))
+                         .bitwiseOR(F.lit(_signed(lsb))))
+    pt_cells = pts.select(F.col(id_col), F.col(x_col).alias("_px"),
+                          F.col(y_col).alias("_py"),
+                          F.explode(F.array(*ancestors)).alias("cell"))
+
+    # -- 3. candidate equi-join + ring fetch ---------------------------------
+    cand = (pt_cells.join(covers.select("cell", "pid"), "cell")
+            .join(polys_df, "pid")
+            .select(id_col, "_px", "_py", "pid", "value", "coords"))
+
+    # -- 4. exact PIP on candidates only -------------------------------------
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pts_arr = np.stack([pdf["_px"].to_numpy(dtype=np.float64),
+                                pdf["_py"].to_numpy(dtype=np.float64)], axis=1)
+            pid_arr = pdf["pid"].to_numpy(dtype=np.int64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for p in np.unique(pid_arr):
+                sel = np.nonzero(pid_arr == p)[0]
+                ring = np.asarray(pdf["coords"].iloc[sel[0]],
+                                  dtype=np.float64).reshape(-1, 2)
+                keep[sel] = G.points_in_ring(pts_arr[sel], ring)
+            out = pdf.loc[keep, [id_col, "pid", "value"]]
+            if len(out):
+                yield out
+
+    hits = cand.sortWithinPartitions("pid").mapInPandas(
+        verify, schema=f"{id_col} string, pid long, value string")
+    first = (hits.groupBy(id_col)
+             .agg(F.min(F.struct("pid", "value")).alias("_m"))
+             .select(id_col, F.col("_m.value").alias(out_col)))
+    return df.join(first, id_col, "left")
+
+
+def _leaf_interval_index(ranges: list[tuple[np.ndarray, np.ndarray]]):
+    """Flatten per-polygon cover ranges into ONE global elementary-interval
+    table: sorted leaf-id boundaries B plus, per gap [B[i], B[i+1]), the
+    flat list of polygon ids whose cover contains that gap.  S2 cell ranges
+    are laminar (two cell ranges are nested, equal, or disjoint), so the
+    sweep's active set only ever changes by whole ranges and the per-gap
+    lists stay small (nesting depth ~ admin hierarchy depth, not polygon
+    count).  Build is a driver-side one-time O(R log R) sweep over
+    R = total cover cells; the probe then costs O(log R) per point
+    independent of the polygon count — the ADM2-scale (10^4+) index."""
+    starts, ends, pids = [], [], []
+    for pid, (rmin, rmax) in enumerate(ranges):
+        if len(rmin) == 0:
+            continue
+        starts.append(rmin)
+        ends.append(rmax + np.uint64(1))
+        pids.append(np.full(len(rmin), pid, dtype=np.int64))
+    if not starts:
+        z = np.zeros(0, dtype=np.uint64)
+        zi = np.zeros(0, dtype=np.int64)
+        return z, zi, zi.copy(), zi.copy()
+    s = np.concatenate(starts)
+    e = np.concatenate(ends)
+    p = np.concatenate(pids)
+    bounds = np.unique(np.concatenate([s, e]))
+    # sweep: per-range +1 at its start gap, -1 at its end gap
+    n_gaps = len(bounds) - 1
+    active: dict[int, int] = {}
+    # event list: (gap_idx, +pid) for start, (gap_idx, -pid-1) for end
+    si = np.searchsorted(bounds, s)
+    ei = np.searchsorted(bounds, e)
+    order = np.argsort(si, kind="stable")
+    ev_open = list(zip(si[order].tolist(), p[order].tolist()))
+    order_e = np.argsort(ei, kind="stable")
+    ev_close = list(zip(ei[order_e].tolist(), p[order_e].tolist()))
+    off = np.zeros(n_gaps + 1, dtype=np.int64)
+    out_pids: list[int] = []
+    oi = ci = 0
+    for g in range(n_gaps):
+        while ci < len(ev_close) and ev_close[ci][0] <= g:
+            pid = ev_close[ci][1]
+            active[pid] -= 1
+            if not active[pid]:
+                del active[pid]
+            ci += 1
+        while oi < len(ev_open) and ev_open[oi][0] <= g:
+            pid = ev_open[oi][1]
+            active[pid] = active.get(pid, 0) + 1
+            oi += 1
+        out_pids.extend(sorted(active))
+        off[g + 1] = len(out_pids)
+    return bounds, off, np.array(out_pids, dtype=np.int64), p
+
+
+def adminize_points_s2index(df: DataFrame,
+                            polygons: list[tuple[int, list, str]],
+                            max_level: int = 12,
+                            cover: str = "bbox",
+                            x_col: str = "mx_mm", y_col: str = "my_mm",
+                            out_col: str = "admin") -> DataFrame:
+    """adminize_points_rings semantics via the FLATTENED elementary-interval
+    S2 index (_leaf_interval_index): one broadcast table, one searchsorted
+    per batch for ALL polygons — probe cost O(points · (log R + depth)),
+    independent of the polygon count, vs the per-polygon searchsorted loop
+    in adminize_points_s2ranges.  This is the broadcast path sized for
+    10^4+ admin polygons (ADM2 planet scale)."""
+    from ..functions import s2
+
+    if cover not in ("bbox", "polygon"):
+        raise ValueError(f"unknown cover kind: {cover!r}")
+    polys = sorted(polygons)
+    rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
+    values = [v for _, _, v in polys]
+    ranges = []
+    for ring in rings:
+        if cover == "polygon":
+            cells = s2.cover_polygon_mm(ring, max_level)
+        else:
+            bb = G.bbox(ring)
+            cells = s2.cover_mercator_bbox_mm(int(bb[0]), int(bb[1]),
+                                              int(bb[2]), int(bb[3]),
+                                              max_level, adaptive=True)
+        cu = cells.view(np.uint64)
+        ranges.append((np.sort(s2.range_min(cu)), np.sort(s2.range_max(cu))))
+    bounds, off, gap_pids, _ = _leaf_interval_index(ranges)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (rings, values, bounds, off, gap_pids))
+
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
+
+    def probe(batches):
+        rings, values, bounds, off, gap_pids = bc.value
+        for pdf in batches:
+            mx = pdf[x_col].to_numpy(dtype=np.int64)
+            my = pdf[y_col].to_numpy(dtype=np.int64)
+            pts = np.stack([mx.astype(np.float64),
+                            my.astype(np.float64)], axis=1)
+            n = len(pts)
+            best = np.full(n, len(rings), dtype=np.int64)
+            if n and len(bounds):
+                leaf = s2.cellid_from_mercator_mm(mx, my).view(np.uint64)
+                gap = np.searchsorted(bounds, leaf, side="right") - 1
+                inb = (gap >= 0) & (gap < len(bounds) - 1)
+                gi = gap[inb]
+                cnt = off[gi + 1] - off[gi]
+                pt_idx = np.repeat(np.nonzero(inb)[0], cnt)
+                # flat candidate pid per (point, candidate) pair
+                base = np.repeat(off[gi], cnt)
+                step = np.arange(len(pt_idx), dtype=np.int64) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt)
+                cand_pid = gap_pids[base + step]
+                for p in np.unique(cand_pid):
+                    sel = pt_idx[cand_pid == p]
+                    sel = sel[best[sel] > p]
+                    if len(sel) == 0:
+                        continue
+                    ins = G.points_in_ring(pts[sel], rings[p])
+                    best[sel[ins]] = np.minimum(best[sel[ins]], p)
+            pdf[out_col] = [values[b] if b < len(rings) else None
+                            for b in best]
+            yield pdf
+
+    return df.mapInPandas(probe, schema=schema)
