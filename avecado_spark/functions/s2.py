@@ -515,11 +515,13 @@ def cover_bboxes_rad_batch(lon_lo, lat_lo, lon_hi, lat_hi, level: int,
                            adaptive: bool = True):
     """Adaptive covers for MANY bboxes in one BFS: the frontier carries an
     owner index and every per-cell test gathers its owner's bbox, so the
-    whole 10^4-polygon index build is a handful of full-width numpy passes
-    instead of 10^4 Python recursions (measured: 53.5s → ~2s at 10k
-    polygons / 5.8M cover cells).  Returns (ids int64, owner int64);
-    emitted cells per owner are exactly cover_bbox_rad(..., adaptive=...)
-    of that owner's bbox — parity is test-pinned."""
+    whole 10^4-polygon index build is a few dozen full-width numpy passes
+    per level instead of 10^4 independent traversals (measured at 10k
+    polygons / level-12 adaptive / 926k cover cells: 26.7s vs 47.3s for
+    the per-polygon loop).  Returns (ids int64, owner int64); emitted
+    cells per owner are exactly cover_bbox_rad(..., adaptive=...) of that
+    owner's bbox — parity is test-pinned
+    (tests/test_s2_cover.py::test_batch_cover_matches_scalar_per_owner)."""
     pad = 1e-12
     lon_lo = np.asarray(lon_lo, dtype=np.float64) - pad
     lat_lo = np.asarray(lat_lo, dtype=np.float64) - pad

@@ -910,17 +910,30 @@ def adminize_points_s2index(df: DataFrame,
     polys = sorted(polygons)
     rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
     values = [v for _, _, v in polys]
-    ranges = []
-    for ring in rings:
-        if cover == "polygon":
-            cells = s2.cover_polygon_mm(ring, max_level)
-        else:
-            bb = G.bbox(ring)
-            cells = s2.cover_mercator_bbox_mm(int(bb[0]), int(bb[1]),
-                                              int(bb[2]), int(bb[3]),
-                                              max_level, adaptive=True)
-        cu = cells.view(np.uint64)
-        ranges.append((np.sort(s2.range_min(cu)), np.sort(s2.range_max(cu))))
+    if cover == "polygon":
+        ranges = []
+        for ring in rings:
+            cu = s2.cover_polygon_mm(ring, max_level).view(np.uint64)
+            ranges.append((np.sort(s2.range_min(cu)),
+                           np.sort(s2.range_max(cu))))
+    else:
+        # ALL bbox covers in one batched BFS (cover_bboxes_rad_batch):
+        # per-owner cells equal the per-ring scalar cover (test-pinned),
+        # built in a handful of full-width numpy passes instead of one
+        # Python recursion per polygon — the index-build side of the
+        # "10^4+ admin polygons" sizing, not just the probe side.
+        bbs = np.array([G.bbox(r) for r in rings], dtype=np.float64)
+        ids, owner = s2.cover_mercator_bboxes_mm_batch(
+            bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3],
+            max_level, adaptive=True)
+        cu = ids.view(np.uint64)
+        lo, hi = s2.range_min(cu), s2.range_max(cu)
+        order = np.argsort(owner, kind="stable")
+        owner, lo, hi = owner[order], lo[order], hi[order]
+        cuts = np.searchsorted(owner, np.arange(len(rings) + 1))
+        ranges = [(np.sort(lo[cuts[k]:cuts[k + 1]]),
+                   np.sort(hi[cuts[k]:cuts[k + 1]]))
+                  for k in range(len(rings))]
     bounds, off, gap_pids, _ = _leaf_interval_index(ranges)
     bc = df.sparkSession.sparkContext.broadcast(
         (rings, values, bounds, off, gap_pids))
