@@ -331,75 +331,6 @@ def _cell_rect_bound(face: int, u0: float, u1: float, v0: float, v1: float):
     return ref + min(rel), ref + max(rel), lat_lo, lat_hi
 
 
-def _cell_rect_bound_vec(face, u0, u1, v0, v1):
-    """Vectorized _cell_rect_bound: same exact bounds, evaluated for a whole
-    BFS frontier at once (arrays in, arrays out).  Parity with the scalar
-    version is test-pinned over random cells on every face."""
-    face = np.atleast_1d(np.asarray(face, dtype=np.int64))
-    u0, u1, v0, v1 = (np.atleast_1d(np.asarray(a, dtype=np.float64))
-                      for a in (u0, u1, v0, v1))
-    lon_lo = np.empty(len(face))
-    lon_hi = np.empty(len(face))
-    lat_lo = np.empty(len(face))
-    lat_hi = np.empty(len(face))
-
-    # --- equatorial branch (only its rows) ---------------------------------
-    is_polar = (face == 2) | (face == 5)
-    polar_any = bool(is_polar.any())
-    if polar_any:
-        eq = np.flatnonzero(~is_polar)
-        fe, a0, a1, b0, b1 = face[eq], u0[eq], u1[eq], v0[eq], v1[eq]
-    else:
-        eq = slice(None)
-        fe, a0, a1, b0, b1 = face, u0, u1, v0, v1
-    eq34 = fe >= 3
-    p0 = np.where(eq34, b0, a0)
-    p1 = np.where(eq34, b1, a1)
-    w0 = np.where(eq34, -a1, b0)
-    w1 = np.where(eq34, -a0, b1)
-    base = np.select([fe == 1, fe == 3, fe == 4],
-                     [np.pi / 2, np.pi, -np.pi / 2], 0.0)
-    lon_lo[eq] = base + np.arctan(p0)
-    lon_hi[eq] = base + np.arctan(p1)
-    spans0 = (p0 <= 0.0) & (0.0 <= p1)
-    p_near = np.where(spans0, 0.0, np.minimum(np.abs(p0), np.abs(p1)))
-    p_far = np.maximum(np.abs(p0), np.abs(p1))
-    p_hi = np.where(w1 > 0, p_near, p_far)
-    p_lo = np.where(w0 < 0, p_near, p_far)
-    lat_hi[eq] = np.arctan(w1 / np.sqrt(1.0 + p_hi * p_hi))
-    lat_lo[eq] = np.arctan(w0 / np.sqrt(1.0 + p_lo * p_lo))
-
-    # --- polar branch (only its rows) --------------------------------------
-    if polar_any:
-        po = np.flatnonzero(is_polar)
-        fp, a0, a1, b0, b1 = face[po], u0[po], u1[po], v0[po], v1[po]
-        with np.errstate(divide="ignore"):
-            contains_origin = (a0 <= 0.0) & (0.0 <= a1) & (b0 <= 0.0) & (0.0 <= b1)
-            du = np.where((a0 <= 0.0) & (0.0 <= a1), 0.0,
-                          np.minimum(np.abs(a0), np.abs(a1)))
-            dv = np.where((b0 <= 0.0) & (0.0 <= b1), 0.0,
-                          np.minimum(np.abs(b0), np.abs(b1)))
-            r2min = du * du + dv * dv
-            r2max = (np.maximum(a0 * a0, a1 * a1)
-                     + np.maximum(b0 * b0, b1 * b1))
-            top = np.where(r2min > 0, np.arctan(1.0 / np.sqrt(r2min)), np.pi / 2)
-            bot = np.where(r2max > 0, np.arctan(1.0 / np.sqrt(r2max)), np.pi / 2)
-        is2 = fp == 2
-        lat_lo[po] = np.where(is2, bot, -top)
-        lat_hi[po] = np.where(is2, top, -bot)
-        # corner support angles (exactly the scalar corner order/remainder)
-        cu = np.stack([a0, a0, a1, a1], axis=-1)
-        cv = np.stack([b0, b1, b0, b1], axis=-1)
-        angs = np.where(is2[:, None], np.arctan2(-cv, -cu), np.arctan2(cu, cv))
-        ref = angs[:, 0]
-        d = angs - ref[:, None]
-        # math.remainder(x, 2π): x − 2π·round(x/2π) (round-half-even)
-        rel = d - 2.0 * np.pi * np.round(d / (2.0 * np.pi))
-        lon_lo[po] = np.where(contains_origin, -np.pi, ref + rel.min(axis=-1))
-        lon_hi[po] = np.where(contains_origin, np.pi, ref + rel.max(axis=-1))
-    return lon_lo, lon_hi, lat_lo, lat_hi
-
-
 def _lon_overlap(lo0, hi0, lo1, hi1) -> bool:
     """Interval overlap on the circle for possibly-unwrapped intervals."""
     import math
@@ -436,78 +367,14 @@ def cover_bbox_rad(lon_lo: float, lat_lo: float, lon_hi: float, lat_hi: float,
     the canonical S2 covering, joined via [range_min, range_max] leaf-id
     ranges instead of equality.
 
-    Implementation: level-synchronous BFS with the WHOLE frontier evaluated
-    as numpy arrays (_cell_rect_bound_vec) — the per-cell cost is a handful
-    of vectorized flops, so building 10^4 polygon covers for a broadcast
-    index is seconds, not minutes."""
-    pad = 1e-12
-    lon_lo, lat_lo, lon_hi, lat_hi = (lon_lo - pad, lat_lo - pad,
-                                      lon_hi + pad, lat_hi + pad)
-    shifts = np.array([-2.0 * np.pi, 0.0, 2.0 * np.pi])
-    out_f: list[np.ndarray] = []
-    out_l: list[np.ndarray] = []
-    out_i: list[np.ndarray] = []
-    out_j: list[np.ndarray] = []
-    n_out = 0
-    face = np.arange(6, dtype=np.int64)
-    ci = np.zeros(6, dtype=np.int64)
-    cj = np.zeros(6, dtype=np.int64)
-    for lvl in range(level + 1):
-        if len(face) == 0:
-            break
-        scale = 1.0 / (1 << lvl)
-        u0 = uv_from_st(ci * scale)
-        u1 = uv_from_st((ci + 1) * scale)
-        v0 = uv_from_st(cj * scale)
-        v1 = uv_from_st((cj + 1) * scale)
-        g_lo, g_hi, la_lo, la_hi = _cell_rect_bound_vec(face, u0, u1, v0, v1)
-        lat_ok = (la_hi >= lat_lo) & (la_lo <= lat_hi)
-        lon_ok = ((g_lo[:, None] + shifts <= lon_hi)
-                  & (lon_lo <= g_hi[:, None] + shifts)).any(axis=1)
-        overlap = lat_ok & lon_ok
-        if adaptive:
-            lon_in = ((g_lo[:, None] + shifts >= lon_lo)
-                      & (g_hi[:, None] + shifts <= lon_hi)).any(axis=1)
-            inside = (la_lo >= lat_lo) & (la_hi <= lat_hi) & lon_in
-        else:
-            inside = np.zeros(len(face), dtype=bool)
-        emit = overlap & (inside if lvl < level else np.ones(len(face), bool))
-        if emit.any():
-            out_f.append(face[emit])
-            out_l.append(np.full(int(emit.sum()), lvl, dtype=np.int64))
-            out_i.append(ci[emit])
-            out_j.append(cj[emit])
-            n_out += int(emit.sum())
-            if n_out > max_cells:
-                raise ValueError(
-                    f"s2 cover exceeds {max_cells} cells at level {level}; "
-                    "choose a coarser level for this bbox")
-        desc = overlap & ~emit
-        face, ci, cj = face[desc], ci[desc], cj[desc]
-        # early cap: a frontier cell overlaps the bbox, so (bound slop
-        # aside) each yields >=1 emitted descendant — a frontier past
-        # 4*max_cells can only end in the same ValueError, raised here
-        # before the 4x-per-level blowup instead of after it
-        if len(face) > 4 * max_cells:
-            raise ValueError(
-                f"s2 cover exceeds {max_cells} cells at level {level}; "
-                "choose a coarser level for this bbox")
-        # 4 children per surviving cell
-        face = np.repeat(face, 4)
-        ci = (np.repeat(ci, 4) * 2
-              + np.tile(np.array([0, 0, 1, 1], dtype=np.int64), len(ci)))
-        cj = (np.repeat(cj, 4) * 2
-              + np.tile(np.array([0, 1, 0, 1], dtype=np.int64), len(cj)))
-    if n_out == 0:
-        return np.zeros(0, dtype=np.int64)
-    faces = np.concatenate(out_f)
-    lvls = np.concatenate(out_l)
-    ii = np.concatenate(out_i) << (MAX_LEVEL - lvls)
-    jj = np.concatenate(out_j) << (MAX_LEVEL - lvls)
-    leaf = cellid_from_face_ij(faces, ii, jj)
-    lsb = np.uint64(1) << (np.uint64(2) * (np.uint64(MAX_LEVEL) - lvls.astype(np.uint64)))
-    ids = (leaf & ((~lsb) + np.uint64(1))) | lsb
-    return ids.view(np.int64)
+    Implementation: the batch-of-one case of cover_bboxes_rad_batch —
+    scalar and batch covers are the SAME code path, so per-owner parity
+    between them holds by construction."""
+    ids, _ = cover_bboxes_rad_batch(
+        np.array([lon_lo]), np.array([lat_lo]),
+        np.array([lon_hi]), np.array([lat_hi]),
+        level, max_total_cells=max_cells, adaptive=adaptive)
+    return ids
 
 
 def cover_bboxes_rad_batch(lon_lo, lat_lo, lon_hi, lat_hi, level: int,
@@ -516,9 +383,10 @@ def cover_bboxes_rad_batch(lon_lo, lat_lo, lon_hi, lat_hi, level: int,
     """Adaptive covers for MANY bboxes in one BFS: the frontier carries an
     owner index and every per-cell test gathers its owner's bbox, so the
     whole 10^4-polygon index build is a few dozen full-width numpy passes
-    per level instead of 10^4 independent traversals (measured at 10k
-    polygons / level-12 adaptive / 926k cover cells: 26.7s vs 47.3s for
-    the per-polygon loop).  Returns (ids int64, owner int64); emitted
+    per level instead of 10^4 independent traversals, with all trig folded
+    into O(owners) threshold tables up front (measured at 10k polygons /
+    level-12 adaptive / 926k cover cells: 1.8s vs 47.3s for the
+    per-polygon loop).  Returns (ids int64, owner int64); emitted
     cells per owner are exactly cover_bbox_rad(..., adaptive=...) of that
     owner's bbox — parity is test-pinned
     (tests/test_s2_cover.py::test_batch_cover_matches_scalar_per_owner)."""
@@ -529,6 +397,33 @@ def cover_bboxes_rad_batch(lon_lo, lat_lo, lon_hi, lat_hi, level: int,
     lat_hi = np.asarray(lat_hi, dtype=np.float64) + pad
     m = len(lon_lo)
     shifts = np.array([-2.0 * np.pi, 0.0, 2.0 * np.pi])
+
+    # ---- per-owner threshold tables: ALL trig happens here, O(m) ----------
+    # Equatorial faces: cell lon interval is base + atan(p-interval) with
+    # atan(p) in [-pi/4, pi/4], so every lon comparison pushes through tan
+    # once the query-side angle is clipped to +-0.8 (> pi/4: a clipped
+    # threshold is already saturated, |tan(+-0.8)| > 1 >= |p|).  One table
+    # entry per (owner, face base, world shift).
+    bases = np.array([0.0, np.pi / 2, np.pi, -np.pi / 2])
+    off = bases[None, :, None] + shifts[None, None, :]              # [1,4,3]
+    U_eq = np.tan(np.clip(lon_hi[:, None, None] - off, -0.8, 0.8))  # [m,4,3]
+    L_eq = np.tan(np.clip(lon_lo[:, None, None] - off, -0.8, 0.8))
+    # Equatorial lat: lat = atan(w / sqrt(1+p^2)) -> compare w against
+    # tan(query lat) * sqrt(1+p^2) (query lat strictly inside +-pi/2).
+    TL = np.tan(lat_lo)
+    TH = np.tan(lat_hi)
+    # Polar lat: face 2's lat interval is [atan(1/sqrt(r2max)),
+    # atan(1/sqrt(r2min))] (face 5 negated+swapped) -> compare r2 against
+    # 1/tan(query lat)^2; inf encodes the trivially-true/false sign cases.
+    with np.errstate(divide="ignore"):
+        C_lo = np.where(TL > 0, 1.0 / (TL * TL), np.inf)
+        D_hi = np.where(TH > 0, 1.0 / (TH * TH), np.inf)
+        E_lo = np.where(TL < 0, 1.0 / (TL * TL), np.inf)
+        F_hi = np.where(TH < 0, 1.0 / (TH * TH), np.inf)
+    full_circle = (lon_hi - lon_lo) >= 2.0 * np.pi
+    # face -> column in the U_eq/L_eq base axis (faces 2/5 never look here)
+    base_idx = np.array([0, 1, 0, 2, 3, 0], dtype=np.int64)
+
     out_f, out_l, out_i, out_j, out_p = [], [], [], [], []
     n_out = 0
     face = np.tile(np.arange(6, dtype=np.int64), m)
@@ -543,20 +438,108 @@ def cover_bboxes_rad_batch(lon_lo, lat_lo, lon_hi, lat_hi, level: int,
         u1 = uv_from_st((ci + 1) * scale)
         v0 = uv_from_st(cj * scale)
         v1 = uv_from_st((cj + 1) * scale)
-        g_lo, g_hi, la_lo, la_hi = _cell_rect_bound_vec(face, u0, u1, v0, v1)
-        blon_lo, blon_hi = lon_lo[pid], lon_hi[pid]
-        blat_lo, blat_hi = lat_lo[pid], lat_hi[pid]
-        lat_ok = (la_hi >= blat_lo) & (la_lo <= blat_hi)
-        lon_ok = ((g_lo[:, None] + shifts <= blon_hi[:, None])
-                  & (blon_lo[:, None] <= g_hi[:, None] + shifts)).any(axis=1)
-        overlap = lat_ok & lon_ok
-        if adaptive:
-            lon_in = ((g_lo[:, None] + shifts >= blon_lo[:, None])
-                      & (g_hi[:, None] + shifts <= blon_hi[:, None])).any(axis=1)
-            inside = (la_lo >= blat_lo) & (la_hi <= blat_hi) & lon_in
-        else:
-            inside = np.zeros(len(face), dtype=bool)
-        emit = overlap & (inside if lvl < level else np.ones(len(face), bool))
+        n = len(face)
+        overlap = np.zeros(n, dtype=bool)
+        inside = np.zeros(n, dtype=bool)
+        is_polar = (face == 2) | (face == 5)
+
+        eq = np.flatnonzero(~is_polar)
+        if len(eq):
+            fe, pe = face[eq], pid[eq]
+            a0, a1, b0, b1 = u0[eq], u1[eq], v0[eq], v1[eq]
+            eq34 = fe >= 3
+            p0 = np.where(eq34, b0, a0)
+            p1 = np.where(eq34, b1, a1)
+            w0 = np.where(eq34, -a1, b0)
+            w1 = np.where(eq34, -a0, b1)
+            Ur = U_eq[pe, base_idx[fe]]                             # [ne,3]
+            Lr = L_eq[pe, base_idx[fe]]
+            lon_ok = ((p0[:, None] <= Ur) & (Lr <= p1[:, None])).any(axis=1)
+            spans0 = (p0 <= 0.0) & (0.0 <= p1)
+            p_near = np.where(spans0, 0.0, np.minimum(np.abs(p0), np.abs(p1)))
+            p_far = np.maximum(np.abs(p0), np.abs(p1))
+            s_near = np.sqrt(1.0 + p_near * p_near)
+            s_far = np.sqrt(1.0 + p_far * p_far)
+            s_hi = np.where(w1 > 0, s_near, s_far)
+            s_lo = np.where(w0 < 0, s_near, s_far)
+            TLr, THr = TL[pe], TH[pe]
+            lat_ok = (w1 >= TLr * s_hi) & (w0 <= THr * s_lo)
+            overlap[eq] = lon_ok & lat_ok
+            if adaptive:
+                lon_in = ((Lr <= p0[:, None]) & (p1[:, None] <= Ur)).any(axis=1)
+                lat_in = (w0 >= TLr * s_lo) & (w1 <= THr * s_hi)
+                inside[eq] = lon_in & lat_in
+
+        po = np.flatnonzero(is_polar)
+        if len(po):
+            fp, pp = face[po], pid[po]
+            a0, a1, b0, b1 = u0[po], u1[po], v0[po], v1[po]
+            du = np.where((a0 <= 0.0) & (0.0 <= a1), 0.0,
+                          np.minimum(np.abs(a0), np.abs(a1)))
+            dv = np.where((b0 <= 0.0) & (0.0 <= b1), 0.0,
+                          np.minimum(np.abs(b0), np.abs(b1)))
+            r2min = du * du + dv * dv
+            r2max = (np.maximum(a0 * a0, a1 * a1)
+                     + np.maximum(b0 * b0, b1 * b1))
+            is2 = fp == 2
+            lat_ok = np.where(is2,
+                              (r2min <= C_lo[pp]) & (r2max >= D_hi[pp]),
+                              (r2max >= E_lo[pp]) & (r2min <= F_hi[pp]))
+            if adaptive:
+                lat_in = np.where(is2,
+                                  (r2max <= C_lo[pp]) & (r2min >= D_hi[pp]),
+                                  (r2min >= E_lo[pp]) & (r2max <= F_hi[pp]))
+            else:
+                lat_in = np.zeros(len(po), dtype=bool)
+            # lon only matters for rows whose lat already passes (lat_in
+            # implies lat_ok: the cell's lat interval sits inside the
+            # query's, so it certainly overlaps it)
+            need = np.flatnonzero(lat_ok)
+            lon_ok = np.zeros(len(po), dtype=bool)
+            lon_in = np.zeros(len(po), dtype=bool)
+            if len(need):
+                a0n, a1n = a0[need], a1[need]
+                b0n, b1n = b0[need], b1[need]
+                origin = ((a0n <= 0.0) & (0.0 <= a1n)
+                          & (b0n <= 0.0) & (0.0 <= b1n))
+                lon_ok[need[origin]] = True
+                lon_in[need[origin]] = full_circle[pp[need[origin]]]
+                sub = need[~origin]
+                if len(sub):
+                    k = len(sub)
+                    cu = np.empty((k, 4))
+                    cv = np.empty((k, 4))
+                    cu[:, 0] = a0[sub]; cu[:, 1] = a0[sub]
+                    cu[:, 2] = a1[sub]; cu[:, 3] = a1[sub]
+                    cv[:, 0] = b0[sub]; cv[:, 1] = b1[sub]
+                    cv[:, 2] = b0[sub]; cv[:, 3] = b1[sub]
+                    angs = np.empty((k, 4))
+                    m2 = is2[sub]
+                    angs[m2] = np.arctan2(-cv[m2], -cu[m2])
+                    angs[~m2] = np.arctan2(cu[~m2], cv[~m2])
+                    # support angles of a convex region not containing the
+                    # origin lie at its corners; wrap each corner angle to
+                    # within pi of the first (|d| < 2pi, so one wrap step
+                    # equals math.remainder(d, 2pi) incl. the +-pi ties)
+                    ref = angs[:, 0]
+                    d = angs - ref[:, None]
+                    d = np.where(d > np.pi, d - 2.0 * np.pi, d)
+                    d = np.where(d < -np.pi, d + 2.0 * np.pi, d)
+                    g_lo = ref + d.min(axis=1)
+                    g_hi = ref + d.max(axis=1)
+                    qlo, qhi = lon_lo[pp[sub]], lon_hi[pp[sub]]
+                    lon_ok[sub] = ((g_lo[:, None] + shifts <= qhi[:, None])
+                                   & (qlo[:, None] <= g_hi[:, None] + shifts)
+                                   ).any(axis=1)
+                    if adaptive:
+                        lon_in[sub] = ((g_lo[:, None] + shifts >= qlo[:, None])
+                                       & (g_hi[:, None] + shifts
+                                          <= qhi[:, None])).any(axis=1)
+            overlap[po] = lat_ok & lon_ok
+            if adaptive:
+                inside[po] = lat_in & lon_in
+
+        emit = overlap & (inside if lvl < level else np.ones(n, bool))
         if emit.any():
             out_f.append(face[emit])
             out_l.append(np.full(int(emit.sum()), lvl, dtype=np.int64))

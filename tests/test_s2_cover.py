@@ -107,29 +107,6 @@ def test_s2cover_operator_matches_dense_probe(spark):
         assert a == b, level
 
 
-def test_cell_rect_bound_vec_matches_scalar():
-    """The vectorized rect bound computes the same closed forms as the
-    scalar one over random cells on every face (incl. both polar faces),
-    every level 0..12 — to within a couple of ulps (math.atan is libm,
-    np.arctan is numpy's SIMD kernel; they differ by <=1 ulp).  The cover
-    algorithm pads its query bbox by 1e-12, ~3000x an ulp at pi scale, so
-    ulp-level bound drift cannot flip an emit/prune decision."""
-    for _ in range(200):
-        lvl = int(rng.integers(0, 13))
-        face = int(rng.integers(0, 6))
-        ci = int(rng.integers(0, 1 << lvl))
-        cj = int(rng.integers(0, 1 << lvl))
-        scale = 1.0 / (1 << lvl)
-        u0 = float(s2.uv_from_st(np.float64(ci * scale)))
-        u1 = float(s2.uv_from_st(np.float64((ci + 1) * scale)))
-        v0 = float(s2.uv_from_st(np.float64(cj * scale)))
-        v1 = float(s2.uv_from_st(np.float64((cj + 1) * scale)))
-        want = s2._cell_rect_bound(face, u0, u1, v0, v1)
-        got = s2._cell_rect_bound_vec(face, u0, u1, v0, v1)
-        got = tuple(float(g[0]) for g in got)
-        assert got == pytest.approx(want, abs=2e-15), (face, lvl, ci, cj)
-
-
 def test_batch_cover_matches_scalar_per_owner():
     """cover_bboxes_rad_batch emits, per owner, EXACTLY the scalar
     cover_bbox_rad cell set of that owner's bbox (both adaptive and
