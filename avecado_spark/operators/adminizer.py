@@ -401,15 +401,14 @@ def adminize_points_s2cover(df: DataFrame,
     polys = sorted(polygons)
     rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
     values = [v for _, _, v in polys]
-    cover: dict[int, list[int]] = {}
-    for j, ring in enumerate(rings):
-        bb = G.bbox(ring)
-        for c in s2.cover_mercator_bbox_mm(int(bb[0]), int(bb[1]),
-                                           int(bb[2]), int(bb[3]),
-                                           level).tolist():
-            cover.setdefault(c, []).append(j)
-    keys = np.array(sorted(cover), dtype=np.int64)
-    vals = [np.array(cover[c], dtype=np.int64) for c in keys.tolist()]
+    # all fixed-level covers in one batched BFS; group owners by cell
+    bbs = np.array([G.bbox(r) for r in rings], dtype=np.float64)
+    ids, owner = s2.cover_mercator_bboxes_mm_batch(
+        bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3], level, adaptive=False)
+    order = np.lexsort((owner, ids))
+    ids_s, owner_s = ids[order], owner[order]
+    keys, starts = np.unique(ids_s, return_index=True)
+    vals = np.split(owner_s, starts[1:])
     bc = df.sparkSession.sparkContext.broadcast((rings, values, keys, vals))
 
     from pyspark.sql.types import StringType, StructField, StructType
@@ -488,19 +487,26 @@ def adminize_points_s2ranges(df: DataFrame,
     polys = sorted(polygons)
     rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
     values = [v for _, _, v in polys]
-    ranges = []
-    for ring in rings:
-        if cover == "polygon":
-            cells = s2.cover_polygon_mm(ring, max_level)
-        else:
-            bb = G.bbox(ring)
-            cells = s2.cover_mercator_bbox_mm(int(bb[0]), int(bb[1]),
-                                              int(bb[2]), int(bb[3]),
-                                              max_level, adaptive=True)
-        cu = cells.view(np.uint64)
+    if cover == "polygon":
+        ranges = []
+        for ring in rings:
+            cu = s2.cover_polygon_mm(ring, max_level).view(np.uint64)
+            rmin, rmax = s2.range_min(cu), s2.range_max(cu)
+            order = np.argsort(rmin)
+            ranges.append((rmin[order], rmax[order]))
+    else:
+        # all bbox covers in one batched BFS, split back by owner
+        bbs = np.array([G.bbox(r) for r in rings], dtype=np.float64)
+        ids, owner = s2.cover_mercator_bboxes_mm_batch(
+            bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3],
+            max_level, adaptive=True)
+        cu = ids.view(np.uint64)
         rmin, rmax = s2.range_min(cu), s2.range_max(cu)
-        order = np.argsort(rmin)
-        ranges.append((rmin[order], rmax[order]))
+        order = np.lexsort((rmin, owner))
+        owner_s, rmin_s, rmax_s = owner[order], rmin[order], rmax[order]
+        cuts = np.searchsorted(owner_s, np.arange(len(rings) + 1))
+        ranges = [(rmin_s[cuts[k]:cuts[k + 1]], rmax_s[cuts[k]:cuts[k + 1]])
+                  for k in range(len(rings))]
     bc = df.sparkSession.sparkContext.broadcast((rings, values, ranges))
 
     from pyspark.sql.types import StringType, StructField, StructType
@@ -760,24 +766,32 @@ def adminize_points_s2join(df: DataFrame, polys_df: DataFrame,
     # -- 1. polygon covers ---------------------------------------------------
     def gen_covers(batches):
         for pdf in batches:
-            out_cell, out_lvl, out_pid = [], [], []
-            for pid, coords in zip(pdf["pid"].tolist(), pdf["coords"]):
-                ring = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
-                if cover == "polygon":
+            pids = pdf["pid"].to_numpy(dtype=np.int64)
+            rings_np = [np.asarray(c, dtype=np.float64).reshape(-1, 2)
+                        for c in pdf["coords"]]
+            if cover == "bbox" and rings_np:
+                # whole Arrow batch of bbox covers in one batched BFS
+                bbs = np.array([G.bbox(r) for r in rings_np])
+                ids, owner = s2.cover_mercator_bboxes_mm_batch(
+                    bbs[:, 0], bbs[:, 1], bbs[:, 2], bbs[:, 3],
+                    max_level, adaptive=True)
+                cells = ids
+                lvls = s2.cell_level(ids.view(np.uint64)).astype(np.int64)
+                opids = pids[owner]
+            else:
+                out_cell, out_lvl, out_pid = [], [], []
+                for pid, ring in zip(pids.tolist(), rings_np):
                     cells = s2.cover_polygon_mm(ring, max_level)
-                else:
-                    bb = G.bbox(ring)
-                    cells = s2.cover_mercator_bbox_mm(
-                        int(bb[0]), int(bb[1]), int(bb[2]), int(bb[3]),
-                        max_level, adaptive=True)
-                out_cell.append(cells)
-                out_lvl.append(s2.cell_level(cells.view(np.uint64)))
-                out_pid.append(np.full(len(cells), pid, dtype=np.int64))
-            yield pd.DataFrame({
-                "cell": np.concatenate(out_cell) if out_cell else np.zeros(0, np.int64),
-                "lvl": np.concatenate(out_lvl).astype(np.int64) if out_lvl else np.zeros(0, np.int64),
-                "pid": np.concatenate(out_pid) if out_pid else np.zeros(0, np.int64),
-            })
+                    out_cell.append(cells)
+                    out_lvl.append(s2.cell_level(cells.view(np.uint64)))
+                    out_pid.append(np.full(len(cells), pid, dtype=np.int64))
+                cells = (np.concatenate(out_cell) if out_cell
+                         else np.zeros(0, np.int64))
+                lvls = (np.concatenate(out_lvl).astype(np.int64) if out_lvl
+                        else np.zeros(0, np.int64))
+                opids = (np.concatenate(out_pid) if out_pid
+                         else np.zeros(0, np.int64))
+            yield pd.DataFrame({"cell": cells, "lvl": lvls, "pid": opids})
 
     from .dedup import persist_latest
     covers = polys_df.mapInPandas(gen_covers, schema="cell long, lvl long, pid long")
