@@ -25,14 +25,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def materialize_geocoded(spark, sf_dir: str, out: str,
-                         buckets: int = 16, z: int = 14) -> dict:
+                         buckets: int = 16, z: int = 14,
+                         s2_level: int = 12) -> dict:
     """Write the geocoded table (bucketed by tile x; sorted by x, y);
-    returns row-count metrics. Importable (tests drive a tmp dir)."""
-    from avecado_spark.operators.keys import geocode, with_tile_keys
+    returns row-count metrics. Importable (tests drive a tmp dir).
+
+    Carries BOTH key families the north star names — z/x/y tile keys (the
+    build/bucketing key) and the S2 cell id at `s2_level` (the skew-safe
+    equal-area grouping key with Hilbert range locality) — so downstream
+    consumers never re-derive either from coordinates."""
+    from avecado_spark.operators.keys import (geocode, with_s2_cell,
+                                              with_tile_keys)
     from avecado_spark.sources.pages import pages_df
 
-    g = with_tile_keys(geocode(pages_df(spark, sf_dir)), z) \
-        .select("url", "mx_mm", "my_mm", "x", "y")
+    g = with_s2_cell(with_tile_keys(geocode(pages_df(spark, sf_dir)), z),
+                     s2_level, out="s2_cell") \
+        .select("url", "mx_mm", "my_mm", "x", "y", "s2_cell")
     table = f"geo_pages_z{z}"
     (g.write.mode("overwrite")
       .bucketBy(buckets, "x").sortBy("x", "y")

@@ -164,7 +164,15 @@ def test_geocode_pages_job_materializes_bucketed_table(spark, tmp_path):
     assert metrics["rows"] == expect > 0
     try:
         t = spark.table(metrics["table"])
-        assert set(t.columns) == {"url", "mx_mm", "my_mm", "x", "y"}
+        assert set(t.columns) == {"url", "mx_mm", "my_mm", "x", "y", "s2_cell"}
+        # the durable s2_cell equals the in-session derivation
+        from avecado_spark.functions import s2 as s2f
+        import numpy as np
+        chk = t.select("mx_mm", "my_mm", "s2_cell").limit(500).toPandas()
+        want = s2f.cellid_from_mercator_mm(
+            chk["mx_mm"].to_numpy(np.int64),
+            chk["my_mm"].to_numpy(np.int64), 12)
+        assert (chk["s2_cell"].to_numpy(np.int64) == want).all()
         import pyspark.sql.functions as F
         a = t.groupBy("x").agg(F.count("*").alias("na"))
         b = t.groupBy("x").agg(F.count("*").alias("nb"))
