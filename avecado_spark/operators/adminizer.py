@@ -976,8 +976,16 @@ def adminize_points_s2index(df: DataFrame,
                 step = np.arange(len(pt_idx), dtype=np.int64) - np.repeat(
                     np.cumsum(cnt) - cnt, cnt)
                 cand_pid = gap_pids[base + step]
-                for p in np.unique(cand_pid):
-                    sel = pt_idx[cand_pid == p]
+                # group candidate pairs by pid ONCE (sort + slices) —
+                # a masked scan per pid would be O(pids x candidates)
+                order = np.argsort(cand_pid, kind="stable")
+                cp = cand_pid[order]
+                pto = pt_idx[order]
+                upids, starts = np.unique(cp, return_index=True)
+                ends = np.append(starts[1:], len(cp))
+                for p, s0, s1 in zip(upids.tolist(), starts.tolist(),
+                                     ends.tolist()):
+                    sel = pto[s0:s1]
                     sel = sel[best[sel] > p]
                     if len(sel) == 0:
                         continue

@@ -102,11 +102,14 @@ def _run_pip_first(spark, sf_dir):
     return qs["j1a_pip_first"](spark, sf_dir).count()
 
 
-def _bench_polys_10k(n_side=100):
-    """10^4 hexagonal admin polygons tiling the mercator plane — the
-    ADM2-sized table for the broadcast kNN probe bench."""
+def _bench_polys_10k(n_side=100, world=40075016680000.0):
+    """10^4 hexagonal admin polygons tiling a mercator-mm plane — the
+    ADM2-sized table for the broadcast kNN probe bench.  The default
+    extent is the historical kNN-probe grid (kept for cross-round timing
+    comparability; kNN is pure plane metric, so scale is arbitrary);
+    S2 probes pass the TRUE mercator world extent (2*pi*R mm) so every
+    polygon lands inside the projection."""
     import numpy as np
-    world = 40075016680000.0  # mm
     spacing = world / n_side
     ang = np.linspace(0.0, 2 * np.pi, 7)[:-1] + 0.3
     hx = (0.35 * spacing) * np.cos(ang)
@@ -144,6 +147,38 @@ def _run_pip_knn_10k(spark, sf_dir):
             round(vals.get("exact_evals", 0) / pts, 2),
         "knn_slate_per_point": round(vals.get("slate", 0) / pts, 2),
     }
+
+
+def _run_pip_s2index_10k(spark, sf_dir):
+    """Broadcast flattened elementary-interval S2 index PIP over the SAME
+    10^4 polygons as pip_knn_10k — the probe whose per-point cost is
+    independent of the polygon count (one searchsorted per batch for the
+    whole set). Timed end-to-end, INCLUDING the driver-side batched cover
+    build (one BFS covers all 10^4 bboxes)."""
+    from avecado_spark.operators.adminizer import adminize_points_s2index
+    from avecado_spark.operators.keys import geocode
+    pages = spark.read.parquet(_pages_table(spark, sf_dir))
+    g = geocode(pages).select("url", "mx_mm", "my_mm")
+    polys = _bench_polys_10k(world=40075016680.0)
+    # cover level ~ feature scale: the hexes are ~140 km, level-10 cells
+    # ~10 km — deeper levels multiply cover cells 4x/level for no candidate
+    # precision gain once cells are much smaller than the features
+    return adminize_points_s2index(g, polys, max_level=10).count()
+
+
+def _run_pip_s2join_10k(spark, sf_dir):
+    """Distributed S2 shuffle join against the same 10^4 polygons with NO
+    broadcast and no driver-side index — the shape for a polygon side too
+    large to broadcast (10^12 points x 10^6+ polygons): covers explode to
+    (cell, pid) rows, points join by JVM ancestor equality, exact PIP on
+    candidates only."""
+    from avecado_spark.operators.adminizer import (adminize_points_s2join,
+                                                   polygons_to_df)
+    from avecado_spark.operators.keys import geocode
+    pages = spark.read.parquet(_pages_table(spark, sf_dir))
+    g = geocode(pages).select("url", "mx_mm", "my_mm")
+    polys = polygons_to_df(spark, _bench_polys_10k(world=40075016680.0))
+    return adminize_points_s2join(g, polys, max_level=10).count()
 
 
 def _run_bigstar_1m(spark):
@@ -343,6 +378,14 @@ def main():
     t = time.time()
     _, knn_metrics = _run_pip_knn_10k(spark, SF_DIR)
     timings["pip_knn_10k"] = round(time.time() - t, 3)
+
+    t = time.time()
+    _run_pip_s2index_10k(spark, SF_DIR)
+    timings["pip_s2index_10k"] = round(time.time() - t, 3)
+
+    t = time.time()
+    _run_pip_s2join_10k(spark, SF_DIR)
+    timings["pip_s2join_10k"] = round(time.time() - t, 3)
 
     total = round(time.time() - t0, 3)
     out = {
