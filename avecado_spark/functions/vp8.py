@@ -19,30 +19,25 @@ variants, any level/sharpness — after frame reconstruction (intra
 prediction uses unfiltered neighbors, like the spec).
 
 B_PRED (per-4x4 sub-block prediction, all 10 sub-modes with the
-top-right quirk for right-column sub-blocks) is implemented; its
-keyframe sub-mode probability table (10x10x9 fixed contexts, RFC 6386
-13.3) is replaced by a documented neutral table (BMODE_PROBS) — enc/dec
-share it, so round-trips stay exact; real-file entropy parity for
-B_PRED streams is the one untranscribed piece.
+top-right quirk for right-column sub-blocks) is implemented with the
+full context-coded key-frame sub-mode entropy (RFC 6386 11.5,
+kf_bmode_prob[above][left]) — out-of-frame neighbours count as B_DC
+and non-B_PRED neighbours contribute the sub-mode their 16x16 mode
+implies.
 
-REAL-FILE GUARD: because the RFC default coefficient/sub-mode
-probability tables are NOT transcribed, decoding a stream that relies
-on them would return silently corrupt pixels. The decoder therefore
-refuses (NotImplementedError) any stream that does not transmit its
-full explicit coefficient-probability set in the frame header; the
-in-repo fixture encoder always transmits it (~2.1 KB), real-world
-encoders essentially never do, so wild files fail loudly in the header
-before any pixel is produced.
+ALL fixed entropy tables are the real RFC 6386 constants
+(vp8_tables.py: 13.5 default token probabilities, 13.4 update-flag
+probabilities, 11.5 sub-mode contexts), transcribed from the spec and
+verified in-sandbox against the identical .rodata constants embedded
+in the system libwebp binary (two independent in-binary copies,
+byte-for-byte equal). Streams that rely on the default tables — i.e.
+real-world encoder output — decode faithfully; earlier rounds' neutral
+stand-ins and the real-file refuse-guard are gone.
 
 Honest scope boundaries (each raises NotImplementedError):
   * inter frames (P-frames) — this is an image engine, standalone lossy
     .webp files are always key frames;
   * segmentation maps and multiple token partitions.
-
-Probability/dequant constant tables are transcribed from RFC 6386; in
-this sandbox no reference decoder exists to cross-check them, so the
-tests pin ENCODER<->DECODER consistency (shared tables) plus structural
-stream properties, not third-party byte parity.
 """
 
 from __future__ import annotations
@@ -241,16 +236,15 @@ ZIGZAG = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
 # 3 = Y without Y2 (B_PRED path — unreachable here, kept for shape)
 N_PLANES, N_BANDS_C, N_CTX, N_PROBS = 4, 8, 3, 11
 
-# update-flag probabilities: the spec table is predominantly 255 (updates
-# are rare in real encoders); the fixture encoder transmits EVERY prob it
-# uses, so only enc/dec agreement matters here.
-COEFF_UPDATE_PROB = 255
+# fixed entropy tables transcribed from RFC 6386 (13.4 update-flag
+# probabilities, 13.5 default token probabilities, 11.5 key-frame
+# sub-mode probabilities) — see vp8_tables.py for provenance
+from .vp8_tables import (COEFF_UPDATE_PROBS, DEFAULT_COEFF_PROBS,
+                         KF_BMODE_PROBS)
 
-# neutral defaults — the fixture encoder always transmits explicit probs,
-# so these act as the base the update pass overwrites.
+
 def _default_coeff_probs() -> np.ndarray:
-    return np.full((N_PLANES, N_BANDS_C, N_CTX, N_PROBS), 128,
-                   dtype=np.uint8)
+    return np.array(DEFAULT_COEFF_PROBS, dtype=np.uint8)
 
 
 # dequantization lookups (RFC 6386 14.1), indexed by quantizer index 0..127
@@ -587,45 +581,51 @@ def vp8_decode(data: bytes) -> dict:
         if bd.read(128):
             deltas[name] = bd.signed_literal(4)
     bd.read(128)  # refresh entropy probs (keyframe: ignored)
-    # The RFC 6386 13.4 default coefficient-probability table is NOT
-    # transcribed in this module (the in-repo stand-in is neutral), so a
-    # faithful decode is only possible when the stream transmits EVERY
-    # coefficient prob explicitly — which the in-repo fixture encoder
-    # does. Any prob left at its default would silently decode real-world
-    # files into garbage; refuse loudly instead (the first flag read with
-    # the wrong update-prob table desyncs anyway).
+    # per-frame coefficient-probability updates over the RFC 6386 13.5
+    # defaults, each flag read with the 13.4 update probability
     probs = _default_coeff_probs().astype(np.int64)
     for t in range(N_PLANES):
         for b in range(N_BANDS_C):
             for c in range(N_CTX):
                 for p in range(N_PROBS):
-                    if not bd.read(COEFF_UPDATE_PROB):
-                        raise NotImplementedError(
-                            "VP8: stream relies on the RFC 6386 default "
-                            "coefficient-probability tables, which are not "
-                            "transcribed here; only streams carrying a full "
-                            "explicit probability set (the in-repo fixture "
-                            "encoder's output) can be decoded faithfully")
-                    probs[t, b, c, p] = bd.literal(8)
+                    if bd.read(COEFF_UPDATE_PROBS[t][b][c][p]):
+                        probs[t, b, c, p] = bd.literal(8)
     mb_skip_enabled = bd.read(128)
     skip_prob = bd.literal(8) if mb_skip_enabled else 0
 
     mb_cols = (width + 15) // 16
     mb_rows = (height + 15) // 16
-    # per-MB modes (the rest of the first partition)
+    # per-MB modes (the rest of the first partition). Key-frame B_PRED
+    # sub-modes are context-coded on the (above, left) neighbouring
+    # sub-block modes (RFC 6386 11.5, kf_bmode_prob); out-of-frame
+    # neighbours count as B_DC and non-B_PRED neighbours contribute the
+    # sub-mode implied by their 16x16 mode.
     ymodes, uvmodes, skips, bmodes = [], [], [], []
-    for _ in range(mb_rows * mb_cols):
-        skip = bd.read(skip_prob) if mb_skip_enabled else 0
-        ym = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
-        if ym == B_PRED:
-            bmodes.append([bd.tree(BMODE_TREE, BMODE_PROBS)
-                           for _ in range(16)])
-        else:
-            bmodes.append(None)
-        uvm = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
-        ymodes.append(ym)
-        uvmodes.append(uvm)
-        skips.append(skip)
+    above_sub = [[B_DC] * 4 for _ in range(mb_cols)]
+    for mr in range(mb_rows):
+        left_sub = [B_DC] * 4
+        for mc in range(mb_cols):
+            skip = bd.read(skip_prob) if mb_skip_enabled else 0
+            ym = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            if ym == B_PRED:
+                sub = []
+                for sb in range(16):
+                    r, c = sb // 4, sb % 4
+                    a = sub[sb - 4] if r > 0 else above_sub[mc][c]
+                    l = sub[sb - 1] if c > 0 else left_sub[r]
+                    sub.append(bd.tree(BMODE_TREE, KF_BMODE_PROBS[a][l]))
+                bmodes.append(sub)
+                above_sub[mc] = sub[12:16]
+                left_sub = [sub[3], sub[7], sub[11], sub[15]]
+            else:
+                bmodes.append(None)
+                m = _MB_TO_BMODE[ym]
+                above_sub[mc] = [m] * 4
+                left_sub = [m] * 4
+            uvm = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
+            ymodes.append(ym)
+            uvmodes.append(uvm)
+            skips.append(skip)
 
     qf = dequant_factors(qindex, deltas)
     td = BoolDecoder(body[first_part_size:])
@@ -723,6 +723,7 @@ def vp8_decode(data: bytes) -> dict:
         "v": np.clip(v_plane[:(height + 1) // 2, :(width + 1) // 2],
                      0, 255).astype(np.uint8),
         "width": width, "height": height, "ymodes": ymodes,
+        "bmodes": bmodes,
     }
 
 
@@ -816,15 +817,16 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       mode: int | None = None,
                       filter_level: int = 0, sharpness: int = 0,
                       filter_type: int = 0,
-                      transmit_probs: bool = True) -> tuple[bytes, dict]:
+                      transmit_probs: bool = False) -> tuple[bytes, dict]:
     """Encode YUV420 planes as a VP8 key frame. Returns (stream, recon)
     where recon holds the encoder's own reconstruction planes — the EXACT
     pixels a conforming decode of the stream must produce (loop filter
     applied when filter_level > 0, matching the decoder). `mode` pins
     every MB to one prediction mode (tests); None picks per-MB min-SAD.
-    `transmit_probs=False` emits a stream that relies on the RFC default
-    coefficient tables (untranscribed here) — the decoder refuses such
-    streams; used only to pin that real-file guard in tests."""
+    The default stream relies on the RFC 6386 13.5 default coefficient
+    tables like real-world encoders do; `transmit_probs=True` instead
+    re-transmits every prob explicitly (~2.1 KB), pinning the header
+    update path in tests."""
     height, width = y.shape
     if u.shape != ((height + 1) // 2, (width + 1) // 2):
         raise ValueError("u/v planes must be half-size YUV420")
@@ -1015,28 +1017,42 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     for _ in range(5):
         be.write(0, 128)  # no quant deltas
     be.write(0, 128)  # refresh entropy (ignored on keyframes)
-    if transmit_probs:
-        # transmit EVERY coefficient prob explicitly (~2.1 KB): the stream
-        # is then self-describing and the decoder never needs the RFC
-        # default table (untranscribed here — see the decoder's guard)
-        for t in range(N_PLANES):
-            for b in range(N_BANDS_C):
-                for c in range(N_CTX):
-                    for p in range(N_PROBS):
-                        be.write(1, COEFF_UPDATE_PROB)
+    for t in range(N_PLANES):
+        for b in range(N_BANDS_C):
+            for c in range(N_CTX):
+                for p in range(N_PROBS):
+                    if transmit_probs:
+                        # re-transmit every prob explicitly (~2.1 KB);
+                        # values equal the defaults, pins the update path
+                        be.write(1, COEFF_UPDATE_PROBS[t][b][c][p])
                         be.literal(int(probs[t, b, c, p]), 8)
-    else:
-        for _ in range(N_PLANES * N_BANDS_C * N_CTX * N_PROBS):
-            be.write(0, COEFF_UPDATE_PROB)  # rely on default probs
+                    else:
+                        # rely on the RFC 6386 13.5 default table
+                        be.write(0, COEFF_UPDATE_PROBS[t][b][c][p])
     be.write(1, 128)      # mb_no_coeff_skip enabled
     be.literal(128, 8)    # skip prob
-    for mb in mbs:
-        be.write(mb["skip"], 128)
-        be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, mb["ym"])
-        if mb["bmodes"] is not None:
-            for sm in mb["bmodes"]:
-                be.tree(BMODE_TREE, BMODE_PROBS, sm)
-        be.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, mb["uvm"])
+    # mode writes mirror the decoder's (above, left) sub-mode contexts
+    above_sub = [[B_DC] * 4 for _ in range(mb_cols)]
+    for mr in range(mb_rows):
+        left_sub = [B_DC] * 4
+        for mc in range(mb_cols):
+            mb = mbs[mr * mb_cols + mc]
+            be.write(mb["skip"], 128)
+            be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, mb["ym"])
+            if mb["bmodes"] is not None:
+                sub = mb["bmodes"]
+                for sb, sm in enumerate(sub):
+                    r, c = sb // 4, sb % 4
+                    a = sub[sb - 4] if r > 0 else above_sub[mc][c]
+                    l = sub[sb - 1] if c > 0 else left_sub[r]
+                    be.tree(BMODE_TREE, KF_BMODE_PROBS[a][l], sm)
+                above_sub[mc] = sub[12:16]
+                left_sub = [sub[3], sub[7], sub[11], sub[15]]
+            else:
+                m = _MB_TO_BMODE[mb["ym"]]
+                above_sub[mc] = [m] * 4
+                left_sub = [m] * 4
+            be.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, mb["uvm"])
     first = be.flush()
 
     tag = (len(first) << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
@@ -1281,12 +1297,6 @@ BMODE_TREE = [
     -B_VL, 16,
     -B_HD, -B_HU,
 ]
-
-# Keyframe sub-mode probabilities are a fixed 10x10x9 context table in the
-# spec (kf_bmode_prob); it is NOT transcribed here — a neutral table keeps
-# enc/dec consistent (the round-trip bar) at the cost of real-file entropy
-# parity, which this sandbox cannot test anyway (module docstring caveat).
-BMODE_PROBS = [128] * 9
 
 # a non-B_PRED neighbor contributes the sub-mode implied by its 16x16 mode
 _MB_TO_BMODE = {DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM}

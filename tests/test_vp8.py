@@ -128,21 +128,25 @@ def test_out_of_scope_streams_raise_loudly():
         vp8_decode(stream[:6])
 
 
-def test_default_table_streams_refused():
-    """A stream that relies on the RFC default coefficient tables (which
-    this module does NOT transcribe) must be refused loudly, not decoded
-    into garbage — this pins the real-world-file guard."""
-    y = np.full((16, 16), 90, np.uint8)
-    u = np.full((8, 8), 90, np.uint8)
-    stream, _ = vp8_encode_planes(y, u, u, qindex=20, transmit_probs=False)
-    with pytest.raises(NotImplementedError, match="default "
-                       "coefficient-probability tables"):
-        vp8_decode(stream)
-    # and the full explicit-prob stream still round-trips exactly
-    full, recon = vp8_encode_planes(y, u, u, qindex=20)
-    dec = vp8_decode(full)
-    assert np.array_equal(dec["y"], recon["y"])
-    assert len(full) > len(stream)  # the ~2.1 KB explicit prob set
+def test_default_table_streams_roundtrip():
+    """Streams that rely on the RFC 6386 default coefficient tables —
+    the shape every real-world encoder emits — decode exactly now that
+    the 13.4/13.5 tables are transcribed; the explicit-update header
+    path still round-trips too and costs ~2.1 KB more."""
+    rng = np.random.default_rng(21)
+    y = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    u = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    stream, recon = vp8_encode_planes(y, u, u, qindex=20,
+                                      transmit_probs=False)
+    dec = vp8_decode(stream)
+    for k in ("y", "u", "v"):
+        assert np.array_equal(dec[k], recon[k]), k
+    full, recon2 = vp8_encode_planes(y, u, u, qindex=20,
+                                     transmit_probs=True)
+    dec2 = vp8_decode(full)
+    assert np.array_equal(dec2["y"], recon2["y"])
+    assert np.array_equal(dec2["y"], dec["y"])  # same pixels either way
+    assert len(full) > len(stream) + 1500  # the explicit prob set
 
 
 def test_truncations_never_hang():
