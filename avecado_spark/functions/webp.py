@@ -30,26 +30,27 @@ import numpy as np
 # order in which code-length-code lengths are stored (spec 6.2.2.1)
 CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
-# LZ77 neighbor offsets for distance codes 1..120 (spec 6.2.3): (dy, dx)
+# LZ77 neighbor offsets (spec 6.2.3 2D locality transform):
+# (dy, dx) for distance codes 1..120 — the spec's kCodeToPlane unpacked
+# (dy = high nibble, dx = 8 - low nibble), verified byte-for-byte against
+# the table embedded in the system libwebp (tests/test_webp.py). Note
+# code 1 is the pixel ABOVE and code 2 the pixel to the LEFT (dist 1).
 _NEIGHBOR = [
-    (0, 1), (1, 0), (1, 1), (1, -1), (2, 0), (0, 2), (2, 1), (1, 2),
-    (2, -1), (1, -2), (3, 0), (0, 3), (3, 1), (1, 3), (3, -1), (1, -3),
-    (2, 2), (2, -2), (4, 0), (0, 4), (4, 1), (4, -1), (1, 4), (1, -4),
-    (3, 2), (3, -2), (2, 3), (2, -3), (5, 0), (5, 1), (5, -1), (0, 5),
-    (1, 5), (1, -5), (4, 2), (4, -2), (2, 4), (2, -4), (3, 3), (3, -3),
-    (5, 2), (5, -2), (2, 5), (2, -5), (6, 0), (0, 6), (6, 1), (6, -1),
-    (1, 6), (1, -6), (4, 3), (4, -3), (3, 4), (3, -4), (5, 3), (5, -3),
-    (3, 5), (3, -5), (6, 2), (6, -2), (2, 6), (2, -6), (7, 0), (0, 7),
-    (7, 1), (7, -1), (1, 7), (1, -7), (4, 4), (4, -4), (6, 3), (6, -3),
-    (3, 6), (3, -6), (5, 4), (5, -4), (4, 5), (4, -5), (7, 2), (7, -2),
-    (2, 7), (2, -7), (5, 5), (5, -5), (8, 0), (0, 8), (8, 1), (8, -1),
-    (1, 8), (1, -8), (7, 3), (7, -3), (3, 7), (3, -7), (6, 4), (6, -4),
-    (4, 6), (4, -6), (8, 2), (8, -2), (2, 8), (2, -8), (5, 6), (5, -6),
-    (6, 5), (6, -5), (8, 3), (8, -3), (3, 8), (3, -8), (7, 4), (7, -4),
-    (4, 7), (4, -7), (8, 4), (8, -4), (4, 8), (4, -8), (7, 5), (7, -5),
-    (5, 7), (5, -7), (8, 5), (8, -5), (5, 8), (5, -8), (6, 6), (6, -6),
-    (8, 6), (8, -6), (6, 8), (6, -8), (7, 6), (7, -6), (6, 7), (6, -7),
-    (8, 7), (8, -7), (7, 8), (7, -8), (7, 7), (7, -7), (8, 8), (8, -8)]
+    (1, 0), (0, 1), (1, 1), (1, -1), (2, 0), (0, 2), (2, 1), (2, -1),
+    (1, 2), (1, -2), (2, 2), (2, -2), (3, 0), (0, 3), (3, 1), (3, -1),
+    (1, 3), (1, -3), (3, 2), (3, -2), (2, 3), (2, -3), (4, 0), (0, 4),
+    (4, 1), (4, -1), (1, 4), (1, -4), (3, 3), (3, -3), (4, 2), (4, -2),
+    (2, 4), (2, -4), (5, 0), (4, 3), (4, -3), (3, 4), (3, -4), (0, 5),
+    (5, 1), (5, -1), (1, 5), (1, -5), (5, 2), (5, -2), (2, 5), (2, -5),
+    (4, 4), (4, -4), (5, 3), (5, -3), (3, 5), (3, -5), (6, 0), (0, 6),
+    (6, 1), (6, -1), (1, 6), (1, -6), (6, 2), (6, -2), (2, 6), (2, -6),
+    (5, 4), (5, -4), (4, 5), (4, -5), (6, 3), (6, -3), (3, 6), (3, -6),
+    (7, 0), (0, 7), (7, 1), (7, -1), (5, 5), (5, -5), (1, 7), (1, -7),
+    (6, 4), (6, -4), (4, 6), (4, -6), (7, 2), (7, -2), (2, 7), (2, -7),
+    (7, 3), (7, -3), (3, 7), (3, -7), (6, 5), (6, -5), (5, 6), (5, -6),
+    (0, 8), (7, 4), (7, -4), (4, 7), (4, -7), (1, 8), (2, 8), (6, 6),
+    (6, -6), (3, 8), (7, 5), (7, -5), (5, 7), (5, -7), (4, 8), (7, 6),
+    (7, -6), (6, 7), (6, -7), (5, 8), (7, 7), (7, -7), (6, 8), (7, 8)]
 
 
 # ---------------------------------------------------------------------------
@@ -737,7 +738,7 @@ def _encode_literal_stream(bw, argb, use_cache: bool, runs: bool,
                 ln += 1
             p, _, _ = _lz77_prefix(ln)
             gf[256 + p] = gf.get(256 + p, 0) + 1
-            dpfx, _, _ = _lz77_prefix(1)  # distance code 1 (neighbor (0,1))
+            dpfx, _, _ = _lz77_prefix(2)  # distance code 2 = left pixel
             df[dpfx] = df.get(dpfx, 0) + 1
             tokens.append((2, ln))
             if cache is not None:
@@ -795,7 +796,7 @@ def _encode_literal_stream(bw, argb, use_cache: bool, runs: bool,
             emit(gc, 256 + p)
             if nb:
                 bw.write(ev, nb)
-            dp, dnb, dev = _lz77_prefix(1)
+            dp, dnb, dev = _lz77_prefix(2)  # dist-1 run: left pixel
             emit(dc, dp)
             if dnb:
                 bw.write(dev, dnb)

@@ -142,3 +142,115 @@ def test_truncated_webp_raises_cleanly(seed, cut):
         assert out.shape == (10, 12, 4)   # only pad-byte cuts may succeed
     except (ValueError, NotImplementedError, IndexError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# third-party parity: decode REAL libwebp encoder output (the system
+# libwebp.so via ctypes), exercising the spec tables a same-repo
+# round-trip can never falsify (kCodeToPlane distance mapping, canonical
+# code-length coding, meta-prefix images, predictors chosen by a real
+# encoder). Skipped when the shared library is absent.
+# ---------------------------------------------------------------------------
+
+def _libwebp():
+    import ctypes
+    import glob
+    for cand in sorted(glob.glob("/usr/lib/*/libwebp.so*")):
+        try:
+            return ctypes.CDLL(cand)
+        except OSError:
+            continue
+    return None
+
+
+def _libwebp_lossless(rgba: np.ndarray, use_alpha: bool) -> bytes | None:
+    import ctypes
+    lib = _libwebp()
+    if lib is None:
+        return None
+    h, w = rgba.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    if use_alpha:
+        fn = lib.WebPEncodeLosslessRGBA
+        buf = rgba.tobytes()
+        stride = w * 4
+    else:
+        fn = lib.WebPEncodeLosslessRGB
+        buf = rgba[..., :3].tobytes()
+        stride = w * 3
+    fn.restype = ctypes.c_size_t
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                   ctypes.c_int,
+                   ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    n = fn(buf, w, h, stride, ctypes.byref(out))
+    if n == 0:
+        return None
+    data = bytes(bytearray(
+        ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * n)).contents))
+    lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+    return data
+
+
+def _parity_images():
+    rng = np.random.default_rng(77)
+    yy, xx = np.mgrid[0:29, 0:43]
+    smooth = np.stack([(xx * 5) % 256, (yy * 7) % 256,
+                       ((xx + yy) * 3) % 256], axis=-1).astype(np.uint8)
+    mixed = smooth.copy()
+    mixed[12:, 25:] = rng.integers(0, 256, (17, 18, 3))
+    noise = rng.integers(0, 256, (31, 37, 3)).astype(np.uint8)
+    pal = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 0],
+                    [255, 255, 255], [5, 250, 125]], np.uint8)
+    paletted = pal[rng.integers(0, len(pal), (40, 51))]
+    imgs = {"smooth": smooth, "mixed": mixed, "noise": noise,
+            "paletted": paletted}
+    out = {}
+    for k, im in imgs.items():
+        rgba = np.dstack([im, np.full(im.shape[:2], 255, np.uint8)])
+        out[k] = rgba
+    alpha = np.dstack([smooth, ((xx * 11) % 256).astype(np.uint8)])
+    out["alpha"] = alpha
+    return out
+
+
+def _libwebp_decode_rgba(data: bytes) -> np.ndarray | None:
+    import ctypes
+    lib = _libwebp()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                   ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int)]
+    p = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w),
+                           ctypes.byref(h))
+    if not p:
+        return None
+    n = w.value * h.value * 4
+    arr = np.frombuffer(bytes(bytearray(
+        ctypes.cast(p, ctypes.POINTER(ctypes.c_uint8 * n)).contents)),
+        dtype=np.uint8).reshape(h.value, w.value, 4).copy()
+    lib.WebPFree(ctypes.cast(p, ctypes.c_void_p))
+    return arr
+
+
+def test_real_libwebp_lossless_files_decode_exactly():
+    """Byte parity with libwebp's own decoder on real encoder output.
+    (The source image is NOT the oracle: libwebp's default alpha cleanup
+    rewrites RGB under fully-transparent pixels at encode time.)"""
+    if _libwebp() is None:
+        pytest.skip("system libwebp not present")
+    for name, rgba in _parity_images().items():
+        use_alpha = name == "alpha"
+        data = _libwebp_lossless(rgba, use_alpha)
+        assert data is not None, name
+        want = _libwebp_decode_rgba(data)
+        assert want is not None, name
+        img = np.asarray(webp_decode(data))
+        assert img.shape == want.shape, name
+        assert np.array_equal(img, want), name
+        # and against the source wherever pixels are opaque
+        opaque = rgba[..., 3] > 0
+        assert np.array_equal(img[opaque][:, :3], rgba[opaque][:, :3]), name
