@@ -34,10 +34,14 @@ byte-for-byte equal). Streams that rely on the default tables — i.e.
 real-world encoder output — decode faithfully; earlier rounds' neutral
 stand-ins and the real-file refuse-guard are gone.
 
+Segmentation (RFC 6386 9.3/10: per-segment quantizer and loop-filter
+adjustments with the tree-coded per-MB map) and loop-filter deltas
+(9.4) are decoded — real encoders (libwebp) enable both by default.
+
 Honest scope boundaries (each raises NotImplementedError):
   * inter frames (P-frames) — this is an image engine, standalone lossy
     .webp files are always key frames;
-  * segmentation maps and multiple token partitions.
+  * multiple token partitions.
 """
 
 from __future__ import annotations
@@ -196,6 +200,9 @@ DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
 # keyframe 16x16 luma mode tree (RFC 6386 8.2 / 11.2)
 KF_YMODE_TREE = [-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED]
 KF_YMODE_PROBS = [145, 156, 163, 128]
+
+# segment-id tree (RFC 6386 10): 2 bits, 3 node probabilities
+MB_SEGMENT_TREE = [2, 4, -0, -1, -2, -3]
 
 UV_MODE_TREE = [-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED]
 KF_UV_MODE_PROBS = [142, 114, 183]
@@ -440,7 +447,12 @@ def predict_block(mode: int, size: int, above, left, aboveleft) -> np.ndarray:
     if mode == TM_PRED:
         a = above if above is not None else np.full(size, 127, dtype=np.int64)
         l = left if left is not None else np.full(size, 129, dtype=np.int64)
-        al = aboveleft if aboveleft is not None else 129
+        if aboveleft is not None:
+            al = aboveleft
+        else:
+            # frame borders (libvpx vp8_setup_intra_recon): the row above
+            # the frame is 127 INCLUDING the corner; the left column 129
+            al = 127 if above is None else 129
         p = l.reshape(-1, 1) + a.reshape(1, -1) - al
         return np.clip(p, 0, 255).astype(np.int64)
     raise NotImplementedError(f"prediction mode {mode}")
@@ -566,13 +578,45 @@ def vp8_decode(data: bytes) -> dict:
 
     bd.read(128)  # color space
     bd.read(128)  # clamping type
-    if bd.read(128):
-        raise NotImplementedError("VP8 segmentation not supported")
+    # segmentation (RFC 6386 9.3): up to 4 segments with per-segment
+    # quantizer / loop-filter adjustments and a tree-coded per-MB map
+    seg_enabled = bd.read(128)
+    seg_update_map = 0
+    seg_abs = 0
+    seg_quant = [0] * 4
+    seg_lf = [0] * 4
+    seg_tree_probs = [255] * 3
+    if seg_enabled:
+        seg_update_map = bd.read(128)
+        if bd.read(128):                 # update_segment_feature_data
+            seg_abs = bd.read(128)
+            for i in range(4):
+                if bd.read(128):
+                    seg_quant[i] = bd.signed_literal(7)
+            for i in range(4):
+                if bd.read(128):
+                    seg_lf[i] = bd.signed_literal(6)
+        if seg_update_map:
+            for i in range(3):
+                if bd.read(128):
+                    seg_tree_probs[i] = bd.literal(8)
     filter_type = bd.read(128)
     filter_level = bd.literal(6)
     sharpness = bd.literal(3)
-    if bd.read(128):
-        raise NotImplementedError("VP8 loop-filter deltas not supported")
+    # loop-filter adjustments (RFC 6386 9.4): on key frames the
+    # INTRA_FRAME ref delta applies to every MB and mode delta 0 to
+    # B_PRED MBs
+    lf_delta_enabled = bd.read(128)
+    ref_lf_deltas = [0] * 4
+    mode_lf_deltas = [0] * 4
+    if lf_delta_enabled:
+        if bd.read(128):                 # mode_ref_lf_delta_update
+            for i in range(4):
+                if bd.read(128):
+                    ref_lf_deltas[i] = bd.signed_literal(6)
+            for i in range(4):
+                if bd.read(128):
+                    mode_lf_deltas[i] = bd.signed_literal(6)
     if bd.literal(2) != 0:
         raise NotImplementedError("VP8 multiple token partitions")
     qindex = bd.literal(7)
@@ -601,10 +645,15 @@ def vp8_decode(data: bytes) -> dict:
     # neighbours count as B_DC and non-B_PRED neighbours contribute the
     # sub-mode implied by their 16x16 mode.
     ymodes, uvmodes, skips, bmodes = [], [], [], []
+    seg_ids = []
     above_sub = [[B_DC] * 4 for _ in range(mb_cols)]
     for mr in range(mb_rows):
         left_sub = [B_DC] * 4
         for mc in range(mb_cols):
+            if seg_update_map:
+                seg_ids.append(bd.tree(MB_SEGMENT_TREE, seg_tree_probs))
+            else:
+                seg_ids.append(0)
             skip = bd.read(skip_prob) if mb_skip_enabled else 0
             ym = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
             if ym == B_PRED:
@@ -627,7 +676,14 @@ def vp8_decode(data: bytes) -> dict:
             uvmodes.append(uvm)
             skips.append(skip)
 
-    qf = dequant_factors(qindex, deltas)
+    # per-segment quantizers (RFC 6386 9.3/14.1): absolute or
+    # frame-base-relative, clamped to the 0..127 lookup range
+    qf_seg = []
+    for s in range(4):
+        qi = seg_quant[s] if seg_abs else qindex + seg_quant[s]
+        qf_seg.append(dequant_factors(min(max(qi, 0), 127), deltas)
+                      if seg_enabled else None)
+    qf_base = dequant_factors(qindex, deltas)
     td = BoolDecoder(body[first_part_size:])
     y_plane = np.zeros((mb_rows * 16, mb_cols * 16), dtype=np.int64)
     u_plane = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int64)
@@ -642,6 +698,7 @@ def vp8_decode(data: bytes) -> dict:
         for mc in range(mb_cols):
             idx = mr * mb_cols + mc
             ym, uvm, skip = ymodes[idx], uvmodes[idx], skips[idx]
+            qf = qf_seg[seg_ids[idx]] if seg_enabled else qf_base
             has_y2 = ym != B_PRED
             if skip:
                 y2_res = np.zeros(16, dtype=np.int64)
@@ -714,8 +771,26 @@ def vp8_decode(data: bytes) -> dict:
                             y2_res, yblocks, ublocks, vblocks, qf,
                             bmodes[idx])
 
+    # per-MB filter level: segment adjustment, then the key-frame lf
+    # deltas (INTRA_FRAME ref delta for every MB, mode delta 0 for
+    # B_PRED), each clamped to 0..63
+    mb_levels = []
+    for idx2 in range(mb_rows * mb_cols):
+        if seg_enabled:
+            lvl = seg_lf[seg_ids[idx2]] if seg_abs \
+                else filter_level + seg_lf[seg_ids[idx2]]
+        else:
+            lvl = filter_level
+        lvl = min(max(lvl, 0), 63)
+        if lf_delta_enabled:
+            lvl += ref_lf_deltas[0]
+            if ymodes[idx2] == B_PRED:
+                lvl += mode_lf_deltas[0]
+            lvl = min(max(lvl, 0), 63)
+        mb_levels.append(lvl)
     loop_filter_frame(y_plane, u_plane, v_plane, filter_level, sharpness,
-                      filter_type, mb_has_coeffs, mb_rows, mb_cols)
+                      filter_type, mb_has_coeffs, mb_rows, mb_cols,
+                      mb_levels=mb_levels)
     return {
         "y": np.clip(y_plane[:height, :width], 0, 255).astype(np.uint8),
         "u": np.clip(u_plane[:(height + 1) // 2, :(width + 1) // 2],
@@ -1239,17 +1314,28 @@ def _filter_h_edge(plane, c0, span, y, limits, mb_edge, simple):
 
 def loop_filter_frame(yp, up, vp, level: int, sharpness: int,
                       filter_type: int, mb_has_coeffs, mb_rows: int,
-                      mb_cols: int):
+                      mb_cols: int, mb_levels=None):
     """In-place loop filter over reconstructed planes. mb_has_coeffs:
     per-MB raster flags — MBs with no coefficients (whole-MB prediction)
     skip their subblock-interior edges (RFC 6386 15.2). filter_type 1 is
-    the simple filter (luma only)."""
-    if level == 0:
+    the simple filter (luma only). mb_levels: optional per-MB filter
+    levels (segmentation / lf-delta adjusted); MBs at level 0 are
+    skipped individually."""
+    if mb_levels is None:
+        mb_levels = [level] * (mb_rows * mb_cols)
+    if not any(mb_levels):
         return
-    limits = _filter_limits(level, sharpness)
+    limits_by_level = {}
     simple = filter_type == 1
     for mr in range(mb_rows):
         for mc in range(mb_cols):
+            lvl = mb_levels[mr * mb_cols + mc]
+            if lvl == 0:
+                continue
+            limits = limits_by_level.get(lvl)
+            if limits is None:
+                limits = limits_by_level[lvl] = _filter_limits(lvl,
+                                                               sharpness)
             has = mb_has_coeffs[mr * mb_cols + mc]
             x0, y0 = mc * 16, mr * 16
             if mc > 0:
@@ -1376,16 +1462,24 @@ def predict_subblock(mode: int, above: np.ndarray, left: np.ndarray,
         p[2, 3] = _avg3(A[4], A[5], A[6])
         return p
     if mode == B_HD:
-        e = np.array([L[3], L[2], L[1], L[0], al,
-                      A[0], A[1], A[2], A[3]], dtype=np.int64)
-        for r in range(4):
-            for c in range(4):
-                i = 2 * (3 - r) + c
-                if i % 2 == 0:
-                    p[r, c] = _avg2(e[(i >> 1)], e[(i >> 1) + 1])
-                else:
-                    p[r, c] = _avg3(e[(i >> 1)], e[(i >> 1) + 1],
-                                    e[(i >> 1) + 2])
+        # RFC 6386 12.3 HD_PRED: row 0 cols 2-3 continue into the above
+        # row (avg3 over AL/A0/A1/A2), not the left-edge diagonal
+        p[0, 0] = _avg2(L[0], al)
+        p[0, 1] = _avg3(L[0], al, A[0])
+        p[0, 2] = _avg3(al, A[0], A[1])
+        p[0, 3] = _avg3(A[0], A[1], A[2])
+        p[1, 0] = _avg2(L[1], L[0])
+        p[1, 1] = _avg3(L[1], L[0], al)
+        p[1, 2] = p[0, 0]
+        p[1, 3] = p[0, 1]
+        p[2, 0] = _avg2(L[2], L[1])
+        p[2, 1] = _avg3(L[2], L[1], L[0])
+        p[2, 2] = p[1, 0]
+        p[2, 3] = p[1, 1]
+        p[3, 0] = _avg2(L[3], L[2])
+        p[3, 1] = _avg3(L[3], L[2], L[1])
+        p[3, 2] = p[2, 0]
+        p[3, 3] = p[2, 1]
         return p
     if mode == B_HU:
         e = np.array([L[0], L[1], L[2], L[3]], dtype=np.int64)

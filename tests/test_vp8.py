@@ -219,3 +219,141 @@ def test_bpred_predictors_cover_and_bound():
                 int(rng.integers(0, 256)), rng.integers(0, 256, 4))
             assert out.shape == (4, 4)
             assert out.min() >= 0 and out.max() <= 255
+
+
+# ---------------------------------------------------------------------------
+# third-party byte parity with the system libwebp (ctypes), both ways.
+# Same-repo round-trips cannot falsify shared enc/dec conventions; these
+# can — they caught the TM corner fill (127 vs 129), the B_HD row-0
+# tail, and libwebp's permuted kf_bmode context axes. Skipped when the
+# shared library is absent.
+# ---------------------------------------------------------------------------
+
+def _libwebp():
+    import ctypes
+    import glob
+    for cand in sorted(glob.glob("/usr/lib/*/libwebp.so*")):
+        try:
+            return ctypes.CDLL(cand)
+        except OSError:
+            continue
+    return None
+
+
+def _libwebp_decode_yuv(lib, data):
+    import ctypes
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    yp = lib.WebPDecodeYUV(data, len(data), ctypes.byref(w),
+                           ctypes.byref(h), ctypes.byref(u),
+                           ctypes.byref(v), ctypes.byref(stride),
+                           ctypes.byref(uv_stride))
+    assert yp, "libwebp refused the stream"
+    import ctypes as ct
+
+    def grab(p, rows, cols, srd):
+        n = rows * srd
+        a = np.frombuffer(bytes(bytearray(
+            ct.cast(p, ct.POINTER(ct.c_uint8 * n)).contents)),
+            dtype=np.uint8).reshape(rows, srd)
+        return a[:, :cols].copy()
+    W, H, S, US = w.value, h.value, stride.value, uv_stride.value
+    out = (grab(yp, H, W, S), grab(u, (H + 1) // 2, (W + 1) // 2, US),
+           grab(v, (H + 1) // 2, (W + 1) // 2, US))
+    lib.WebPFree(ctypes.cast(yp, ctypes.c_void_p))
+    return out
+
+
+def _wrap_vp8(stream):
+    chunk = b"VP8 " + struct.pack("<I", len(stream)) + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_our_streams_decode_exactly_in_libwebp():
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("system libwebp not present")
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    u = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    v = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    for mode in (None, vp8.DC_PRED, vp8.V_PRED, vp8.H_PRED,
+                 vp8.TM_PRED, vp8.B_PRED):
+        for fl in (0, 33, 63):
+            stream, recon = vp8_encode_planes(y, u, v, qindex=40,
+                                              mode=mode, filter_level=fl)
+            ly, lu, lv = _libwebp_decode_yuv(lib, _wrap_vp8(stream))
+            for k, ours, theirs in (("y", recon["y"], ly),
+                                    ("u", recon["u"], lu),
+                                    ("v", recon["v"], lv)):
+                assert np.array_equal(ours, theirs), (mode, fl, k)
+    # odd dimensions too (partial edge MBs)
+    y2 = rng.integers(0, 256, (21, 37)).astype(np.uint8)
+    u2 = rng.integers(0, 256, (11, 19)).astype(np.uint8)
+    stream, recon = vp8_encode_planes(y2, u2, u2, qindex=25,
+                                      filter_level=20)
+    ly, lu, lv = _libwebp_decode_yuv(lib, _wrap_vp8(stream))
+    assert np.array_equal(recon["y"], ly)
+    assert np.array_equal(recon["u"], lu)
+
+
+def test_real_libwebp_lossy_files_decode_exactly():
+    """Real libwebp encoder output — segmentation with per-segment
+    quantizers and seg-adjusted loop-filter levels, default prob tables,
+    B_PRED with real context coding — must decode to libwebp's own YUV
+    planes bit-for-bit."""
+    import ctypes
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("system libwebp not present")
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    rng = np.random.default_rng(3)
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    imgs = {
+        "solid": np.full((h, w, 3), 120, np.uint8),
+        "smooth": np.stack([(xx * 4) % 256, (yy * 5) % 256,
+                            ((xx + yy) * 3) % 256], -1).astype(np.uint8),
+        "noise": rng.integers(0, 256, (h, w, 3)).astype(np.uint8),
+        "odd": rng.integers(0, 256, (29, 43, 3)).astype(np.uint8),
+    }
+    for q in (10.0, 50.0, 95.0):
+        for name, img in imgs.items():
+            ih, iw = img.shape[:2]
+            out = ctypes.POINTER(ctypes.c_uint8)()
+            n = lib.WebPEncodeRGB(img.tobytes(), iw, ih, iw * 3, q,
+                                  ctypes.byref(out))
+            assert n > 0, (name, q)
+            data = bytes(bytearray(ctypes.cast(
+                out, ctypes.POINTER(ctypes.c_uint8 * n)).contents))
+            lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+            ly, lu, lv = _libwebp_decode_yuv(lib, data)
+            i = 12
+            chunk = None
+            while i + 8 <= len(data):
+                tag = data[i:i + 4]
+                ln = int.from_bytes(data[i + 4:i + 8], "little")
+                if tag == b"VP8 ":
+                    chunk = data[i + 8:i + 8 + ln]
+                i += 8 + ln + (ln & 1)
+            dec = vp8_decode(chunk)
+            for k, ours, theirs in (("y", dec["y"], ly),
+                                    ("u", dec["u"], lu),
+                                    ("v", dec["v"], lv)):
+                assert np.array_equal(ours, theirs), (name, q, k)

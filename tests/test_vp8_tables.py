@@ -65,16 +65,24 @@ def test_tables_match_system_libwebp_rodata():
     """The exact three tables live as contiguous .rodata in libwebp's
     VP8 decoder: coeff-update probs (1056 B), kf_bmode_prob (900 B) and
     default coeff probs (1056 B). Find them by content and require the
-    binary to carry our bytes verbatim."""
+    binary to carry our bytes verbatim. libwebp's internal B-mode enum
+    permutes RD/VR/LD relative to the RFC/bitstream order (its
+    RD=4, VR=5, LD=6 vs the RFC's LD=4, RD=5, VR=6), so its stored
+    kf_bmode table has both context axes in that order — apply the
+    RFC→libwebp mode map before searching."""
     cands = sorted(glob.glob("/usr/lib/*/libwebp.so*"))
     cands = [c for c in cands if not os.path.islink(c)]
     if not cands:
         pytest.skip("system libwebp not present")
     blob = open(cands[0], "rb").read()
-    for table in (DEFAULT_COEFF_PROBS, COEFF_UPDATE_PROBS,
-                  KF_BMODE_PROBS):
+    for table in (DEFAULT_COEFF_PROBS, COEFF_UPDATE_PROBS):
         raw = bytes(int(v) for v in _flat(table))
         assert blob.count(raw) >= 1, "table bytes not found in libwebp"
+    inv = {0: 0, 1: 1, 2: 2, 3: 3, 4: 5, 5: 6, 6: 4, 7: 7, 8: 8, 9: 9}
+    webp_order = [[KF_BMODE_PROBS[inv[a]][inv[l]] for l in range(10)]
+                  for a in range(10)]
+    raw = bytes(int(v) for v in _flat(webp_order))
+    assert blob.count(raw) >= 1, "kf_bmode bytes not found in libwebp"
 
 
 def test_submode_coding_is_context_dependent():
