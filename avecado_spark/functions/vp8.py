@@ -35,13 +35,13 @@ real-world encoder output — decode faithfully; earlier rounds' neutral
 stand-ins and the real-file refuse-guard are gone.
 
 Segmentation (RFC 6386 9.3/10: per-segment quantizer and loop-filter
-adjustments with the tree-coded per-MB map) and loop-filter deltas
-(9.4) are decoded — real encoders (libwebp) enable both by default.
+adjustments with the tree-coded per-MB map), loop-filter deltas (9.4)
+and multiple token partitions (9.5, row-interleaved) are decoded —
+real encoders (libwebp) enable the first two by default.
 
-Honest scope boundaries (each raises NotImplementedError):
-  * inter frames (P-frames) — this is an image engine, standalone lossy
-    .webp files are always key frames;
-  * multiple token partitions.
+Honest scope boundary (raises NotImplementedError): inter frames
+(P-frames) — this is an image engine, standalone lossy .webp files are
+always key frames.
 """
 
 from __future__ import annotations
@@ -617,8 +617,7 @@ def vp8_decode(data: bytes) -> dict:
             for i in range(4):
                 if bd.read(128):
                     mode_lf_deltas[i] = bd.signed_literal(6)
-    if bd.literal(2) != 0:
-        raise NotImplementedError("VP8 multiple token partitions")
+    n_parts = 1 << bd.literal(2)
     qindex = bd.literal(7)
     deltas = {}
     for name in ("y_dc", "y2_dc", "y2_ac", "uv_dc", "uv_ac"):
@@ -684,7 +683,27 @@ def vp8_decode(data: bytes) -> dict:
         qf_seg.append(dequant_factors(min(max(qi, 0), 127), deltas)
                       if seg_enabled else None)
     qf_base = dequant_factors(qindex, deltas)
-    td = BoolDecoder(body[first_part_size:])
+    # token partitions (RFC 6386 9.5): MB row r is coded in partition
+    # r % n_parts; sizes of all but the last are 3-byte LE up front
+    rest = body[first_part_size:]
+    if n_parts == 1:
+        tds = [BoolDecoder(rest)]
+    else:
+        hdr = 3 * (n_parts - 1)
+        if len(rest) < hdr:
+            raise ValueError("VP8: truncated partition size table")
+        tds, pos = [], hdr
+        for p in range(n_parts):
+            if p < n_parts - 1:
+                sz = rest[3 * p] | (rest[3 * p + 1] << 8) \
+                    | (rest[3 * p + 2] << 16)
+                end = pos + sz
+            else:
+                end = len(rest)
+            if end > len(rest):
+                raise ValueError("VP8: token partition overruns frame")
+            tds.append(BoolDecoder(rest[pos:end]))
+            pos = end
     y_plane = np.zeros((mb_rows * 16, mb_cols * 16), dtype=np.int64)
     u_plane = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int64)
     v_plane = np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int64)
@@ -694,6 +713,7 @@ def vp8_decode(data: bytes) -> dict:
     above = [{"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
              for _ in range(mb_cols)]
     for mr in range(mb_rows):
+        td = tds[mr % n_parts]
         left = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
         for mc in range(mb_cols):
             idx = mr * mb_cols + mc
@@ -892,7 +912,8 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       mode: int | None = None,
                       filter_level: int = 0, sharpness: int = 0,
                       filter_type: int = 0,
-                      transmit_probs: bool = False) -> tuple[bytes, dict]:
+                      transmit_probs: bool = False,
+                      token_partitions: int = 0) -> tuple[bytes, dict]:
     """Encode YUV420 planes as a VP8 key frame. Returns (stream, recon)
     where recon holds the encoder's own reconstruction planes — the EXACT
     pixels a conforming decode of the stream must produce (loop filter
@@ -901,7 +922,9 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     The default stream relies on the RFC 6386 13.5 default coefficient
     tables like real-world encoders do; `transmit_probs=True` instead
     re-transmits every prob explicitly (~2.1 KB), pinning the header
-    update path in tests."""
+    update path in tests. `token_partitions` is the log2 of the token
+    partition count (0..3, RFC 6386 9.5) — MB row r goes to partition
+    r % 2**token_partitions."""
     height, width = y.shape
     if u.shape != ((height + 1) // 2, (width + 1) // 2):
         raise ValueError("u/v planes must be half-size YUV420")
@@ -1027,11 +1050,15 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                         "y2": qy2, "y": ycoeffs, "uv": uv_coeffs,
                         "bmodes": sub_modes})
 
-    # ---- token partition (needs the same contexts the decoder keeps) ----
-    te = BoolEncoder()
+    # ---- token partition(s) (same contexts the decoder keeps; the
+    # above/left nonzero contexts stay GLOBAL raster even when MB rows
+    # alternate partitions, RFC 6386 9.5) ----
+    n_parts = 1 << token_partitions
+    tes = [BoolEncoder() for _ in range(n_parts)]
     above = [{"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
              for _ in range(mb_cols)]
     for mr in range(mb_rows):
+        te = tes[mr % n_parts]
         left = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
         for mc in range(mb_cols):
             mb = mbs[mr * mb_cols + mc]
@@ -1076,7 +1103,13 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                     cz[sb] = int(mb["uv"][key][sb].any())
                 above[mc][key] = [cz[2], cz[3]]
                 left[key] = [cz[1], cz[3]]
-    tokens = te.flush()
+    parts = [t.flush() for t in tes]
+    tokens = b""
+    if n_parts > 1:
+        for p in parts[:-1]:
+            tokens += bytes((len(p) & 0xFF, (len(p) >> 8) & 0xFF,
+                             (len(p) >> 16) & 0xFF))
+    tokens += b"".join(parts)
 
     # ---- first partition ----
     be = BoolEncoder()
@@ -1087,7 +1120,7 @@ def vp8_encode_planes(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     be.literal(filter_level, 6)
     be.literal(sharpness, 3)
     be.write(0, 128)  # lf deltas off
-    be.literal(0, 2)  # one token partition
+    be.literal(token_partitions, 2)  # log2 token partition count
     be.literal(qindex, 7)
     for _ in range(5):
         be.write(0, 128)  # no quant deltas

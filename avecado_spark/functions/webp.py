@@ -216,19 +216,27 @@ def webp_decode(data: bytes) -> np.ndarray:
         raise ValueError("not a WebP (RIFF/WEBP) payload")
     pos = 12
     vp8l = None
+    alph = None
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         sz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + sz]
         pos += 8 + sz + (sz & 1)
-        if tag == b"VP8L":
+        if tag == b"ALPH":
+            alph = body
+        elif tag == b"VP8L":
             vp8l = body
             break
-        if tag == b"VP8 ":
+        elif tag == b"VP8 ":
             # lossy WebP: real VP8 key-frame decode (functions/vp8.py)
             from .vp8 import vp8_decode_rgb
             rgb = vp8_decode_rgb(body)
-            alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
+            if alph is not None:
+                alpha = alpha_decode(alph, rgb.shape[1],
+                                     rgb.shape[0]).reshape(
+                    rgb.shape[0], rgb.shape[1], 1)
+            else:
+                alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
             return np.concatenate([rgb, alpha], axis=2)
     if vp8l is None:
         raise ValueError("no VP8L chunk in WebP container")
@@ -244,6 +252,50 @@ def webp_decode(data: bytes) -> np.ndarray:
     # ARGB (a, r, g, b) planes → RGBA
     return np.stack([argb[:, :, 1], argb[:, :, 2], argb[:, :, 3],
                      argb[:, :, 0]], axis=2)
+
+
+def alpha_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk (WebP container spec 'Alpha'): 1 header byte —
+    bits 0-1 compression (0 raw, 1 headerless VP8L with alpha in the
+    green channel), bits 2-3 per-row predictive filter (none /
+    horizontal / vertical / gradient), bits 4-5 preprocessing (encode
+    side only). Returns an (h, w) uint8 alpha plane."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    head = payload[0]
+    method = head & 3
+    filt = (head >> 2) & 3
+    if method == 0:
+        if len(payload) < 1 + w * h:
+            raise ValueError("truncated raw ALPH payload")
+        a = np.frombuffer(payload[1:1 + w * h],
+                          dtype=np.uint8).reshape(h, w).copy()
+    elif method == 1:
+        br = _LsbReader(payload[1:])
+        argb = _decode_image_stream(br, w, h, is_level0=True)
+        a = argb[:, :, 2].copy()          # alpha rides the green channel
+    else:
+        raise ValueError(f"reserved ALPH compression method {method}")
+    if filt:
+        a = a.astype(np.int64)
+        for r in range(h):
+            for c in range(w):
+                if filt == 1:             # horizontal
+                    p = a[r, c - 1] if c > 0 else (a[r - 1, 0]
+                                                   if r > 0 else 0)
+                elif filt == 2:           # vertical
+                    p = a[r - 1, c] if r > 0 else (a[r, c - 1]
+                                                   if c > 0 else 0)
+                elif r == 0:              # gradient row 0 = horizontal
+                    p = a[r, c - 1] if c > 0 else 0
+                else:                     # gradient
+                    left = a[r, c - 1] if c > 0 else a[r - 1, 0]
+                    top = a[r - 1, c]
+                    tl = a[r - 1, c - 1] if c > 0 else a[r - 1, 0]
+                    p = min(max(int(left) + int(top) - int(tl), 0), 255)
+                a[r, c] = (a[r, c] + p) & 0xFF
+        a = a.astype(np.uint8)
+    return a
 
 
 def _decode_image_stream(br, w, h, is_level0):

@@ -357,3 +357,36 @@ def test_real_libwebp_lossy_files_decode_exactly():
                                     ("u", dec["u"], lu),
                                     ("v", dec["v"], lv)):
                 assert np.array_equal(ours, theirs), (name, q, k)
+
+
+def test_token_partitions_roundtrip_and_libwebp():
+    """2/4/8 token partitions (RFC 6386 9.5): MB rows interleave across
+    partitions with GLOBAL above/left nonzero contexts; exact self
+    round-trip, and libwebp agrees when present."""
+    rng = np.random.default_rng(29)
+    y = rng.integers(0, 256, (80, 48)).astype(np.uint8)  # 5 MB rows
+    u = rng.integers(0, 256, (40, 24)).astype(np.uint8)
+    v = rng.integers(0, 256, (40, 24)).astype(np.uint8)
+    lib = _libwebp()
+    sizes = []
+    for tp in (0, 1, 2, 3):
+        stream, recon = vp8_encode_planes(y, u, v, qindex=40,
+                                          filter_level=12,
+                                          token_partitions=tp)
+        dec = vp8_decode(stream)
+        for k in ("y", "u", "v"):
+            assert np.array_equal(dec[k], recon[k]), (tp, k)
+        sizes.append(len(stream))
+        if lib is not None:
+            ly, lu, lv = _libwebp_decode_yuv(lib, _wrap_vp8(stream))
+            assert np.array_equal(recon["y"], ly), tp
+            assert np.array_equal(recon["u"], lu), tp
+            assert np.array_equal(recon["v"], lv), tp
+    # the partition size table costs 3 bytes per extra partition
+    assert sizes[1] >= sizes[0] + 3
+    # truncating the size table fails loudly
+    stream, _ = vp8_encode_planes(y, u, v, qindex=40, token_partitions=3)
+    tag = stream[0] | (stream[1] << 8) | (stream[2] << 16)
+    fp = tag >> 5
+    with pytest.raises(ValueError, match="partition"):
+        vp8_decode(stream[:10 + fp + 10])
