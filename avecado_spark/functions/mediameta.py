@@ -270,6 +270,43 @@ def probe_media(payload: bytes) -> dict:
             return {"format": "webp", "codec": "vp8l",
                     "width": (bits & 0x3FFF) + 1,
                     "height": ((bits >> 14) & 0x3FFF) + 1}
+        if tag == b"VP8X" and len(p) >= 30:
+            # extended container: canvas dims + flags; animations add
+            # ANIM (loop count) + per-ANMF durations — all header-only
+            meta = {"format": "webp",
+                    "width": (p[24] | (p[25] << 8) | (p[26] << 16)) + 1,
+                    "height": (p[27] | (p[28] << 8) | (p[29] << 16)) + 1,
+                    "has_alpha": bool(p[20] & 0x10)}
+            codec, frames, dur_ms = None, 0, 0
+            pos = 12
+            while pos + 8 <= len(p):
+                t4 = p[pos:pos + 4]
+                sz = int.from_bytes(p[pos + 4:pos + 8], "little")
+                body = p[pos + 8:pos + 8 + sz]
+                if t4 == b"ANIM" and len(body) >= 6:
+                    meta["loop_count"] = body[4] | (body[5] << 8)
+                elif t4 == b"ANMF" and len(body) >= 16:
+                    frames += 1
+                    dur_ms += (body[12] | (body[13] << 8)
+                               | (body[14] << 16))
+                    sub = 16            # frame data: own chunk sequence
+                    while codec is None and sub + 8 <= len(body):
+                        st = body[sub:sub + 4]
+                        ssz = int.from_bytes(body[sub + 4:sub + 8],
+                                             "little")
+                        if st in (b"VP8 ", b"VP8L"):
+                            codec = st
+                        sub += 8 + ssz + (ssz & 1)
+                elif t4 in (b"VP8 ", b"VP8L") and codec is None:
+                    codec = t4
+                pos += 8 + sz + (sz & 1)
+            if p[20] & 0x02:
+                meta["animated"] = True
+                meta["frame_count"] = frames
+                meta["duration_s"] = round(dur_ms / 1000.0, 3)
+            if codec in (b"VP8 ", b"VP8L"):
+                meta["codec"] = codec.decode("latin1").strip().lower()
+            return meta
         return {"format": "webp", "codec": tag.decode("latin1").strip()}
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         pos = 12

@@ -211,35 +211,18 @@ def _read_prefix_code(br: _LsbReader, alphabet: int) -> _PrefixDecoder:
 # decoder
 # ---------------------------------------------------------------------------
 
-def webp_decode(data: bytes) -> np.ndarray:
-    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a WebP (RIFF/WEBP) payload")
-    pos = 12
-    vp8l = None
-    alph = None
+def _iter_chunks(data: bytes, pos: int):
+    """RIFF sub-chunk walk: yields (fourcc, body) honoring the odd-size
+    pad byte. Truncated trailing chunks are yielded with whatever bytes
+    exist (the per-codec decoders fail loudly on short payloads)."""
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         sz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
-        body = data[pos + 8:pos + 8 + sz]
+        yield tag, data[pos + 8:pos + 8 + sz]
         pos += 8 + sz + (sz & 1)
-        if tag == b"ALPH":
-            alph = body
-        elif tag == b"VP8L":
-            vp8l = body
-            break
-        elif tag == b"VP8 ":
-            # lossy WebP: real VP8 key-frame decode (functions/vp8.py)
-            from .vp8 import vp8_decode_rgb
-            rgb = vp8_decode_rgb(body)
-            if alph is not None:
-                alpha = alpha_decode(alph, rgb.shape[1],
-                                     rgb.shape[0]).reshape(
-                    rgb.shape[0], rgb.shape[1], 1)
-            else:
-                alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
-            return np.concatenate([rgb, alpha], axis=2)
-    if vp8l is None:
-        raise ValueError("no VP8L chunk in WebP container")
+
+
+def _vp8l_decode_rgba(vp8l: bytes) -> np.ndarray:
     if vp8l[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
     br = _LsbReader(vp8l[1:])
@@ -252,6 +235,37 @@ def webp_decode(data: bytes) -> np.ndarray:
     # ARGB (a, r, g, b) planes → RGBA
     return np.stack([argb[:, :, 1], argb[:, :, 2], argb[:, :, 3],
                      argb[:, :, 0]], axis=2)
+
+
+def _decode_frame_chunks(chunks) -> np.ndarray:
+    """Decode an (ALPH?, VP8|VP8L) chunk sequence to (h, w, 4) RGBA —
+    the frame-payload shape shared by the top-level container and each
+    ANMF body (container spec 'Animation': frame data is itself a chunk
+    sequence)."""
+    alph = None
+    for tag, body in chunks:
+        if tag == b"ALPH":
+            alph = body
+        elif tag == b"VP8L":
+            return _vp8l_decode_rgba(body)
+        elif tag == b"VP8 ":
+            # lossy WebP: real VP8 key-frame decode (functions/vp8.py)
+            from .vp8 import vp8_decode_rgb
+            rgb = vp8_decode_rgb(body)
+            if alph is not None:
+                alpha = alpha_decode(alph, rgb.shape[1],
+                                     rgb.shape[0]).reshape(
+                    rgb.shape[0], rgb.shape[1], 1)
+            else:
+                alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
+            return np.concatenate([rgb, alpha], axis=2)
+    raise ValueError("no VP8L chunk in WebP container")
+
+
+def webp_decode(data: bytes) -> np.ndarray:
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) payload")
+    return _decode_frame_chunks(_iter_chunks(data, 12))
 
 
 def alpha_decode(payload: bytes, w: int, h: int) -> np.ndarray:
@@ -913,3 +927,167 @@ def _forward_predictor(argb: np.ndarray, size_bits: int,
 def _enc_cache_put(cache, bits, a, r, g, b):
     key = (a << 24) | (r << 16) | (g << 8) | b
     cache[(0x1E35A7BD * key & 0xFFFFFFFF) >> (32 - bits)] = key
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF, container spec "Animation")
+# ---------------------------------------------------------------------------
+# Chunk layout per the public WebP container spec:
+#   VP8X: 1 flags byte (bit4 alpha, bit1 animation, counting from LSB=bit0),
+#         3 reserved bytes, canvas_width-1 (24-bit LE), canvas_height-1.
+#   ANIM: background color (4 bytes, B G R A order), loop count (16-bit LE;
+#         0 = loop forever).
+#   ANMF: 16-byte header — frame_x/2 (24-bit LE), frame_y/2 (24),
+#         frame_width-1 (24), frame_height-1 (24), duration_ms (24),
+#         flags byte (bit1: 1 = do NOT alpha-blend, overwrite; bit0:
+#         1 = dispose to background after this frame) — followed by the
+#         frame's own (ALPH?, VP8|VP8L) chunk sequence.
+# Composition follows libwebp's demux AnimDecoder conventions, which the
+# spec leaves implementation-defined in two places: the canvas starts
+# fully transparent, and "dispose to background" clears the frame rect to
+# transparent (the ANIM background color is surfaced as metadata only).
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _p24(v: int) -> bytes:
+    return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+
+def webp_parse_animation(data: bytes) -> dict:
+    """Parse the VP8X/ANIM/ANMF structure without decoding pixels.
+    Returns {canvas_w, canvas_h, bg_rgba, loop_count, frames:[{x, y, w, h,
+    duration_ms, blend, dispose, body}]}. Raises on a non-animated or
+    non-WebP payload (callers sniff via webp_frame_count / the VP8X
+    animation flag first)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) payload")
+    out = {"canvas_w": None, "canvas_h": None,
+           "bg_rgba": (255, 255, 255, 255), "loop_count": 0, "frames": []}
+    animated = False
+    for tag, body in _iter_chunks(data, 12):
+        if tag == b"VP8X" and len(body) >= 10:
+            animated = bool(body[0] & 0x02)
+            out["canvas_w"] = _u24(body, 4) + 1
+            out["canvas_h"] = _u24(body, 7) + 1
+        elif tag == b"ANIM" and len(body) >= 6:
+            # stored B, G, R, A
+            out["bg_rgba"] = (body[2], body[1], body[0], body[3])
+            out["loop_count"] = body[4] | (body[5] << 8)
+        elif tag == b"ANMF" and len(body) >= 16:
+            out["frames"].append({
+                "x": _u24(body, 0) * 2, "y": _u24(body, 3) * 2,
+                "w": _u24(body, 6) + 1, "h": _u24(body, 9) + 1,
+                "duration_ms": _u24(body, 12),
+                "blend": not (body[15] & 0x02),
+                "dispose": bool(body[15] & 0x01),
+                "body": body[16:]})
+    if not animated or not out["frames"]:
+        raise ValueError("not an animated WebP (no VP8X anim flag / ANMF)")
+    return out
+
+
+def webp_frame_count(data: bytes) -> int:
+    """1 for a still WebP, the ANMF count for an animation."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) payload")
+    n = sum(1 for tag, _ in _iter_chunks(data, 12) if tag == b"ANMF")
+    return n if n else 1
+
+
+def _blend_rect(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Non-premultiplied source-over (libwebp BlendPixelRowNonPremult):
+    integer /255 and final /out_alpha divisions; pixels with src_a == 0
+    keep the destination byte-for-byte (including RGB under zero
+    alpha)."""
+    sa = src[:, :, 3].astype(np.uint32)
+    da = dst[:, :, 3].astype(np.uint32)
+    df = da * (255 - sa) // 255
+    oa = sa + df
+    oad = np.maximum(oa, 1)[:, :, None]
+    rgb = (src[:, :, :3].astype(np.uint32) * sa[:, :, None]
+           + dst[:, :, :3].astype(np.uint32) * df[:, :, None]) // oad
+    out = np.concatenate([rgb, oa[:, :, None]], axis=2).astype(np.uint8)
+    keep_dst = (sa == 0)[:, :, None]
+    return np.where(keep_dst, dst, out)
+
+
+def webp_decode_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Animated WebP frame extraction: compose frames 0..frame_idx onto
+    the transparent canvas honoring each ANMF's blend (alpha-blend vs
+    overwrite) and dispose (clear rect to transparent) flags, returning
+    (canvas_h, canvas_w, 4) RGBA. frame_idx clamps to the last frame
+    (same convention as gif_decode_frame / y4m EOF). Still WebP payloads
+    return webp_decode(data) for any frame_idx."""
+    try:
+        anim = webp_parse_animation(data)
+    except ValueError:
+        return webp_decode(data)
+    frames = anim["frames"]
+    frame_idx = min(frame_idx, len(frames) - 1)
+    screen = np.zeros((anim["canvas_h"], anim["canvas_w"], 4),
+                      dtype=np.uint8)
+    for i in range(frame_idx + 1):
+        f = frames[i]
+        rgba = _decode_frame_chunks(_iter_chunks(f["body"], 0))
+        if rgba.shape[:2] != (f["h"], f["w"]):
+            raise ValueError(
+                f"ANMF frame {i}: payload {rgba.shape[1]}x{rgba.shape[0]} "
+                f"!= header {f['w']}x{f['h']}")
+        y0, y1 = f["y"], f["y"] + f["h"]
+        x0, x1 = f["x"], f["x"] + f["w"]
+        if y1 > anim["canvas_h"] or x1 > anim["canvas_w"]:
+            raise ValueError(f"ANMF frame {i} rect exceeds the canvas")
+        if f["blend"]:
+            screen[y0:y1, x0:x1] = _blend_rect(screen[y0:y1, x0:x1], rgba)
+        else:
+            screen[y0:y1, x0:x1] = rgba
+        if i == frame_idx:
+            break
+        if f["dispose"]:          # dispose before the NEXT frame draws
+            screen[y0:y1, x0:x1] = 0
+    return screen
+
+
+def webp_encode_frames(frames, loop_count: int = 0,
+                       bg_rgba=(255, 255, 255, 255),
+                       canvas_w: int | None = None,
+                       canvas_h: int | None = None) -> bytes:
+    """Animated-WebP writer for fixtures, the ANIM twin of
+    gif_encode_frames. `frames`: list of dicts {rgba (h,w,4) uint8,
+    x, y (even — the container stores them /2), duration_ms=100,
+    blend=True, dispose=False}; each frame is VP8L-encoded (lossless,
+    native alpha), so decode_frame round-trips composition exactly.
+    Canvas defaults to frame 0's extent."""
+    if not frames:
+        raise ValueError("webp_encode_frames: no frames")
+    f0 = frames[0]
+    cw = canvas_w if canvas_w is not None else f0["x"] + f0["rgba"].shape[1]
+    ch = canvas_h if canvas_h is not None else f0["y"] + f0["rgba"].shape[0]
+    chunks = bytearray()
+    flags = 0x02 | 0x10                       # animation + alpha
+    chunks += b"VP8X" + struct.pack("<I", 10) + bytes([flags, 0, 0, 0]) \
+        + _p24(cw - 1) + _p24(ch - 1)
+    r, g, b, a = bg_rgba
+    chunks += b"ANIM" + struct.pack("<I", 6) + bytes([b, g, r, a]) \
+        + struct.pack("<H", loop_count)
+    for i, f in enumerate(frames):
+        rgba, x, y = f["rgba"], int(f["x"]), int(f["y"])
+        if x % 2 or y % 2:
+            raise ValueError(
+                f"frame {i}: x/y must be even (stored as x/2, y/2)")
+        h, w = rgba.shape[:2]
+        if x + w > cw or y + h > ch:
+            raise ValueError(f"frame {i} rect exceeds the {cw}x{ch} canvas")
+        payload = webp_encode(np.ascontiguousarray(rgba))[12:]  # VP8L chunk
+        fl = (0 if f.get("blend", True) else 0x02) \
+            | (0x01 if f.get("dispose", False) else 0)
+        hdr = _p24(x // 2) + _p24(y // 2) + _p24(w - 1) + _p24(h - 1) \
+            + _p24(int(f.get("duration_ms", 100))) + bytes([fl])
+        body = hdr + payload
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" \
+        + bytes(chunks)

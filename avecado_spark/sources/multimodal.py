@@ -242,6 +242,11 @@ def decode_video_frame(payload: bytes, frame_idx: int, width: int, height: int,
         # animated GIF: disposal-composited frame (functions/gif.py)
         from ..functions.gif import gif_decode_frame
         return gif_decode_frame(bytes(payload), frame_idx)[:, :, :3]
+    if (bytes(payload[:4]) == b"RIFF"
+            and bytes(payload[8:12]) == b"WEBP"):
+        # animated WebP: blend/dispose-composited frame (functions/webp.py)
+        from ..functions.webp import webp_decode_frame
+        return webp_decode_frame(bytes(payload), frame_idx)[:, :, :3]
     if not deterministic_fake:
         raise NotImplementedError(
             "compressed video codec not available in this container; "
