@@ -1,0 +1,146 @@
+"""RFC 3986 URL resolution + canonicalization for the web-graph pipeline.
+
+A Common-Crawl-scale link graph lives or dies on URL canonicalization:
+the same target spelled as a relative path, an absolute URL with an
+uppercase host, or a URL with a default port / fragment must collapse to
+ONE node or the graph fragments and PageRank mass scatters. This module
+implements the public RFC 3986 algorithms directly (§5.2.2 transform
+references, §5.2.4 remove_dot_segments, §5.3 component recomposition,
+§6.2.2-3 syntax- and scheme-based normalization) so the whole pipeline is
+self-contained; `tests/test_webgraph.py` pins `resolve()` against the
+stdlib `urllib.parse.urljoin` on an adversarial case table.
+
+Everything here is plain-Python string work: it runs inside Arrow-batched
+`mapInPandas` workers (operators/webgraph.py), never as a per-row Spark
+UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+# RFC 3986 appendix B — the grammar's own decomposition regex
+_URL_RE = re.compile(r"^(?:([^:/?#]+):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$")
+
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+
+
+def split_url(u: str) -> tuple[str | None, str | None, str, str | None, str | None]:
+    """(scheme, authority, path, query, fragment); absent parts are None
+    (query/fragment distinguish absent from empty, per the RFC)."""
+    m = _URL_RE.match(u)
+    return (m.group(1), m.group(2), m.group(3) or "", m.group(4), m.group(5))
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = path[2:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = path[3:]
+            if out:
+                out.pop()
+        elif path == "/..":
+            path = "/"
+            if out:
+                out.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            i = path.find("/", 1)
+            if i < 0:
+                out.append(path)
+                path = ""
+            else:
+                out.append(path[:i])
+                path = path[i:]
+    return "".join(out)
+
+
+def _merge(base_authority: str | None, base_path: str, ref_path: str) -> str:
+    """RFC 3986 §5.3 merge."""
+    if base_authority is not None and base_path == "":
+        return "/" + ref_path
+    i = base_path.rfind("/")
+    return (base_path[: i + 1] + ref_path) if i >= 0 else ref_path
+
+
+def resolve(base: str, ref: str) -> str:
+    """RFC 3986 §5.2.2 transform-references (strict; base assumed absolute)."""
+    b_scheme, b_auth, b_path, b_query, _ = split_url(base)
+    r_scheme, r_auth, r_path, r_query, r_frag = split_url(ref)
+    if r_scheme is not None:
+        scheme, auth, path, query = r_scheme, r_auth, remove_dot_segments(r_path), r_query
+    else:
+        scheme = b_scheme
+        if r_auth is not None:
+            auth, path, query = r_auth, remove_dot_segments(r_path), r_query
+        else:
+            auth = b_auth
+            if r_path == "":
+                path = b_path
+                query = r_query if r_query is not None else b_query
+            else:
+                path = remove_dot_segments(
+                    r_path if r_path.startswith("/") else _merge(b_auth, b_path, r_path))
+                query = r_query
+    return _recompose(scheme, auth, path, query, r_frag)
+
+
+def _recompose(scheme, auth, path, query, frag) -> str:
+    out = []
+    if scheme is not None:
+        out += [scheme, ":"]
+    if auth is not None:
+        out += ["//", auth]
+    out.append(path)
+    if query is not None:
+        out += ["?", query]
+    if frag is not None:
+        out += ["#", frag]
+    return "".join(out)
+
+
+def canonicalize(href: str, base: str) -> str | None:
+    """Resolve `href` against `base` and normalize to the graph's node key:
+
+      * scheme + host lowercased (§6.2.2.1)
+      * default port dropped (http:80 / https:443, §6.2.3)
+      * fragment dropped (intra-page, not an edge)
+      * empty path -> "/" (§6.2.3); dot segments already removed by resolve
+      * query PRESERVED (distinct resources; strip upstream if unwanted)
+
+    Returns None for non-http(s) results (mailto:, javascript:, data:) —
+    callers drop those links. Percent-encoding is passed through untouched
+    (re-encoding without a registry of reserved-per-component octets can
+    change meaning; documented boundary)."""
+    scheme, auth, path, query, _ = split_url(resolve(base, href.strip()))
+    if scheme is None:
+        return None
+    scheme = scheme.lower()
+    if scheme not in ("http", "https") or auth is None:
+        return None
+    userinfo, host = ("", auth)
+    if "@" in auth:
+        at = auth.rindex("@")
+        userinfo, host = auth[: at + 1], auth[at + 1:]
+    port = None
+    # IPv6 literals carry ':' inside brackets — only split after ']'
+    br = host.rfind("]")
+    colon = host.find(":", br + 1) if br >= 0 else host.find(":")
+    if colon >= 0:
+        host, port = host[:colon], host[colon + 1:]
+    host = host.lower()
+    if port is not None and port != "" and port != _DEFAULT_PORT.get(scheme):
+        host = f"{host}:{port}"
+    if path == "":
+        path = "/"
+    return _recompose(scheme, userinfo + host, path, query, None)

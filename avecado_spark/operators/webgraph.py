@@ -1,0 +1,182 @@
+"""Web-graph pipeline over the Common-Crawl-shaped `pages` table:
+HTML anchor extraction → URL canonicalization → link graph → PageRank.
+
+This is the operator class a web corpus needs between "crawl" and
+"training data": link extraction feeds dedup/quality signals (anchor
+text, in-degree), and PageRank-style centrality is the classic
+quality/prior score for corpus sampling.
+
+Scale shape (the part that must survive 100 TB):
+
+  * `extract_links` is SHUFFLE-FREE — one projection (url, html) off the
+    scan (the huge html column never reaches any exchange; it dies inside
+    the Arrow batch) and one mapInPandas pass. Per-page dedup of repeated
+    targets happens inside the page's own batch row (a page's links live
+    on its row), so no groupBy is needed.
+  * the edge build joins extracted targets to the page-url set — a plain
+    equi-join on the canonical URL (at corpus scale: bucket both sides by
+    url; dead links drop out of the inner join).
+  * `pagerank` is the bigstar playbook (operators/dedup.py): K rounds of
+    join + map-side-combined groupBy-sum, every round localCheckpoint'ed
+    (r04 lesson: iterative loops must truncate the LOGICAL plan, persist
+    alone lets Catalyst analysis explode), node/edge tables hash-
+    partitioned on url so every round reuses the same exchange layout.
+  * integer fixed-point variant (`pagerank_int`): rank as BIGINT scaled
+    by 1e12 with floor division everywhere — bit-identical across engines
+    (Spark `div` == DuckDB `//` for non-negative operands), which is what
+    makes an exact-hash DuckDB oracle possible (queries.web_pagerank_top).
+    The float variant (`pagerank`) is the production scorer (damping +
+    dangling-mass redistribution); pinned against a numpy reference in
+    tests/test_webgraph.py.
+
+Reference parity note: the reference engine (MapQuest/avecado) has no web
+corpus surface — this block is engine-addition scope (SURVEY §2.9-style),
+shaped by the north rule's Common-Crawl framing.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.url import canonicalize
+
+# anchor tags: attrs in any order/case, href double-/single-/un-quoted,
+# inner text until the matching close tag (nested inline tags stripped)
+_A_RE = re.compile(
+    rb"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>""",
+    re.I | re.S)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(rb"\s+")
+
+LINKS_SCHEMA = "src_url string, dst_url string, anchor string, first_pos long"
+
+
+def parse_links(url: str, html: bytes) -> list[tuple[str, str, str, int]]:
+    """All canonical outlinks of one page, document order, first
+    occurrence per distinct target; fragment-only self-links and
+    non-http(s) schemes dropped. Pure function — unit-testable without
+    Spark, and the exact kernel `extract_links` runs per Arrow batch."""
+    out: list[tuple[str, str, str, int]] = []
+    seen: set[str] = set()
+    pos = 0
+    for m in _A_RE.finditer(html):
+        href = (m.group(2) if m.group(2) is not None else
+                m.group(3) if m.group(3) is not None else m.group(4))
+        try:
+            text = href.decode("utf-8", "replace")
+        except Exception:  # pragma: no cover - bytes always decode w/ replace
+            continue
+        dst = canonicalize(text, url)
+        pos += 1
+        if dst is None or dst == url or dst in seen:
+            continue
+        seen.add(dst)
+        anchor = _WS_RE.sub(b" ", _TAG_RE.sub(b"", m.group(5))).strip()
+        out.append((url, dst, anchor.decode("utf-8", "replace"), pos - 1))
+    return out
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(url, html, ...) -> (src_url, dst_url, anchor, first_pos).
+
+    One shuffle-free mapInPandas pass; the html column is pruned into the
+    Arrow batch and never serialized further."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[tuple[str, str, str, int]] = []
+            for url, html in zip(b["url"], b["html"]):
+                rows.extend(parse_links(url, bytes(html)))
+            yield pd.DataFrame(rows, columns=["src_url", "dst_url",
+                                              "anchor", "first_pos"])
+
+    return pages.select("url", "html").mapInPandas(run, schema=LINKS_SCHEMA)
+
+
+def edges_df(pages: DataFrame) -> DataFrame:
+    """Live link-graph edges: canonical targets inner-joined back to the
+    page-url set (dead links drop), self-loops excluded. Distinct is
+    already guaranteed per page by parse_links; the explicit distinct
+    covers multi-row sources (e.g. a crawl with re-fetches)."""
+    links = extract_links(pages).select(F.col("src_url").alias("src"),
+                                        F.col("dst_url").alias("dst"))
+    urls = pages.select(F.col("url").alias("dst"))
+    return (links.join(urls, "dst")
+                 .where(F.col("src") != F.col("dst"))
+                 .select("src", "dst").distinct())
+
+
+PR_SCALE = 10**12
+PR_ITERS = 5
+
+
+def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
+                 scale: int = PR_SCALE) -> DataFrame:
+    """Integer fixed-point PageRank (damping 85/100, dangling mass LOST —
+    not redistributed), floor division at every step:
+
+        r0(v)   = scale // n
+        r_i(v)  = (15 * (scale // n)) // 100
+                  + (85 * sum_{u->v} (r_{i-1}(u) // outdeg(u))) // 100
+
+    Every operation is exact BIGINT arithmetic on non-negative values, so
+    any engine computes bit-identical ranks — the property the DuckDB
+    oracle needs. The n-count is one driver-side scalar action (same
+    documented class as pyramid.py's distinct-zoom collect).
+
+    Returns (url, rank_i long)."""
+    spark = nodes.sparkSession
+    n = nodes.count()
+    r0 = scale // n
+    base = (15 * r0) // 100
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one exchange layout reused every round: edges carry (src, dst, outdeg)
+    ed = edges.join(deg, "src").localCheckpoint()
+    ranks = nodes.select(F.col("url"), F.lit(r0).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (ed.join(ranks, ed.src == ranks.url)
+                     .select(ed.dst, F.expr("r div outdeg").alias("c"))
+                     .groupBy("dst").agg(F.sum("c").alias("c")))
+        ranks = (nodes.join(contrib, nodes.url == contrib.dst, "left")
+                      .select(nodes.url,
+                              (F.lit(base)
+                               + F.expr("(85 * coalesce(c, 0L)) div 100")
+                               ).alias("r"))
+                      .localCheckpoint())
+    return ranks.select("url", F.col("r").alias("rank_i"))
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 20,
+             damping: float = 0.85, dangling: bool = True) -> DataFrame:
+    """Float PageRank, the production scorer: damping + (optionally)
+    dangling-node mass redistributed uniformly so total mass stays 1.
+    Same loop shape as pagerank_int (localCheckpoint per round); the
+    dangling term is one extra scalar agg per round (an anti-join sum).
+
+    Returns (url, rank double)."""
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(deg, "src").localCheckpoint()
+    ranks = nodes.select(F.col("url"), F.lit(1.0 / n).alias("r"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dang = 0.0
+        if dangling:
+            linked = (ranks.join(deg, ranks.url == deg.src, "left_anti")
+                           .agg(F.sum("r")).first()[0])
+            dang = damping * (linked or 0.0) / n
+        contrib = (ed.join(ranks, ed.src == ranks.url)
+                     .select(ed.dst, (ranks.r / F.col("outdeg")).alias("c"))
+                     .groupBy("dst").agg(F.sum("c").alias("c")))
+        ranks = (nodes.join(contrib, nodes.url == contrib.dst, "left")
+                      .select(nodes.url,
+                              (F.lit(base + dang)
+                               + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                               ).alias("r"))
+                      .localCheckpoint())
+    return ranks.select("url", F.col("r").alias("rank"))

@@ -1235,7 +1235,7 @@ def tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count("*").alias("all_lines")))
 
 
-@register("tpch_q10_returns", """
+TPCH_Q10_SQL = """
   SELECT c.c_custkey, n.n_name,
          CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
              * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
@@ -1249,11 +1249,19 @@ def tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND o.o_orderdate < DATE '1995-07-01'
   GROUP BY c.c_custkey, n.n_name
   ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
-""")
+"""
+
+
 def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style: customers ranked by returned-item revenue in a
     half-year window — a 4-table star (two broadcastable dims) with a
-    selective fact filter, grouped top-k."""
+    selective fact filter, grouped top-k.
+
+    UNREGISTERED since r06 (the 50-row artifact cap; web_extract_links
+    took the slot): the star-join + grouped-top-k shape is already
+    covered by tpch_q3_shipping and tpch_window_top3; exact-oracle
+    parity is pinned by tests/test_oracle_parity.py::
+    test_tpch_q10_duckdb_parity against the identical TPCH_Q10_SQL."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1317,7 +1325,7 @@ def tpch_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
                .where(F.col("rnk") <= 3))
 
 
-@register("tpch_q18_bigorders", """
+TPCH_Q18_SQL = """
   WITH big AS (
     SELECT l_orderkey,
            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
@@ -1327,13 +1335,21 @@ def tpch_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
   )
   SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, b.sum_qty_cents
   FROM orders o JOIN big b ON b.l_orderkey = o.o_orderkey
-""")
+"""
+
+
 def tpch_q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style having-sum semijoin: orders whose total quantity
     exceeds a threshold (the correlated-aggregate relational shape).
     Quantities in integer cents for engine-exact sums; the aggregated
     side drives an equi-join back to orders (Catalyst/AQE picks the
-    broadcast once the HAVING filter shrinks it)."""
+    broadcast once the HAVING filter shrinks it).
+
+    UNREGISTERED since r06 (the 50-row artifact cap; web_pagerank_top
+    took the slot): the having-sum semijoin is one aggregate + equi-join,
+    both shapes covered elsewhere (q1/q3); exact-oracle parity is pinned
+    by tests/test_oracle_parity.py::test_tpch_q18_duckdb_parity against
+    the identical TPCH_Q18_SQL."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     qty = F.round(F.col("l_quantity") * 100).cast("long")
@@ -1475,6 +1491,125 @@ def s2_cell_docs_l12(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.min("mx_mm").alias("min_mx"),
                  F.sum("my_mm").alias("sum_my")))
+
+
+# ---------------------------------------------------------------------------
+# Web graph (engine addition; north-rule Common-Crawl framing) — HTML link
+# extraction -> canonicalization -> link graph -> PageRank
+# ---------------------------------------------------------------------------
+
+# the pages synthesizer embeds outlinks as REAL <a href> anchors whose
+# targets are closed-form in k (sources/pages.py `lnk` CTE): the Spark side
+# parses the HTML bytes + canonicalizes per RFC 3986 (functions/url.py),
+# while the oracle re-derives the already-canonical strings from the
+# formulas — a genuine cross-check of the whole parse+canonicalize path
+# (one flipped byte in the regex, the dot-segment walk, or the port/case
+# normalization hash-mismatches).
+_WG_TG_SQL = f"""(
+  SELECT url, k,
+         k - (k % 8) + ((k + 1) % 8) AS t1,
+         k + 8 AS t2,
+         CASE WHEN k >= 8 THEN k - 8 ELSE k + 16 END AS t3,
+         ((k % 2147483648) * 2654435761 + 999983) % 2147483648 AS t4
+  FROM (SELECT url, CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS k
+        FROM (SELECT url FROM {PAGES} p0) u) l
+)"""
+
+_WG_PFX = "'https://crawl.example.org/page/'"
+
+_WG_LINKS_SQL = f"""
+  SELECT url AS src_url, dst_url, anchor, first_pos FROM (
+    SELECT url, {_WG_PFX} || CAST(t1 AS VARCHAR) AS dst_url,
+           'to ' || CAST(t1 AS VARCHAR) AS anchor,
+           CAST(0 AS BIGINT) AS first_pos FROM {_WG_TG_SQL} t
+    UNION ALL SELECT url, {_WG_PFX} || CAST(t2 AS VARCHAR), 'next',
+           CAST(1 AS BIGINT) FROM {_WG_TG_SQL} t
+    UNION ALL SELECT url, {_WG_PFX} || CAST(t3 AS VARCHAR), 'prev',
+           CAST(2 AS BIGINT) FROM {_WG_TG_SQL} t
+    UNION ALL SELECT url,
+           'https://dead.example.net/lost/' || CAST(t4 AS VARCHAR) || '?q=1',
+           'offsite', CAST(3 AS BIGINT) FROM {_WG_TG_SQL} t
+  ) x
+"""
+
+
+@register("web_extract_links", _WG_LINKS_SQL)
+def web_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical outlinks of every page: (src_url, dst_url, anchor,
+    first_pos), first occurrence in document order per distinct target,
+    fragment-only self-links and duplicate spellings collapsed.
+
+    Spark side: shuffle-free — (url, html) projection off the scan into
+    ONE mapInPandas pass (operators/webgraph.extract_links); the page's
+    6 raw anchors (incl. an uppercase-host:443#fragment absolute, a
+    ../dot-segment relative, a pure-#fragment self-link, and a duplicate
+    spelling of the first target) reduce to these 4 canonical rows."""
+    from .operators.webgraph import extract_links
+    return extract_links(pages_df(spark, sf_dir))
+
+
+def _pagerank_oracle_sql(iters: int, scale: int, top: int) -> str:
+    """Unrolled integer fixed-point PageRank as chained DuckDB CTEs
+    (recursive CTEs cannot re-aggregate per step, so the K iterations are
+    generated as K chained GROUP BYs). Arithmetic mirrors
+    operators/webgraph.pagerank_int term for term: BIGINT floor division
+    everywhere, dangling mass lost, 85/100 damping."""
+    head = f"""
+WITH pg AS (SELECT url FROM {PAGES} p0),
+tg AS (SELECT url, k,
+         k - (k % 8) + ((k + 1) % 8) AS t1,
+         k + 8 AS t2,
+         CASE WHEN k >= 8 THEN k - 8 ELSE k + 16 END AS t3,
+         ((k % 2147483648) * 2654435761 + 999983) % 2147483648 AS t4
+       FROM (SELECT url, CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS k
+             FROM pg) l),
+raw AS (
+  SELECT url AS src, {_WG_PFX} || CAST(t1 AS VARCHAR) AS dst FROM tg
+  UNION ALL SELECT url, {_WG_PFX} || CAST(t2 AS VARCHAR) FROM tg
+  UNION ALL SELECT url, {_WG_PFX} || CAST(t3 AS VARCHAR) FROM tg
+  UNION ALL SELECT url,
+    'https://dead.example.net/lost/' || CAST(t4 AS VARCHAR) || '?q=1' FROM tg
+),
+edges AS (SELECT DISTINCT r.src, r.dst FROM raw r JOIN pg p2 ON r.dst = p2.url
+          WHERE r.src <> r.dst),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pg),
+r0 AS (SELECT p.url, ({scale} // n2.n) AS r FROM pg p CROSS JOIN nn n2)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT p.url, (15 * ({scale} // n2.n)) // 100
+                + (85 * COALESCE(s.c, 0)) // 100 AS r
+  FROM pg p CROSS JOIN nn n2 LEFT JOIN (
+    SELECT e.dst AS url, CAST(sum(r.r // d.d) AS BIGINT) AS c
+    FROM edges e JOIN r{i - 1} r ON r.url = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.url = p.url)""")
+    tail = (f"\nSELECT url, CAST(r AS BIGINT) AS rank_i FROM r{iters} "
+            f"ORDER BY r DESC, url LIMIT {top}")
+    return head + "".join(steps) + tail
+
+
+_WG_TOP = 100
+
+
+@register("web_pagerank_top",
+          _pagerank_oracle_sql(5, 10**12, _WG_TOP))
+def web_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 pages by integer fixed-point PageRank (5 iterations,
+    damping 85/100, dangling mass lost; rank scaled by 1e12). Exact-hash
+    checkable because every step is BIGINT floor division — Spark `div`
+    and DuckDB `//` agree bit-for-bit on non-negative operands.
+
+    Spark side: the full pipeline — HTML parse, RFC 3986 canonicalize,
+    dead-link-dropping equi-join, then 5 join+groupBy-sum rounds with
+    per-round localCheckpoint (the bigstar lineage discipline). Ordering
+    deterministic under ties (rank DESC, url)."""
+    from .operators.webgraph import edges_df, pagerank_int
+    pg = pages_df(spark, sf_dir)
+    nodes = pg.select("url")
+    ranks = pagerank_int(nodes, edges_df(pg), iters=5, scale=10**12)
+    return ranks.orderBy(F.col("rank_i").desc(), "url").limit(_WG_TOP)
 
 
 _R_SCALE = WORLD_SIZE / float(1 << 6)

@@ -74,11 +74,32 @@ WITH src AS (
       ELSE uy
     END AS my_mm
   FROM geo
+), lnk AS (
+  -- deterministic outlink targets: the page body (below) embeds them as
+  -- real <a href> anchors, so the engine's link-extraction path parses
+  -- actual HTML while the DuckDB oracle can re-derive the same targets
+  -- closed-form from k (avecado_spark/operators/webgraph.py docstring).
+  -- t1: sibling linenumber (often live)  t2/t3: orderkey neighbours
+  -- t4: scattered LCG key (dead with prob ~1 — exercises dead-link drop)
+  SELECT k, mx_mm, my_mm,
+    k - (k % 8) + ((k + 1) % 8) AS t1,
+    k + 8 AS t2,
+    CASE WHEN k >= 8 THEN k - 8 ELSE k + 16 END AS t3,
+    ((k % 2147483648) * 2654435761 + 999983) % 2147483648 AS t4
+  FROM pos
 )
 SELECT
   'https://crawl.example.org/page/' || CAST(p.k AS STRING) AS url,
   {TS}(1704067200 + (p.k % 31536000)) AS warc_ts,
-  CAST(('<html><body>page ' || CAST(p.k AS STRING) || '</body></html>') AS BINARY) AS html,
+  CAST(('<html><head><title>page ' || CAST(p.k AS STRING) || '</title></head><body>'
+   || '<h1>Page ' || CAST(p.k AS STRING) || '</h1>'
+   || '<a href="/page/' || CAST(p.t1 AS STRING) || '">to ' || CAST(p.t1 AS STRING) || '</a> '
+   || '<A HREF="HTTPS://CRAWL.EXAMPLE.ORG:443/page/' || CAST(p.t2 AS STRING) || '#sec">next</A> '
+   || '<a class="nav" href=''../page/' || CAST(p.t3 AS STRING) || '''>prev</a> '
+   || '<a href="https://dead.example.net/lost/' || CAST(p.t4 AS STRING) || '?q=1" rel="nofollow">offsite</a> '
+   || '<a href="#top">top</a> '
+   || '<a href="https://crawl.example.org/page/' || CAST(p.t1 AS STRING) || '">again</a>'
+   || '<p>page ' || CAST(p.k AS STRING) || ' body</p></body></html>') AS BINARY) AS html,
   ('page ' || CAST(p.k AS STRING)
    || ' geo:mxm=' || CAST(p.mx_mm AS STRING)
    || ';mym=' || CAST(p.my_mm AS STRING)
@@ -90,7 +111,7 @@ SELECT
   CASE CAST(p.k % 7 AS INT)
     WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
     WHEN 4 THEN 'zh' WHEN 5 THEN 'ru' ELSE 'pt' END AS lang
-FROM pos p
+FROM lnk p
 """
 
 

@@ -119,6 +119,34 @@ def test_tpch_q12_duckdb_parity(spark, duck):
         == _canon(drows, ["o_orderpriority", "returned_lines", "all_lines"])
 
 
+def test_tpch_q10_duckdb_parity(spark, duck):
+    """tpch_q10_returns rotated out of the registry in r06 (the 50-row
+    artifact cap; web_extract_links took the slot) — its exact-oracle
+    parity lives here instead, same gate as the registered rows."""
+    from avecado_spark.queries import TPCH_Q10_SQL, tpch_q10_returns
+    sdf = tpch_q10_returns(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(TPCH_Q10_SQL)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) == 20
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])
+
+
+def test_tpch_q18_duckdb_parity(spark, duck):
+    """tpch_q18_bigorders rotated out of the registry in r06 (the 50-row
+    artifact cap; web_pagerank_top took the slot) — its exact-oracle
+    parity lives here instead, same gate as the registered rows."""
+    from avecado_spark.queries import TPCH_Q18_SQL, tpch_q18_bigorders
+    sdf = tpch_q18_bigorders(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(TPCH_Q18_SQL)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])
+
+
 def test_tpch_q14_duckdb_parity(spark, duck):
     """tpch_q14_promo rotated out of the registry in r06 (the 50-row
     artifact cap; sim_ann_sq8 took the slot) — its exact-oracle parity

@@ -1,0 +1,268 @@
+"""Web-graph pipeline: RFC 3986 URL canonicalization, HTML anchor
+extraction, link graph, PageRank (float vs numpy; int fixed-point
+invariants), and the plan shape (shuffle-free extraction)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from avecado_spark.functions.url import (canonicalize, remove_dot_segments,
+                                         resolve, split_url)
+from avecado_spark.operators.webgraph import (edges_df, extract_links,
+                                              pagerank, pagerank_int,
+                                              parse_links)
+
+from conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 — resolve() pinned against the stdlib reference implementation
+# ---------------------------------------------------------------------------
+
+BASE = "http://a/b/c/d;p?q"
+
+# RFC 3986 §5.4.1 normal + §5.4.2 abnormal examples, verbatim
+RFC_CASES = [
+    ("g:h", "g:h"), ("g", "http://a/b/c/g"), ("./g", "http://a/b/c/g"),
+    ("g/", "http://a/b/c/g/"), ("/g", "http://a/g"), ("//g", "http://g"),
+    ("?y", "http://a/b/c/d;p?y"), ("g?y", "http://a/b/c/g?y"),
+    ("#s", "http://a/b/c/d;p?q#s"), ("g#s", "http://a/b/c/g#s"),
+    ("g?y#s", "http://a/b/c/g?y#s"), (";x", "http://a/b/c/;x"),
+    ("g;x", "http://a/b/c/g;x"), ("g;x?y#s", "http://a/b/c/g;x?y#s"),
+    ("", "http://a/b/c/d;p?q"), (".", "http://a/b/c/"),
+    ("./", "http://a/b/c/"), ("..", "http://a/b/"), ("../", "http://a/b/"),
+    ("../g", "http://a/b/g"), ("../..", "http://a/"),
+    ("../../", "http://a/"), ("../../g", "http://a/g"),
+    ("../../../g", "http://a/g"), ("../../../../g", "http://a/g"),
+    ("/./g", "http://a/g"), ("/../g", "http://a/g"),
+    ("g.", "http://a/b/c/g."), (".g", "http://a/b/c/.g"),
+    ("g..", "http://a/b/c/g.."), ("..g", "http://a/b/c/..g"),
+    ("./../g", "http://a/b/g"), ("./g/.", "http://a/b/c/g/"),
+    ("g/./h", "http://a/b/c/g/h"), ("g/../h", "http://a/b/c/h"),
+    ("g;x=1/./y", "http://a/b/c/g;x=1/y"),
+    ("g;x=1/../y", "http://a/b/c/y"),
+]
+
+
+@pytest.mark.parametrize("ref,expected", RFC_CASES)
+def test_resolve_rfc_examples(ref, expected):
+    assert resolve(BASE, ref) == expected
+
+
+def test_resolve_vs_urllib():
+    """Strict-resolver parity against the stdlib on an adversarial sweep
+    (urljoin implements the same RFC algorithm)."""
+    from urllib.parse import urljoin
+    bases = [BASE, "https://x.example.org/page/10002",
+             "https://x.example.org/", "http://h:81/a/b?q=1",
+             "http://h/a/"]
+    # bare "?" and "#" are excluded: urljoin drops an EMPTY query/fragment
+    # component, while RFC 3986 §5.2.2 keeps it once defined — resolve()
+    # follows the RFC (asserted below); canonicalize() strips fragments
+    # and a trailing "?" is an empty-query distinct resource either way
+    refs = ([c[0] for c in RFC_CASES] +
+            ["../page/7", "../../deep/../x", "sub/page?a=b#f",
+             "x/y/../z", "//other.host/p", "https://abs.example/z"])
+    for b in bases:
+        for r in refs:
+            assert resolve(b, r) == urljoin(b, r), (b, r)
+    assert resolve(BASE, "?") == "http://a/b/c/d;p?"
+    assert resolve(BASE, "#") == "http://a/b/c/d;p?q#"
+    # urljoin also collapses interior empty segments ("x//y" -> "x/y");
+    # the RFC (and the WHATWG URL standard) preserve them
+    assert resolve(BASE, "x//y") == "http://a/b/c/x//y"
+
+
+def test_remove_dot_segments():
+    assert remove_dot_segments("/a/b/c/./../../g") == "/a/g"
+    assert remove_dot_segments("mid/content=5/../6") == "mid/6"
+    assert remove_dot_segments("/a/../../b") == "/b"
+    assert remove_dot_segments("..") == ""
+    assert remove_dot_segments("/..") == "/"
+
+
+def test_split_url_distinguishes_empty_and_absent():
+    s = split_url("http://h/p?#")
+    assert s == ("http", "h", "/p", "", "")
+    s = split_url("http://h/p")
+    assert s == ("http", "h", "/p", None, None)
+
+
+# ---------------------------------------------------------------------------
+# canonicalize
+# ---------------------------------------------------------------------------
+
+B = "https://crawl.example.org/page/10002"
+
+CANON_CASES = [
+    ("/page/3", B, "https://crawl.example.org/page/3"),
+    ("HTTPS://CRAWL.EXAMPLE.ORG:443/page/3#frag", B,
+     "https://crawl.example.org/page/3"),
+    ("http://Host.Example:80/x", B, "http://host.example/x"),
+    ("http://Host.Example:8080/x", B, "http://host.example:8080/x"),
+    ("../page/7?a=1", B, "https://crawl.example.org/page/7?a=1"),
+    ("#top", B, B),                       # fragment-only -> self
+    ("https://h.example", B, "https://h.example/"),  # empty path -> "/"
+    ("//other.example/p", B, "https://other.example/p"),  # scheme-relative
+    ("http://user:pw@H.example:80/x", B, "http://user:pw@h.example/x"),
+    ("http://[2001:DB8::1]:80/x", B, "http://[2001:db8::1]/x"),
+    ("http://[2001:DB8::1]:8080/x", B, "http://[2001:db8::1]:8080/x"),
+    ("mailto:x@example.org", B, None),
+    ("javascript:void(0)", B, None),
+    ("data:text/plain,hi", B, None),
+]
+
+
+@pytest.mark.parametrize("href,base,expected", CANON_CASES)
+def test_canonicalize(href, base, expected):
+    assert canonicalize(href, base) == expected
+
+
+# ---------------------------------------------------------------------------
+# parse_links kernel
+# ---------------------------------------------------------------------------
+
+def test_parse_links_variants_and_dedup():
+    url = "https://h.example/a/page"
+    html = (b'<A CLASS="z" HREF="/x">one</A>'
+            b"<a href='y'>two <b>bold</b></a>"
+            b'<a data-k=1 href=z2>three</a>'          # unquoted
+            b'<a href="#sec">self</a>'                # fragment-only self
+            b'<a href="/x#other">dup of one</a>'      # canonical dup
+            b'<a href="mailto:u@h">mail</a>'
+            b'<a href="HTTP://H.EXAMPLE:80/q">four</a>')
+    got = parse_links(url, html)
+    assert got == [
+        (url, "https://h.example/x", "one", 0),
+        (url, "https://h.example/a/y", "two bold", 1),
+        (url, "https://h.example/a/z2", "three", 2),
+        (url, "http://h.example/q", "four", 6),
+    ]
+
+
+def test_parse_links_multiline_and_no_links():
+    url = "https://h.example/p"
+    html = b'<a\n  href="/m"\n  rel="x">\n  multi\n  line\n</a >'
+    assert parse_links(url, html) == [
+        (url, "https://h.example/m", "multi line", 0)]
+    assert parse_links(url, b"<html><p>nothing</p></html>") == []
+
+
+# ---------------------------------------------------------------------------
+# PageRank — float vs numpy reference; int fixed-point invariants
+# ---------------------------------------------------------------------------
+
+def _numpy_pagerank(n, edges, iters, damping=0.85, dangling=True):
+    r = np.full(n, 1.0 / n)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        if dangling:
+            nxt += damping * r[deg == 0].sum() / n
+        for s, d in edges:
+            nxt[d] += damping * r[s] / deg[s]
+        r = nxt
+    return r
+
+
+GRAPH = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (0, 4)]  # node 4 dangling
+N_GRAPH = 5
+
+
+def _graph_dfs(spark):
+    from pyspark.sql import functions as F
+    nodes = spark.createDataFrame([(f"u{i}",) for i in range(N_GRAPH)],
+                                  "url string")
+    edges = spark.createDataFrame([(f"u{s}", f"u{d}") for s, d in GRAPH],
+                                  "src string, dst string")
+    return nodes, edges
+
+
+def test_pagerank_float_matches_numpy(spark):
+    nodes, edges = _graph_dfs(spark)
+    got = {r["url"]: r["rank"]
+           for r in pagerank(nodes, edges, iters=15).collect()}
+    want = _numpy_pagerank(N_GRAPH, GRAPH, 15)
+    for i in range(N_GRAPH):
+        assert math.isclose(got[f"u{i}"], want[i], rel_tol=1e-9), i
+    # with dangling redistribution the mass stays 1
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+
+
+def test_pagerank_int_matches_python_reference(spark):
+    nodes, edges = _graph_dfs(spark)
+    scale, iters = 10**12, 5
+    got = {r["url"]: r["rank_i"]
+           for r in pagerank_int(nodes, edges, iters=iters,
+                                 scale=scale).collect()}
+    # bit-exact python int reference of the documented recurrence
+    n = N_GRAPH
+    deg = {}
+    for s, _ in GRAPH:
+        deg[s] = deg.get(s, 0) + 1
+    r = {i: scale // n for i in range(n)}
+    base = (15 * (scale // n)) // 100
+    for _ in range(iters):
+        c = {i: 0 for i in range(n)}
+        for s, d in GRAPH:
+            c[d] += r[s] // deg[s]
+        r = {i: base + (85 * c[i]) // 100 for i in range(n)}
+    assert got == {f"u{i}": r[i] for i in range(n)}
+    # dangling mass is lost, never created: total strictly below scale
+    assert 0 < sum(got.values()) < scale
+
+
+def test_edges_df_drops_dead_and_self(spark):
+    pg = pages_sample(spark)
+    e = {(r["src"], r["dst"]) for r in edges_df(pg).collect()}
+    urls = {r["url"] for r in pg.select("url").collect()}
+    assert e, "graph should not be empty"
+    for s, d in e:
+        assert s != d
+        assert s in urls and d in urls  # dead links dropped
+
+
+def pages_sample(spark):
+    from avecado_spark.sources.pages import pages_df
+    return pages_df(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# plan shape: extraction is shuffle-free and html dies inside the batch
+# ---------------------------------------------------------------------------
+
+def test_extract_links_plan_shuffle_free(spark):
+    """No shuffle beyond the pages-synthesis DISTINCT (a stored pages
+    table has none): the extraction itself is scan → project →
+    MapInPandas, and the huge html column exists only between the
+    synthesizing Project and the UDF — nothing above the UDF carries
+    it."""
+    plan = (extract_links(pages_sample(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    lines = plan.splitlines()
+    udf = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
+    assert not any("Exchange" in l for l in lines[:udf + 1]), plan
+    exchanges = [l for l in lines if "Exchange" in l]
+    assert len(exchanges) == 1 and "k#" in exchanges[0], plan  # synthesis
+
+    # on a real stored table (parquet round-trip) the plan is exchange-free
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        pages_sample(spark).write.mode("overwrite").parquet(f"{d}/pages")
+        stored = spark.read.parquet(f"{d}/pages")
+        p2 = (extract_links(stored)
+              ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in p2, p2
+
+
+def test_extract_links_spark_kernel_agrees(spark):
+    """The distributed pass returns exactly the per-row kernel's output."""
+    pg = pages_sample(spark).limit(50)
+    want = []
+    for row in pg.select("url", "html").collect():
+        want.extend(parse_links(row["url"], bytes(row["html"])))
+    got = [tuple(r) for r in extract_links(pg).collect()]
+    assert sorted(got) == sorted(want)
