@@ -98,6 +98,28 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(run, schema=LINKS_SCHEMA)
 
 
+TEXT_SCHEMA = "url string, text_x string"
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """(url, html, ...) -> (url, text_x): the exactly-specified html→text
+    transform (functions/htmltext.html_to_text), one shuffle-free
+    mapInPandas pass — the north rule's byte-identical-text-per-url
+    producer. Same scan shape as extract_links: the html column is pruned
+    into the Arrow batch and dies there."""
+    import pandas as pd
+
+    from ..functions.htmltext import html_to_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame({
+                "url": b["url"],
+                "text_x": [html_to_text(bytes(h)) for h in b["html"]]})
+
+    return pages.select("url", "html").mapInPandas(run, schema=TEXT_SCHEMA)
+
+
 def edges_df(pages: DataFrame) -> DataFrame:
     """Live link-graph edges: canonical targets inner-joined back to the
     page-url set (dead links drop), self-loops excluded. Distinct is

@@ -119,6 +119,20 @@ def test_tpch_q12_duckdb_parity(spark, duck):
         == _canon(drows, ["o_orderpriority", "returned_lines", "all_lines"])
 
 
+def test_tpch_q3_duckdb_parity(spark, duck):
+    """tpch_q3_shipping rotated out of the registry in r06 (the 50-row
+    artifact cap; web_extract_text took the slot) — its exact-oracle
+    parity lives here instead, same gate as the registered rows."""
+    from avecado_spark.queries import TPCH_Q3_SQL, tpch_q3_shipping
+    sdf = tpch_q3_shipping(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(TPCH_Q3_SQL)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) == 10
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])
+
+
 def test_tpch_q10_duckdb_parity(spark, duck):
     """tpch_q10_returns rotated out of the registry in r06 (the 50-row
     artifact cap; web_extract_links took the slot) — its exact-oracle

@@ -266,3 +266,59 @@ def test_extract_links_spark_kernel_agrees(spark):
         want.extend(parse_links(row["url"], bytes(row["html"])))
     got = [tuple(r) for r in extract_links(pg).collect()]
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# html -> text (the byte-identical-text invariant producer)
+# ---------------------------------------------------------------------------
+
+def test_html_to_text_case_table():
+    from avecado_spark.functions.htmltext import html_to_text
+    cases = [
+        # block tags break lines, inline tags vanish, entities decode
+        (b"<p>a&amp;b</p><span>c</span> <b>d</b>", "a&b\nc d"),
+        # script/style content (incl. unterminated) and comments drop
+        (b"x<script>var a = '<p>no</p>';</script>y", "xy"),
+        (b"x<style>p { color: red }</style>y", "xy"),
+        (b"x<!-- c --><!-- unterminated", "x"),
+        (b"x<script>swallows to EOF", "x"),
+        # table cells separate with a space, rows with a newline
+        (b"<table><tr><td>1</td><td>2</td></tr><tr><td>3</td></tr></table>",
+         "1 2\n3"),
+        # numeric + named + nbsp entities; nbsp collapses as whitespace
+        (b"A&#66;&#x43;&nbsp;&lt;ok&gt;", "ABC <ok>"),
+        # whitespace canon: runs collapse, lines strip, blanks drop
+        (b"<div>  a \t b  </div>\n\n<div>\r\n c </div>", "a b\nc"),
+        # br/hr are line breaks even unclosed / self-closed
+        (b"a<br>b<hr/>c", "a\nb\nc"),
+        # invalid utf-8 decodes with replacement, never throws
+        (b"<p>\xff\xfe ok</p>", "�� ok"),
+        (b"", ""),
+    ]
+    for raw, want in cases:
+        assert html_to_text(raw) == want, raw
+
+
+def test_html_to_text_deterministic_on_pages(spark):
+    """Byte-identity: running the extractor twice over the corpus (and
+    once through the distributed path) yields the same bytes per url."""
+    from avecado_spark.functions.htmltext import html_to_text
+    from avecado_spark.operators.webgraph import extract_text
+    pg = pages_sample(spark).limit(40)
+    local = {r["url"]: html_to_text(bytes(r["html"]))
+             for r in pg.select("url", "html").collect()}
+    dist = {r["url"]: r["text_x"] for r in extract_text(pg).collect()}
+    assert dist == local
+    assert all(v.encode("utf-8") == local[k].encode("utf-8")
+               for k, v in dist.items())
+
+
+def test_extract_text_plan_shuffle_free(spark):
+    import tempfile
+    from avecado_spark.operators.webgraph import extract_text
+    with tempfile.TemporaryDirectory() as d:
+        pages_sample(spark).write.mode("overwrite").parquet(f"{d}/pages")
+        stored = spark.read.parquet(f"{d}/pages")
+        p = (extract_text(stored)
+             ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in p, p
