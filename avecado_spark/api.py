@@ -49,6 +49,13 @@ def spark_session(master: str | None = None, app: str = "avecado_spark",
           # Arrow UDF stages are CPU-bound at far less than 64MB/partition
           .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
           .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+          # ... and parallelismFirst alone still floors at minPartitionSize
+          # (default 1m): a tiny-bytes shuffle feeding a compute-heavy
+          # stage (e.g. slim keys fanning into html synthesis + an Arrow
+          # UDF) coalesced to ~10 tasks on 16 cores. 64k lets AQE keep
+          # core-count parallelism; real large shuffles are unaffected
+          # (r06: web link extraction 13.6s -> 3.4s at 16 cores)
+          .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
           .config("spark.sql.execution.arrow.pyspark.enabled", "true")
           .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
           .config("spark.sql.parquet.filterPushdown", "true"))

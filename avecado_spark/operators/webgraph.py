@@ -137,6 +137,23 @@ PR_SCALE = 10**12
 PR_ITERS = 5
 
 
+def pagerank_int_round(nodes: DataFrame, ed: DataFrame, ranks: DataFrame,
+                       base: int) -> DataFrame:
+    """ONE integer fixed-point PageRank step (the arithmetic contract in
+    pagerank_int's docstring): (url, r) -> (url, r). Shared by the
+    in-session loop (localCheckpoint per round) and the durable
+    jobs/webgraph_pagerank.py (parquet write per round — lineage
+    truncation by storage, which is what makes the job resumable)."""
+    contrib = (ed.join(ranks, ed.src == ranks.url)
+                 .select(ed.dst, F.expr("r div outdeg").alias("c"))
+                 .groupBy("dst").agg(F.sum("c").alias("c")))
+    return (nodes.join(contrib, nodes.url == contrib.dst, "left")
+                 .select(nodes.url,
+                         (F.lit(base)
+                          + F.expr("(85 * coalesce(c, 0L)) div 100")
+                          ).alias("r")))
+
+
 def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
                  scale: int = PR_SCALE) -> DataFrame:
     """Integer fixed-point PageRank (damping 85/100, dangling mass LOST —
@@ -156,20 +173,17 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
     n = nodes.count()
     r0 = scale // n
     base = (15 * r0) // 100
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # materialize the edge set ONCE before it fans out into the degree
+    # branch and the join branch — without this the (possibly expensive:
+    # html-parsing) edge lineage evaluates twice (r06 bench: 25.2s →
+    # parse-once for web_pagerank_top)
+    e = edges.localCheckpoint()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # one exchange layout reused every round: edges carry (src, dst, outdeg)
-    ed = edges.join(deg, "src").localCheckpoint()
+    ed = e.join(deg, "src").localCheckpoint()
     ranks = nodes.select(F.col("url"), F.lit(r0).cast("long").alias("r"))
     for _ in range(iters):
-        contrib = (ed.join(ranks, ed.src == ranks.url)
-                     .select(ed.dst, F.expr("r div outdeg").alias("c"))
-                     .groupBy("dst").agg(F.sum("c").alias("c")))
-        ranks = (nodes.join(contrib, nodes.url == contrib.dst, "left")
-                      .select(nodes.url,
-                              (F.lit(base)
-                               + F.expr("(85 * coalesce(c, 0L)) div 100")
-                               ).alias("r"))
-                      .localCheckpoint())
+        ranks = pagerank_int_round(nodes, ed, ranks, base).localCheckpoint()
     return ranks.select("url", F.col("r").alias("rank_i"))
 
 
@@ -182,8 +196,9 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 20,
 
     Returns (url, rank double)."""
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ed = edges.join(deg, "src").localCheckpoint()
+    e = edges.localCheckpoint()  # parse-once (see pagerank_int)
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint()
     ranks = nodes.select(F.col("url"), F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
     for _ in range(iters):

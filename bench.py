@@ -347,7 +347,9 @@ def main():
                  "events_window_5m", "events_window_sliding",
                  "events_sessionize", "j1d_pip_polygon", "j1e_pip_s2cover",
                  "s2_cell_docs_l12",
-                 "tpch_q3_shipping", "tpch_window_top3",
+                 "tpch_q5_local_supplier", "tpch_window_top3",
+                 "web_extract_links", "web_extract_text",
+                 "web_pagerank_top",
                  "raster_pixels_oracle", "izer_unionize_oracle"):
         t = time.time()
         qs[name](spark, SF_DIR).count()

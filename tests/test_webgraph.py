@@ -322,3 +322,43 @@ def test_extract_text_plan_shuffle_free(spark):
         p = (extract_text(stored)
              ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# durable pagerank job: parquet-checkpointed rounds, bit-identical resume
+# ---------------------------------------------------------------------------
+
+def _job_ranks(spark, out, iters):
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs.webgraph_pagerank import run_pagerank_job
+    m = run_pagerank_job(spark, SF_DIR, out, iters=iters)
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "metrics.jsonl"))]
+    return m, lines
+
+
+def test_pagerank_job_matches_inmemory_and_resumes(spark, tmp_path):
+    out = str(tmp_path / "wg")
+    m2, lines2 = _job_ranks(spark, out, iters=2)
+    assert m2["resumed_stages"] == 0
+    # killed-and-resubmitted with more rounds: edges + rounds 0..2 come
+    # from storage (no stage line recomputed), rounds 3..4 run
+    m4, lines4 = _job_ranks(spark, out, iters=4)
+    assert m4["resumed_stages"] == 4  # edges, ranks_000..002
+    computed = [l["stage"] for l in lines4[len(lines2):]]
+    assert computed == ["ranks_003", "ranks_004", "final"]
+    # the resumed run is bit-identical to the uninterrupted in-memory loop
+    from avecado_spark.operators.webgraph import edges_df, pagerank_int
+    pg = pages_sample(spark)
+    want = {r["url"]: r["rank_i"]
+            for r in pagerank_int(pg.select("url"), edges_df(pg),
+                                  iters=4).collect()}
+    got = {r["url"]: r["r"]
+           for r in spark.read.parquet(m4["final_path"]).collect()}
+    assert got == want
+    # rank mass is conserved-minus-dangling: strictly decreasing per round
+    masses = [l["mass"] for l in lines4 if l["stage"].startswith("ranks_")]
+    assert all(a > b for a, b in zip(masses, masses[1:]))
