@@ -109,6 +109,73 @@ def _recompose(scheme, auth, path, query, frag) -> str:
     return "".join(out)
 
 
+def host_of(u: str) -> str | None:
+    """Lowercased host of an absolute URL (port and userinfo stripped,
+    IPv6 brackets kept); None when there is no authority."""
+    _, auth, _, _, _ = split_url(u)
+    if auth is None or auth == "":
+        return None
+    host = auth[auth.rindex("@") + 1:] if "@" in auth else auth
+    br = host.rfind("]")
+    colon = host.find(":", br + 1) if br >= 0 else host.find(":")
+    if colon >= 0:
+        host = host[:colon]
+    return host.lower() or None
+
+
+# Multi-label public suffixes (a compact subset of the publicsuffix.org
+# list: the high-traffic ccTLD second-level registries). Web-corpus
+# host grouping needs "example.co.uk" to roll up to example.co.uk, not
+# co.uk; single-label TLDs need no table (the default rule "*" — every
+# bare TLD is a suffix — handles them). Callers with stricter needs pass
+# their own suffix set.
+_MULTI_SUFFIXES = frozenset((
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "gov.pl", "edu.pl", "waw.pl",
+    "co.th", "net.th", "or.th", "go.th", "ac.th", "in.th",
+))
+
+
+def registrable_domain(host: str | None,
+                       multi_suffixes: frozenset[str] = _MULTI_SUFFIXES
+                       ) -> str | None:
+    """Registrable domain ("example.co.uk" → example.co.uk, "a.b.example
+    .com" → example.com): the host-level rollup key for per-site stats,
+    politeness grouping, and host-graph edges. Public-suffix matching
+    with the default single-label rule plus `multi_suffixes`; IP
+    literals and bare suffixes return themselves (a host that IS a
+    public suffix has no registrable part — callers group it alone)."""
+    if not host:
+        return None
+    if host.startswith("[") or host.replace(".", "").isdigit():
+        return host  # IP literal — no label structure
+    labels = host.rstrip(".").split(".")
+    if len(labels) < 2:
+        return host
+    last2 = ".".join(labels[-2:])
+    if last2 in multi_suffixes:
+        return ".".join(labels[-3:]) if len(labels) >= 3 else last2
+    return last2
+
+
 def canonicalize(href: str, base: str) -> str | None:
     """Resolve `href` against `base` and normalize to the graph's node key:
 

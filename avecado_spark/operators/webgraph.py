@@ -133,6 +133,23 @@ def edges_df(pages: DataFrame) -> DataFrame:
                  .select("src", "dst").distinct())
 
 
+def indegree_signals(pages: DataFrame) -> DataFrame:
+    """Per-page link-graph quality signals — the classic Common-Crawl
+    corpus priors: (url, in_cnt, n_anchors, top_anchor) where in_cnt is
+    the number of live in-links, n_anchors the distinct anchor-text
+    count, top_anchor the lexicographic min (deterministic tiebreak).
+    One extraction pass + one groupBy on the slim (src,dst,anchor) rows —
+    the html bytes never reach the shuffle."""
+    links = extract_links(pages)
+    urls = pages.select("url")
+    return (links.join(urls, links.dst_url == urls.url)
+                 .groupBy(F.col("dst_url").alias("dst"))
+                 .agg(F.count("*").alias("in_cnt"),
+                      F.countDistinct("anchor").alias("n_anchors"),
+                      F.min("anchor").alias("top_anchor"))
+                 .withColumnRenamed("dst", "url"))
+
+
 PR_SCALE = 10**12
 PR_ITERS = 5
 
@@ -185,6 +202,55 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
     for _ in range(iters):
         ranks = pagerank_int_round(nodes, ed, ranks, base).localCheckpoint()
     return ranks.select("url", F.col("r").alias("rank_i"))
+
+
+def hits_int(nodes: DataFrame, edges: DataFrame, iters: int = 2,
+             scale: int = 10**6) -> DataFrame:
+    """Integer fixed-point HITS (Kleinberg hubs/authorities) with
+    max-normalization after every half-step:
+
+        h0(v)  = scale
+        a_i(v) = sum_{u->v} h_{i-1}(u);  a_i := a_i * scale // max(a_i)
+        h_i(v) = sum_{v->w} a_i(w);      h_i := h_i * scale // max(h_i)
+
+    All arithmetic is BIGINT on non-negative values (sums bounded by
+    n·scale ≈ 5e17, rescale products by max·scale — which is why the
+    HITS scale is 1e6, not pagerank's 1e12: max·scale stays < 2^63), so
+    any engine computes bit-identical scores; parity vs an unrolled
+    DuckDB CTE oracle in tests/test_oracle_parity.py. The per-half-step
+    max is one scalar action — same documented driver-side class as
+    pagerank's n-count. Nodes with no in-links score auth 0; no
+    out-links score hub 0.
+
+    Returns (url, auth_i long, hub_i long)."""
+    n = nodes.count()
+    if n * scale * scale >= 2**63:
+        # sums are bounded by n·scale and the rescale multiplies by scale
+        # again — pick scale so n·scale² < 2^63 (10^12 nodes → scale 10^3)
+        raise ValueError(
+            f"hits_int: n*scale^2 = {n}*{scale}^2 overflows int64 — "
+            "lower `scale`")
+    e = edges.localCheckpoint()  # parse-once (see pagerank_int)
+    hubs = nodes.select("url", F.lit(scale).cast("long").alias("h"))
+    auths = None
+    for _ in range(iters):
+        raw_a = (e.join(hubs, e.src == hubs.url)
+                  .groupBy("dst").agg(F.sum("h").alias("s")))
+        mx = raw_a.agg(F.max("s")).first()[0]
+        auths = raw_a.select(F.col("dst").alias("url"),
+                             F.expr(f"(s * {scale}) div {mx}").alias("a")) \
+                     .localCheckpoint()
+        raw_h = (e.join(auths, e.dst == auths.url)
+                  .groupBy("src").agg(F.sum("a").alias("s")))
+        mx = raw_h.agg(F.max("s")).first()[0]
+        hubs = raw_h.select(F.col("src").alias("url"),
+                            F.expr(f"(s * {scale}) div {mx}").alias("h")) \
+                    .localCheckpoint()
+    return (nodes.join(auths, "url", "left")
+                 .join(hubs.select("url", "h"), "url", "left")
+                 .select("url",
+                         F.coalesce("a", F.lit(0)).cast("long").alias("auth_i"),
+                         F.coalesce("h", F.lit(0)).cast("long").alias("hub_i")))
 
 
 def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 20,

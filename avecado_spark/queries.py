@@ -1578,6 +1578,84 @@ def web_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(pages_df(spark, sf_dir))
 
 
+def _hits_oracle_sql(iters: int, scale: int) -> str:
+    """Unrolled integer HITS as chained DuckDB CTEs, term-for-term the
+    arithmetic of operators/webgraph.hits_int (BIGINT sums, max-rescale
+    with // per half-step)."""
+    head = f"""
+WITH pg AS (SELECT url FROM {PAGES} p0),
+tg AS (SELECT url, k,
+         k - (k % 8) + ((k + 1) % 8) AS t1,
+         k + 8 AS t2,
+         CASE WHEN k >= 8 THEN k - 8 ELSE k + 16 END AS t3,
+         ((k % 2147483648) * 2654435761 + 999983) % 2147483648 AS t4
+       FROM (SELECT url, CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS k
+             FROM pg) l),
+raw AS (
+  SELECT url AS src, {_WG_PFX} || CAST(t1 AS VARCHAR) AS dst FROM tg
+  UNION ALL SELECT url, {_WG_PFX} || CAST(t2 AS VARCHAR) FROM tg
+  UNION ALL SELECT url, {_WG_PFX} || CAST(t3 AS VARCHAR) FROM tg
+  UNION ALL SELECT url,
+    'https://dead.example.net/lost/' || CAST(t4 AS VARCHAR) || '?q=1' FROM tg
+),
+edges AS (SELECT DISTINCT r.src, r.dst FROM raw r JOIN pg p2 ON r.dst = p2.url
+          WHERE r.src <> r.dst),
+h0 AS (SELECT url, CAST({scale} AS BIGINT) AS h FROM pg)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+ra{i} AS (SELECT e.dst AS url, CAST(sum(h.h) AS BIGINT) AS s
+          FROM edges e JOIN h{i - 1} h ON h.url = e.src GROUP BY e.dst),
+a{i} AS (SELECT url, (s * {scale}) // (SELECT max(s) FROM ra{i}) AS a
+         FROM ra{i}),
+rh{i} AS (SELECT e.src AS url, CAST(sum(a.a) AS BIGINT) AS s
+          FROM edges e JOIN a{i} a ON a.url = e.dst GROUP BY e.src),
+h{i} AS (SELECT url, (s * {scale}) // (SELECT max(s) FROM rh{i}) AS h
+         FROM rh{i})""")
+    tail = (f"""
+SELECT p.url, CAST(COALESCE(a{iters}.a, 0) AS BIGINT) AS auth_i,
+       CAST(COALESCE(h{iters}.h, 0) AS BIGINT) AS hub_i
+FROM pg p LEFT JOIN a{iters} ON a{iters}.url = p.url
+LEFT JOIN h{iters} ON h{iters}.url = p.url""")
+    return head + "".join(steps) + tail
+
+
+WEB_HITS_SQL = _hits_oracle_sql(2, 10**6)
+
+
+def web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point HITS hubs/authorities over the live link
+    graph (2 iterations, scale 1e6 — bit-identical across engines).
+
+    UNREGISTERED (the 50-row artifact cap): exact-oracle parity is
+    pinned by tests/test_oracle_parity.py::test_web_hits_duckdb_parity
+    against the identical WEB_HITS_SQL."""
+    from .operators.webgraph import edges_df, hits_int
+    pg = pages_df(spark, sf_dir)
+    return hits_int(pg.select("url"), edges_df(pg), iters=2, scale=10**6)
+
+
+WEB_INDEGREE_SQL = f"""
+  SELECT dst_url AS url, CAST(count(*) AS BIGINT) AS in_cnt,
+         CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,
+         min(anchor) AS top_anchor
+  FROM ({_WG_LINKS_SQL}) l
+  JOIN (SELECT url AS purl FROM {PAGES} pp) p ON l.dst_url = p.purl
+  GROUP BY dst_url
+"""
+
+
+def web_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page in-degree + anchor-text quality signals over the live
+    link graph (operators/webgraph.indegree_signals).
+
+    UNREGISTERED (the 50-row artifact cap): exact-oracle parity is
+    pinned by tests/test_oracle_parity.py::test_web_indegree_duckdb_parity
+    against the identical WEB_INDEGREE_SQL."""
+    from .operators.webgraph import indegree_signals
+    return indegree_signals(pages_df(spark, sf_dir))
+
+
 def _pagerank_oracle_sql(iters: int, scale: int, top: int) -> str:
     """Unrolled integer fixed-point PageRank as chained DuckDB CTEs
     (recursive CTEs cannot re-aggregate per step, so the K iterations are

@@ -172,3 +172,32 @@ def test_tpch_q14_duckdb_parity(spark, duck):
     assert len(srows) == len(drows) == 1
     assert _canon(srows, [c.lower() for c in sdf.columns]) \
         == _canon(drows, ["promo_e4", "total_e4"])
+
+
+def test_web_indegree_duckdb_parity(spark, duck):
+    """In-degree/anchor signals (unregistered: 50-row artifact cap) —
+    exact-oracle parity, same gate as the registered rows."""
+    from avecado_spark.queries import WEB_INDEGREE_SQL, web_indegree
+    sdf = web_indegree(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(WEB_INDEGREE_SQL)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])
+
+
+def test_web_hits_duckdb_parity(spark, duck):
+    """Integer HITS (unregistered: 50-row artifact cap) — exact-oracle
+    parity, same gate as the registered rows."""
+    from avecado_spark.queries import WEB_HITS_SQL, web_hits
+    sdf = web_hits(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(WEB_HITS_SQL)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) > 0
+    # non-vacuous: scores differentiate (not all-equal, zeros exist for
+    # sink/source-free structure only if present)
+    assert len({r["auth_i"] for r in srows}) > 10
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])

@@ -362,3 +362,71 @@ def test_pagerank_job_matches_inmemory_and_resumes(spark, tmp_path):
     # rank mass is conserved-minus-dangling: strictly decreasing per round
     masses = [l["mass"] for l in lines4 if l["stage"].startswith("ranks_")]
     assert all(a > b for a, b in zip(masses, masses[1:]))
+
+
+# ---------------------------------------------------------------------------
+# host / registrable-domain rollup keys
+# ---------------------------------------------------------------------------
+
+def test_host_and_registrable_domain():
+    from avecado_spark.functions.url import host_of, registrable_domain
+    cases = [
+        ("https://A.B.Example.COM:8443/x", "a.b.example.com", "example.com"),
+        ("https://user:pw@www.example.co.uk/", "www.example.co.uk",
+         "example.co.uk"),
+        ("http://co.uk/", "co.uk", "co.uk"),     # bare suffix: itself
+        ("http://[2001:db8::1]:80/x", "[2001:db8::1]", "[2001:db8::1]"),
+        ("http://192.168.0.1/x", "192.168.0.1", "192.168.0.1"),
+        ("http://localhost/", "localhost", "localhost"),
+        ("https://deep.sub.shop.example.com.au/p",
+         "deep.sub.shop.example.com.au", "example.com.au"),
+        ("https://example.com.", "example.com.", "example.com"),
+        ("mailto:x@y.com", None, None),
+        ("/relative/only", None, None),
+    ]
+    for u, h, d in cases:
+        assert host_of(u) == h, u
+        assert registrable_domain(host_of(u)) == d, u
+
+
+# ---------------------------------------------------------------------------
+# HITS: hand-checked tiny graph + guard
+# ---------------------------------------------------------------------------
+
+def test_hits_int_matches_reference_loop(spark):
+    from avecado_spark.operators.webgraph import hits_int
+    nodes = spark.createDataFrame([(f"u{i}",) for i in range(5)], "url string")
+    E = [(0, 2), (1, 2), (3, 2), (2, 4), (0, 4), (3, 0)]
+    edges = spark.createDataFrame([(f"u{a}", f"u{b}") for a, b in E],
+                                  "src string, dst string")
+    scale, iters = 10**6, 3
+    got = {r["url"]: (r["auth_i"], r["hub_i"])
+           for r in hits_int(nodes, edges, iters=iters,
+                             scale=scale).collect()}
+    h = {i: scale for i in range(5)}
+    a = {}
+    for _ in range(iters):
+        a = {}
+        for s, d in E:
+            a[d] = a.get(d, 0) + h[s]
+        mx = max(a.values())
+        a = {k: (v * scale) // mx for k, v in a.items()}
+        h = {}
+        for s, d in E:
+            h[s] = h.get(s, 0) + a.get(d, 0)
+        mx = max(h.values())
+        h = {k: (v * scale) // mx for k, v in h.items()}
+    want = {f"u{i}": (a.get(i, 0), h.get(i, 0)) for i in range(5)}
+    assert got == want
+    # the hub-of-everything (u0,u3 point at top auth u2) dominates hubs;
+    # u2 dominates auths
+    assert got["u2"][0] == scale and max(got.values())[1] <= scale
+
+
+def test_hits_int_overflow_guard(spark):
+    import pytest as _pytest
+    from avecado_spark.operators.webgraph import hits_int
+    nodes = spark.createDataFrame([("a",), ("b",)], "url string")
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError, match="overflows"):
+        hits_int(nodes, edges, iters=1, scale=10**10)
