@@ -119,7 +119,11 @@ def test_generalize_fast_path_parity_and_speed(spark):
     must match, and the fast path must be measurably faster."""
     from avecado_spark.plans.pipeline import apply_to_tiles
 
-    feats = _packed_zigzags(spark, 20000).persist()
+    # 80k features: r06's AQE coalesce floor (api.py 64k
+    # minPartitionSize) made both paths overhead-dominated at 20k
+    # rows (~0.6s each) and the ratio meaningless; at 80k the
+    # per-feature work dominates again
+    feats = _packed_zigzags(spark, 80000).persist()
     fast_conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
         {"type": "generalizer", "algorithm": "douglas-peucker",
          "tolerance": 5.0}]}]}
@@ -142,15 +146,21 @@ def test_generalize_fast_path_parity_and_speed(spark):
         assert norm(out_fast) == norm(out_dict)
         assert any(len(r.coords) < 12 for r in out_fast)  # simplified
 
-        # warm both paths, then time
+        # warm both paths, then time best-of-2 (single timings flake
+        # under GC/JIT noise at the ~1s scale this runs at)
         apply_to_tiles(feats, fast_conf).count()
         apply_to_tiles(feats, dict_conf).count()
-        t0 = time.time()
-        assert apply_to_tiles(feats, fast_conf).count() == 20000
-        fast = time.time() - t0
-        t0 = time.time()
-        assert apply_to_tiles(feats, dict_conf).count() == 20000
-        dict_path = time.time() - t0
+
+        def best_of(conf):
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                assert apply_to_tiles(feats, conf).count() == 80000
+                times.append(time.time() - t0)
+            return min(times)
+
+        fast = best_of(fast_conf)
+        dict_path = best_of(dict_conf)
     finally:
         feats.unpersist()
 

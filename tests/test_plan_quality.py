@@ -57,6 +57,13 @@ def test_pip_probe_is_slim_and_map_side(spark):
     must add no shuffle beyond the one inherent to pages synthesis
     (the DISTINCT over the synthetic key)."""
     from avecado_spark import queries as q
+    from avecado_spark.operators.dedup import _PERSIST_LATEST
+    # assert over the COLD-path plan: if an earlier test left _geo
+    # persisted, the InMemoryRelation repr re-prints the cached child's
+    # Exchange line (display of old lineage, not a new shuffle) and the
+    # raw line count below would miscount — drop the memo first
+    for key in [k for k in _PERSIST_LATEST if k.startswith("geo:")]:
+        _PERSIST_LATEST.pop(key).unpersist()
     df = q.queries()["j1a_pip_first"](spark, SF)
     physical = df._jdf.queryExecution().executedPlan().toString()
     probe_lines = [l for l in physical.splitlines() if "MapInPandas probe" in l]
