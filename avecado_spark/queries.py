@@ -1635,6 +1635,66 @@ def web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_int(pg.select("url"), edges_df(pg), iters=2, scale=10**6)
 
 
+# deterministic md5-bucket sampling/splitting (operators/sampling.py) —
+# pinned parity (50-row artifact cap); the bucket formula is identical
+# BIGINT arithmetic in both engines
+_SPLIT_BUCKET_DUCK = ("(('0x' || substr(md5(CAST(url AS VARCHAR)), 1, 15))"
+                      "::BIGINT % 1000)")
+_SAMPLE_GATE_DUCK = ("(('0x' || substr(md5(CAST(url AS VARCHAR) || "
+                     "':sample'), 1, 15))::BIGINT % 16)")
+
+WEB_SAMPLE_SPLIT_SQL = f"""
+  SELECT url,
+         CAST({_SPLIT_BUCKET_DUCK} AS BIGINT) AS bkt,
+         CASE WHEN {_SPLIT_BUCKET_DUCK} < 980 THEN 'train'
+              WHEN {_SPLIT_BUCKET_DUCK} < 990 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM {PAGES} p
+  WHERE {_SAMPLE_GATE_DUCK} < 3
+"""
+
+
+def web_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3/16 corpus sample + train/valid/test carve
+    (980/10/10 over 1000 md5 buckets, sample gate salted so the two
+    decisions are independent): per-url-deterministic, stable across
+    runs, engines and cluster sizes — the selection contract a training
+    pipeline needs (operators/sampling.py).
+
+    UNREGISTERED (the 50-row artifact cap): exact-oracle parity pinned
+    by tests/test_oracle_parity.py::test_web_sample_split_duckdb_parity."""
+    from .operators.sampling import assign_splits, bucket, sample_fraction
+    pg = pages_df(spark, sf_dir).select("url")
+    sampled = sample_fraction(pg, "url", 3, 16)
+    return (assign_splits(sampled, "url",
+                          [("train", 980), ("valid", 10), ("test", 10)])
+            .select("url", bucket("url", 1000).alias("bkt"), "split"))
+
+
+DOC_STRATIFIED_SQL = """
+  SELECT doc_id, lang, n_chars, CAST(rnk AS INT) AS rnk FROM (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS rnk
+    FROM documents) x
+  WHERE rnk <= 50
+"""
+
+
+def doc_stratified_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language top-50 documents by length (deterministic
+    doc_id tiebreak) — the stratified-take corpus-mixing shape, one
+    window exchange (operators/sampling.stratified_take).
+
+    UNREGISTERED (the 50-row artifact cap): exact-oracle parity pinned
+    by tests/test_oracle_parity.py::test_doc_stratified_duckdb_parity."""
+    from .operators.sampling import stratified_take
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+             .select("doc_id", "lang", "n_chars")
+    return stratified_take(
+        d, "lang", [F.col("n_chars").desc(), F.col("doc_id")], 50)
+
+
 WEB_INDEGREE_SQL = f"""
   SELECT dst_url AS url, CAST(count(*) AS BIGINT) AS in_cnt,
          CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,

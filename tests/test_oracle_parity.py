@@ -201,3 +201,33 @@ def test_web_hits_duckdb_parity(spark, duck):
     assert len({r["auth_i"] for r in srows}) > 10
     assert _canon(srows, [c.lower() for c in sdf.columns]) \
         == _canon(drows, [c.lower() for c in rel.columns])
+
+
+def test_web_sample_split_duckdb_parity(spark, duck):
+    """Deterministic md5-bucket sample + split (unregistered: 50-row
+    artifact cap) — exact-oracle parity, same gate as registered rows."""
+    from avecado_spark.queries import WEB_SAMPLE_SPLIT_SQL, web_sample_split
+    sdf = web_sample_split(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(WEB_SAMPLE_SPLIT_SQL)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) > 0
+    # the sample is a real fraction (neither empty nor everything) and
+    # every split is populated
+    splits = {r["split"] for r in srows}
+    assert splits == {"train", "valid", "test"}
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])
+
+
+def test_doc_stratified_duckdb_parity(spark, duck):
+    """Per-language exact top-k (unregistered: 50-row artifact cap) —
+    exact-oracle parity, same gate as registered rows."""
+    from avecado_spark.queries import DOC_STRATIFIED_SQL, doc_stratified_top
+    sdf = doc_stratified_top(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(DOC_STRATIFIED_SQL)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])

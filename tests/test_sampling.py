@@ -1,0 +1,80 @@
+"""Deterministic sampling/splitting operators (operators/sampling.py):
+the selection contracts — determinism, composability, disjoint-cover —
+plus the plan shape (map-side filter, no exchange)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark):
+    from avecado_spark.sources.pages import pages_df
+    return pages_df(spark, SF).select("url")
+
+
+def test_sample_is_deterministic_and_composable(spark):
+    from avecado_spark.operators.sampling import sample_fraction
+    pg = _pages(spark)
+    a = {r["url"] for r in sample_fraction(pg, "url", 1, 16).collect()}
+    b = {r["url"] for r in sample_fraction(pg, "url", 2, 16).collect()}
+    a2 = {r["url"] for r in
+          sample_fraction(pg.repartition(7), "url", 1, 16).collect()}
+    assert a == a2              # layout-independent (df.sample is not)
+    assert a < b                # nested: 1/16 strictly inside 2/16
+    n = pg.count()
+    assert 0 < len(a) < n
+    # roughly the asked fraction (md5 uniformity; generous bounds)
+    assert abs(len(b) / n - 2 / 16) < 0.03
+
+
+def test_assign_splits_covers_disjointly(spark):
+    from avecado_spark.operators.sampling import assign_splits
+    pg = _pages(spark)
+    out = assign_splits(pg, "url",
+                        [("train", 980), ("valid", 10), ("test", 10)])
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert sum(counts.values()) == pg.count()   # total cover, no NULLs
+    assert counts["train"] > 50 * counts["valid"]
+    with pytest.raises(ValueError, match="sum"):
+        assign_splits(pg, "url", [("a", 1), ("b", 2)], den=1000)
+
+
+def test_salted_buckets_are_decorrelated(spark):
+    from avecado_spark.operators.sampling import bucket
+    pg = _pages(spark)
+    rows = pg.select(bucket("url", 16, "s1").alias("a"),
+                     bucket("url", 16, "s2").alias("b")).collect()
+    same = sum(1 for r in rows if r["a"] == r["b"]) / len(rows)
+    assert abs(same - 1 / 16) < 0.03    # independent ⇒ collide at ~1/16
+
+
+def test_sample_filter_is_map_side(spark, tmp_path):
+    from avecado_spark.operators.sampling import sample_fraction
+    _pages(spark).write.mode("overwrite").parquet(f"{tmp_path}/pages")
+    stored = spark.read.parquet(f"{tmp_path}/pages")
+    plan = (sample_fraction(stored, "url", 1, 16)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan     # pure scan+filter
+
+
+def test_stratified_take_exact_and_deterministic(spark):
+    from avecado_spark.operators.sampling import stratified_take
+    d = spark.read.parquet(f"{SF}/documents.parquet") \
+             .select("doc_id", "lang", "n_chars")
+    out = stratified_take(
+        d, "lang", [F.col("n_chars").desc(), F.col("doc_id")], 5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["rnk"], r["n_chars"],
+                                                  r["doc_id"]))
+    want = {}
+    for r in d.collect():
+        want.setdefault(r["lang"], []).append((-r["n_chars"], r["doc_id"]))
+    for lang, got in by_lang.items():
+        ref = sorted(want[lang])[:5]
+        assert [(nc, di) for _, nc, di in sorted(got)] \
+            == [(-nc, di) for nc, di in ref]
+        assert [rk for rk, _, _ in sorted(got)] == list(range(1, len(got) + 1))
