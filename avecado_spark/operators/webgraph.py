@@ -51,16 +51,23 @@ _A_RE = re.compile(
     re.I | re.S)
 _TAG_RE = re.compile(rb"<[^>]*>")
 _WS_RE = re.compile(rb"\s+")
+# rel attribute of the OPENING tag (double-/single-/un-quoted value);
+# nofollow membership is token-wise and case-insensitive per the HTML spec
+_REL_RE = re.compile(rb"""\brel\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+                     re.I)
 
-LINKS_SCHEMA = "src_url string, dst_url string, anchor string, first_pos long"
+LINKS_SCHEMA = ("src_url string, dst_url string, anchor string, "
+                "first_pos long, nofollow boolean")
 
 
-def parse_links(url: str, html: bytes) -> list[tuple[str, str, str, int]]:
+def parse_links(url: str, html: bytes) -> list[tuple[str, str, str, int, bool]]:
     """All canonical outlinks of one page, document order, first
     occurrence per distinct target; fragment-only self-links and
-    non-http(s) schemes dropped. Pure function — unit-testable without
-    Spark, and the exact kernel `extract_links` runs per Arrow batch."""
-    out: list[tuple[str, str, str, int]] = []
+    non-http(s) schemes dropped. `nofollow` is the link-level annotation
+    (rel token list contains "nofollow", case-insensitive) downstream
+    graph builds filter on. Pure function — unit-testable without Spark,
+    and the exact kernel `extract_links` runs per Arrow batch."""
+    out: list[tuple[str, str, str, int, bool]] = []
     seen: set[str] = set()
     pos = 0
     for m in _A_RE.finditer(html):
@@ -75,13 +82,22 @@ def parse_links(url: str, html: bytes) -> list[tuple[str, str, str, int]]:
         if dst is None or dst == url or dst in seen:
             continue
         seen.add(dst)
+        open_tag = html[m.start():html.index(b">", m.start()) + 1]
+        rm = _REL_RE.search(open_tag)
+        nofollow = False
+        if rm:
+            rel = (rm.group(2) if rm.group(2) is not None else
+                   rm.group(3) if rm.group(3) is not None else rm.group(4))
+            nofollow = b"nofollow" in {t.lower() for t in rel.split()}
         anchor = _WS_RE.sub(b" ", _TAG_RE.sub(b"", m.group(5))).strip()
-        out.append((url, dst, anchor.decode("utf-8", "replace"), pos - 1))
+        out.append((url, dst, anchor.decode("utf-8", "replace"), pos - 1,
+                    nofollow))
     return out
 
 
 def extract_links(pages: DataFrame) -> DataFrame:
-    """(url, html, ...) -> (src_url, dst_url, anchor, first_pos).
+    """(url, html, ...) -> (src_url, dst_url, anchor, first_pos,
+    nofollow).
 
     One shuffle-free mapInPandas pass; the html column is pruned into the
     Arrow batch and never serialized further."""
@@ -93,7 +109,8 @@ def extract_links(pages: DataFrame) -> DataFrame:
             for url, html in zip(b["url"], b["html"]):
                 rows.extend(parse_links(url, bytes(html)))
             yield pd.DataFrame(rows, columns=["src_url", "dst_url",
-                                              "anchor", "first_pos"])
+                                              "anchor", "first_pos",
+                                              "nofollow"])
 
     return pages.select("url", "html").mapInPandas(run, schema=LINKS_SCHEMA)
 

@@ -1527,17 +1527,18 @@ _WG_TG_SQL = f"""(
 _WG_PFX = "'https://crawl.example.org/page/'"
 
 _WG_LINKS_SQL = f"""
-  SELECT url AS src_url, dst_url, anchor, first_pos FROM (
+  SELECT url AS src_url, dst_url, anchor, first_pos, nofollow FROM (
     SELECT url, {_WG_PFX} || CAST(t1 AS VARCHAR) AS dst_url,
            'to ' || CAST(t1 AS VARCHAR) AS anchor,
-           CAST(0 AS BIGINT) AS first_pos FROM {_WG_TG_SQL} t
+           CAST(0 AS BIGINT) AS first_pos, FALSE AS nofollow
+           FROM {_WG_TG_SQL} t
     UNION ALL SELECT url, {_WG_PFX} || CAST(t2 AS VARCHAR), 'next',
-           CAST(1 AS BIGINT) FROM {_WG_TG_SQL} t
+           CAST(1 AS BIGINT), FALSE FROM {_WG_TG_SQL} t
     UNION ALL SELECT url, {_WG_PFX} || CAST(t3 AS VARCHAR), 'prev',
-           CAST(2 AS BIGINT) FROM {_WG_TG_SQL} t
+           CAST(2 AS BIGINT), FALSE FROM {_WG_TG_SQL} t
     UNION ALL SELECT url,
            'https://dead.example.net/lost/' || CAST(t4 AS VARCHAR) || '?q=1',
-           'offsite', CAST(3 AS BIGINT) FROM {_WG_TG_SQL} t
+           'offsite', CAST(3 AS BIGINT), TRUE FROM {_WG_TG_SQL} t
   ) x
 """
 
@@ -1545,8 +1546,10 @@ _WG_LINKS_SQL = f"""
 @register("web_extract_links", _WG_LINKS_SQL)
 def web_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical outlinks of every page: (src_url, dst_url, anchor,
-    first_pos), first occurrence in document order per distinct target,
-    fragment-only self-links and duplicate spellings collapsed.
+    first_pos, nofollow), first occurrence in document order per distinct
+    target, fragment-only self-links and duplicate spellings collapsed;
+    nofollow reflects the rel token list (true exactly on the offsite
+    dead link in the synthesized corpus).
 
     Spark side: shuffle-free — (url, html) projection off the scan into
     ONE mapInPandas pass (operators/webgraph.extract_links); the page's

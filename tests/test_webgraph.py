@@ -134,18 +134,30 @@ def test_parse_links_variants_and_dedup():
             b'<a href="HTTP://H.EXAMPLE:80/q">four</a>')
     got = parse_links(url, html)
     assert got == [
-        (url, "https://h.example/x", "one", 0),
-        (url, "https://h.example/a/y", "two bold", 1),
-        (url, "https://h.example/a/z2", "three", 2),
-        (url, "http://h.example/q", "four", 6),
+        (url, "https://h.example/x", "one", 0, False),
+        (url, "https://h.example/a/y", "two bold", 1, False),
+        (url, "https://h.example/a/z2", "three", 2, False),
+        (url, "http://h.example/q", "four", 6, False),
     ]
+
+
+def test_parse_links_nofollow_tokens():
+    url = "https://h.example/p"
+    html = (b'<a rel="nofollow" href="/a">a</a>'
+            b'<a rel="ugc NOFOLLOW sponsored" href="/b">b</a>'
+            b"<a href='/c' rel='me'>c</a>"
+            b'<a href="/d" rel=nofollow>d</a>'
+            b'<a href="/e">e</a>')
+    assert [(r[1][-2:], r[4]) for r in parse_links(url, html)] == [
+        ("/a", True), ("/b", True), ("/c", False), ("/d", True),
+        ("/e", False)]
 
 
 def test_parse_links_multiline_and_no_links():
     url = "https://h.example/p"
     html = b'<a\n  href="/m"\n  rel="x">\n  multi\n  line\n</a >'
     assert parse_links(url, html) == [
-        (url, "https://h.example/m", "multi line", 0)]
+        (url, "https://h.example/m", "multi line", 0, False)]
     assert parse_links(url, b"<html><p>nothing</p></html>") == []
 
 
