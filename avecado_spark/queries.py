@@ -1581,6 +1581,130 @@ def web_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(pages_df(spark, sf_dir))
 
 
+TPCH_Q4_SQL = """
+  SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+  FROM orders o
+  WHERE o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1995-04-01'
+    AND EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_returnflag = 'R')
+  GROUP BY o.o_orderpriority
+"""
+
+
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS semijoin: orders in one quarter having at
+    least one returned line, counted by priority (the synthetic lineitem
+    has no commit/receipt dates — l_returnflag='R' stands in as the
+    existence predicate; the relational shape, a left-semi join feeding
+    an aggregate, is the point). Catalyst plans the EXISTS as
+    LeftSemi; the quarter filter pushes to the orders scan.
+
+    UNREGISTERED (the 50-row artifact cap): exact-oracle parity pinned
+    by tests/test_oracle_parity.py::test_tpch_q4_duckdb_parity."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (o.where((F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                    & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date")))
+             .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").alias("order_count")))
+
+
+TPCH_Q7_SQL = """
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+           AS BIGINT) AS volume_e4
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+      OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+  GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+"""
+
+
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: the widest relational join in the suite — lineitem
+    × supplier × nation (twice, aliased as supp/cust sides) × orders ×
+    customer, nation-pair filtered, shipping volume by year in integer
+    cents. Both nation sides and supplier/customer broadcast; lineitem
+    never shuffles twice.
+
+    UNREGISTERED (the 50-row artifact cap): exact-oracle parity pinned
+    by tests/test_oracle_parity.py::test_tpch_q7_duckdb_parity."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    vol = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long"))
+    pair = ((F.col("supp_nation") == "NATION_3")
+            & (F.col("cust_nation") == "NATION_7")) | \
+           ((F.col("supp_nation") == "NATION_7")
+            & (F.col("cust_nation") == "NATION_3"))
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+              .where(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("int").alias("l_year"))
+              .agg(F.sum(vol).alias("volume_e4")))
+
+
+TPCH_Q9_SQL = """
+  SELECT sn.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS l_year,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+           AS BIGINT) AS profit_e4
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%red%'
+  GROUP BY sn.n_name, year(l.l_shipdate)
+"""
+
+
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: part-name LIKE filter driving a profit rollup by
+    supplier nation × ship year (no partsupp table in the synthetic
+    schema, so profit is discounted revenue — the join/filter/rollup
+    shape is the point). The selective part side broadcasts after its
+    LIKE filter.
+
+    UNREGISTERED (the 50-row artifact cap): exact-oracle parity pinned
+    by tests/test_oracle_parity.py::test_tpch_q9_duckdb_parity."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long"))
+    return (li.join(F.broadcast(p.where(F.col("p_name").contains("red"))
+                                 .select("p_partkey")),
+                    li.l_partkey == F.col("p_partkey"))
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("l_shipdate").cast("int").alias("l_year"))
+              .agg(F.sum(rev).alias("profit_e4")))
+
+
 def _hits_oracle_sql(iters: int, scale: int) -> str:
     """Unrolled integer HITS as chained DuckDB CTEs, term-for-term the
     arithmetic of operators/webgraph.hits_int (BIGINT sums, max-rescale

@@ -231,3 +231,31 @@ def test_doc_stratified_duckdb_parity(spark, duck):
     assert len(srows) == len(drows) > 0
     assert _canon(srows, [c.lower() for c in sdf.columns]) \
         == _canon(drows, [c.lower() for c in rel.columns])
+
+
+def _pinned_parity(spark, duck, fn, sql):
+    sdf = fn(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(sql)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])
+
+
+def test_tpch_q4_duckdb_parity(spark, duck):
+    """Q4-style EXISTS semijoin (unregistered: 50-row artifact cap)."""
+    from avecado_spark.queries import TPCH_Q4_SQL, tpch_q4_priority
+    _pinned_parity(spark, duck, tpch_q4_priority, TPCH_Q4_SQL)
+
+
+def test_tpch_q7_duckdb_parity(spark, duck):
+    """Q7-style two-nation volume join (unregistered: 50-row cap)."""
+    from avecado_spark.queries import TPCH_Q7_SQL, tpch_q7_volume
+    _pinned_parity(spark, duck, tpch_q7_volume, TPCH_Q7_SQL)
+
+
+def test_tpch_q9_duckdb_parity(spark, duck):
+    """Q9-style profit rollup (unregistered: 50-row cap)."""
+    from avecado_spark.queries import TPCH_Q9_SQL, tpch_q9_profit
+    _pinned_parity(spark, duck, tpch_q9_profit, TPCH_Q9_SQL)
