@@ -204,6 +204,10 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
 
     Returns (url, rank_i long)."""
     spark = nodes.sparkSession
+    # nodes joins into EVERY round — checkpoint once so the loop reuses
+    # a materialized (url) table instead of re-deriving the lineage 5x
+    # (and the count below rides the same materialization)
+    nodes = nodes.localCheckpoint()
     n = nodes.count()
     r0 = scale // n
     base = (15 * r0) // 100
