@@ -244,6 +244,8 @@ def hits_int(nodes: DataFrame, edges: DataFrame, iters: int = 2,
     out-links score hub 0.
 
     Returns (url, auth_i long, hub_i long)."""
+    if iters < 1:
+        raise ValueError("hits_int needs iters >= 1")
     n = nodes.count()
     if n * scale * scale >= 2**63:
         # sums are bounded by n·scale and the rescale multiplies by scale

@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""spark-submit entry: pages → training-ready corpus, checkpointed per
+stage and resumable — the capstone composition of the engine's
+training-data operators.
+
+    spark-submit --py-files avecado_spark.zip jobs/corpus_prep.py \
+        --input /root/testdata/sf0.1 --out /tmp/corpus \
+        [--sample-num 3 --sample-den 16]
+
+Stages (each lands in storage with a _SUCCESS commit marker before the
+next starts; a killed job re-submitted with the same --out resumes):
+
+  {out}/docs/     html→text (byte-identical extractor,
+                  functions/htmltext) + per-doc stats (token/char
+                  counts, JVM-side) + the page's lang — the one pass
+                  that reads html; everything downstream is slim
+  {out}/unique/   exact-dedup keep set: min url per md5(text) — the
+                  canonical representative of every duplicate class
+  {out}/corpus/   deduped docs, deterministically sampled
+                  (salted md5 gate) and carved into
+                  train/valid/test (980/10/10), written
+                  partitioned by split
+  {out}/metrics.jsonl  per-stage lineage: rows in/out, dup rate,
+                  split sizes, wall seconds
+
+Selection is hash-deterministic end to end (operators/sampling.py), so
+a resumed or re-run job reproduces the identical corpus bit for bit —
+no RNG, no partition-layout dependence.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobs.webgraph_pagerank import _done, _log_metric  # noqa: E402
+
+
+def run_corpus_prep(spark, sf_dir: str, out: str,
+                    sample_num: int = 3, sample_den: int = 16) -> dict:
+    """Importable driver (tests run it against a tmp dir). Returns final
+    metrics; writes stage parquet + metrics.jsonl under `out`."""
+    from pyspark.sql import functions as F
+
+    from avecado_spark.operators.sampling import assign_splits, sample_fraction
+    from avecado_spark.operators.webgraph import extract_text
+    from avecado_spark.sources.pages import pages_df
+
+    os.makedirs(out, exist_ok=True)
+    docs_path = os.path.join(out, "docs")
+    uniq_path = os.path.join(out, "unique")
+    corpus_path = os.path.join(out, "corpus")
+    resumed = 0
+
+    t = time.time()
+    if not _done(docs_path):
+        pg = pages_df(spark, sf_dir)
+        texts = extract_text(pg)
+        toks = F.split(F.col("text_x"), "\\s+")
+        docs = (pg.select("url", "warc_ts", "lang")
+                  .join(texts, "url")
+                  .withColumn("n_chars", F.length("text_x").cast("long"))
+                  .withColumn("n_tokens", F.size(toks).cast("long")))
+        docs.write.mode("overwrite").parquet(docs_path)
+        _log_metric(out, stage="docs", resumed=False,
+                    rows=spark.read.parquet(docs_path).count(),
+                    sec=round(time.time() - t, 3))
+    else:
+        resumed += 1
+    docs = spark.read.parquet(docs_path)
+
+    t = time.time()
+    if not _done(uniq_path):
+        keep = (docs.groupBy(F.md5("text_x").alias("h"))
+                    .agg(F.min("url").alias("url"),
+                         F.count("*").alias("n_dups")))
+        keep.select("url", "n_dups").write.mode("overwrite").parquet(uniq_path)
+        n_in, n_u = docs.count(), spark.read.parquet(uniq_path).count()
+        _log_metric(out, stage="unique", resumed=False, rows_in=n_in,
+                    rows=n_u, dup_rate=round(1 - n_u / n_in, 4),
+                    sec=round(time.time() - t, 3))
+    else:
+        resumed += 1
+    uniq = spark.read.parquet(uniq_path)
+
+    t = time.time()
+    if not _done(corpus_path):
+        kept = docs.join(uniq.select("url"), "url")
+        sampled = sample_fraction(kept, "url", sample_num, sample_den)
+        carved = assign_splits(sampled, "url",
+                               [("train", 980), ("valid", 10), ("test", 10)])
+        (carved.write.mode("overwrite")
+               .partitionBy("split").parquet(corpus_path))
+        final = spark.read.parquet(corpus_path)
+        sizes = {r["split"]: r["n"] for r in
+                 final.groupBy("split").agg(F.count("*").alias("n"))
+                      .collect()}
+        _log_metric(out, stage="corpus", resumed=False,
+                    rows=sum(sizes.values()), splits=sizes,
+                    sec=round(time.time() - t, 3))
+    else:
+        resumed += 1
+
+    final = spark.read.parquet(corpus_path)
+    sizes = {r["split"]: r["n"] for r in
+             final.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    metrics = {"rows": sum(sizes.values()), "splits": sizes,
+               "resumed_stages": resumed, "corpus_path": corpus_path}
+    _log_metric(out, stage="final", **metrics)
+    return metrics
+
+
+def main(argv):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--sample-num", type=int, default=3)
+    ap.add_argument("--sample-den", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from avecado_spark.api import spark_session
+    spark = spark_session(app="corpus_prep")
+    spark.sparkContext.setLogLevel("WARN")
+    metrics = run_corpus_prep(spark, args.input, args.out,
+                              args.sample_num, args.sample_den)
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -13,8 +13,9 @@ runs, in order:
      driver records as BENCH_r{N}.json).
   3. scaling — `python bench.py --scaling` (interleaved engine/JVM-control
      rounds at pinned N and 4N cores; the north rule's two-parallelism
-     evidence) → rewrites BENCH/BASELINE.md and copies the summary to
-     DIR/scaling.txt. Skippable (--skip-scaling): ~20 min.
+     evidence) → writes BENCH/scaling_latest.md (BENCH/BASELINE.md is the
+     curated multi-session doc, only created if absent) and copies the
+     summary to DIR/scaling.txt. Skippable (--skip-scaling): ~20 min.
 
 Exit code 0 iff every stage it ran succeeded. Artifacts land in --out
 (default ./artifacts_run_all). No argument parsing beyond the two flags,

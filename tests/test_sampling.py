@@ -78,3 +78,34 @@ def test_stratified_take_exact_and_deterministic(spark):
         assert [(nc, di) for _, nc, di in sorted(got)] \
             == [(-nc, di) for nc, di in ref]
         assert [rk for rk, _, _ in sorted(got)] == list(range(1, len(got) + 1))
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep job: staged checkpoints, deterministic output, resume
+# ---------------------------------------------------------------------------
+
+def test_corpus_prep_job_end_to_end_and_resume(spark, tmp_path):
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs.corpus_prep import run_corpus_prep
+    out = str(tmp_path / "corpus")
+    m1 = run_corpus_prep(spark, SF, out)
+    assert m1["resumed_stages"] == 0
+    assert set(m1["splits"]) <= {"train", "valid", "test"}
+    assert m1["splits"]["train"] > 0
+    # synthetic pages are all distinct -> dedup keeps everything; the
+    # sample is ~3/16 of the corpus
+    n_pages = _pages(spark).count()
+    assert abs(m1["rows"] / n_pages - 3 / 16) < 0.03
+    # re-run: every stage resumes from storage, output identical
+    m2 = run_corpus_prep(spark, SF, out)
+    assert m2["resumed_stages"] == 3
+    assert m2["splits"] == m1["splits"]
+    lines = [json.loads(l) for l in open(f"{out}/metrics.jsonl")]
+    stages = [l["stage"] for l in lines]
+    assert stages == ["docs", "unique", "corpus", "final", "final"]
+    # corpus rows carry the byte-identical extracted text + stats
+    row = spark.read.parquet(f"{out}/corpus").first()
+    assert row["text_x"] and row["n_tokens"] > 0 and row["split"]
