@@ -478,3 +478,72 @@ def test_indegree_stream_matches_batch(spark, tmp_path):
     want = {r["url"]: (r["in_cnt"], r["top_anchor"]) for r in
             indegree_signals(spark.read.parquet(p)).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 resolve: fuzz against the stdlib reference implementation
+# ---------------------------------------------------------------------------
+
+def test_resolve_fuzz_vs_urljoin():
+    """urllib.parse.urljoin implements RFC 3986 §5; resolve() must agree
+    on every reference shape within the URL-safe alphabet (hypothesis
+    fuzz over paths/queries/fragments incl. dot segments)."""
+    from urllib.parse import urljoin
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from avecado_spark.functions.url import resolve
+
+    # non-empty segments: on empty segments ("a//b" + dot refs) urljoin
+    # collapses "//" where RFC 3986's segment-moving algorithm keeps it
+    seg = st.text(alphabet="abC9.-_~%", min_size=1, max_size=4) \
+            .filter(lambda t: set(t) != {"."})  # "."/".." only via `dotted`
+    path = st.lists(seg, min_size=0, max_size=4).map("/".join)
+    dotted = st.lists(st.one_of(seg, st.just("."), st.just("..")),
+                      min_size=0, max_size=5).map("/".join)
+
+    @st.composite
+    def ref(draw):
+        kind = draw(st.integers(0, 4))
+        p = draw(dotted)
+        # non-empty only: on a DEFINED-but-empty query/fragment ("?",
+        # "#") urljoin drops the delimiter while resolve() preserves it
+        # per RFC 3986 §5.3's preservation note — pinned separately below
+        q = draw(st.one_of(st.none(), st.just("k=v")))
+        f = draw(st.one_of(st.none(), st.just("frag")))
+        tail = (f"?{q}" if q is not None else "") + \
+               (f"#{f}" if f is not None else "")
+        if kind == 0:
+            return p + tail                          # relative path
+        if kind == 1:
+            return "/" + p + tail                    # absolute path
+        if kind == 2:
+            # dotless only: urljoin skips remove_dot_segments on
+            # network-path and absolute references (resolve() applies it
+            # per RFC 3986 §5.2.2 in every branch)
+            return "//other.example/" + draw(path) + tail
+        if kind == 3:
+            return "https://abs.example/" + draw(path) + tail
+        return tail                                  # query/fragment only
+
+    @settings(max_examples=300, deadline=None)
+    @given(base_path=path, r=ref())
+    def check(base_path, r):
+        base = f"https://base.example/{base_path}"
+        assert resolve(base, r) == urljoin(base, r), (base, r)
+
+    check()
+
+
+def test_resolve_preserves_empty_components():
+    """RFC 3986 §5.3: recomposition must preserve the distinction between
+    an undefined and an EMPTY query/fragment (stdlib urljoin drops the
+    bare delimiter — the one documented divergence). Graph keys are
+    unaffected: canonicalize drops fragments entirely."""
+    from avecado_spark.functions.url import canonicalize, resolve
+    assert resolve("https://h.example/a", "#") == "https://h.example/a#"
+    assert resolve("https://h.example/a", "?") == "https://h.example/a?"
+    # canonicalize drops the fragment, yielding the base itself; the
+    # extractor then drops it as a self-link (dst == url)
+    assert canonicalize("#", "https://h.example/a") == "https://h.example/a"
