@@ -125,3 +125,77 @@ def with_s2_cell(df: DataFrame, level: int,
     grouping (quasi-equal-area cells) with Hilbert locality for range
     co-partitioning."""
     return df.withColumn(out, s2_cell_udf(level)(F.col(mx_col), F.col(my_col)))
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal grid binning (H3-style axial cells on the mercator plane)
+# ---------------------------------------------------------------------------
+#
+# The north star names "H3/S2 cells" as the corpus grouping keys; S2 is
+# with_s2_cell above. This is the hexagonal counterpart: pointy-top
+# hexagons of circumradius `size` on the Web-Mercator plane, addressed by
+# axial (hq, hr) integers via the standard cube-rounding algorithm
+# (Amit Patel's hex-grid construction; public knowledge). Hexagons give
+# the most compact equal-size neighborhoods of any plane tiling — the
+# usual reason pipelines pick H3-style bins over squares for density
+# stats and join keys.
+#
+# Everything is plain double arithmetic + floor + CASE — the identical
+# expression tree runs JVM-side in Spark (whole-stage codegen, no
+# Python) and verbatim in DuckDB, so the cell assignment is
+# engine-exact and DuckDB-oracle-checkable (queries.hex_cell_docs).
+
+_SQRT3 = 1.7320508075688772  # literal so both engines fold the same value
+
+
+def hex_cell_cols(mx: Column, my: Column, size_mm: int) -> tuple[Column, Column]:
+    """Axial (hq, hr) of the pointy-top hexagon (circumradius `size_mm`,
+    mercator mm) containing (mx, my). Cube-rounded: exact nearest-center
+    assignment, not a shear approximation."""
+    fx = mx.cast("double")
+    fy = my.cast("double")
+    s = float(size_mm)
+    q = (F.lit(_SQRT3 / 3.0) * fx - F.lit(1.0 / 3.0) * fy) / F.lit(s)
+    r = (F.lit(2.0 / 3.0) * fy) / F.lit(s)
+    y0 = -q - r
+    rx = F.floor(q + F.lit(0.5))
+    rz = F.floor(r + F.lit(0.5))
+    ry = F.floor(y0 + F.lit(0.5))
+    dx = F.abs(rx.cast("double") - q)
+    dy = F.abs(ry.cast("double") - y0)
+    dz = F.abs(rz.cast("double") - r)
+    big_dx = (dx > dy) & (dx > dz)
+    hq = F.when(big_dx, -ry - rz).otherwise(rx)
+    # rz is re-derived in the ELSE branch of the standard algorithm —
+    # i.e. whenever dx is not largest AND NOT (dy > dz); ties dy == dz
+    # must fall here or the cube coords stop summing to zero
+    hr = F.when(~big_dx & (dz >= dy), -rx - ry).otherwise(rz)
+    return hq.cast("long"), hr.cast("long")
+
+
+def hex_cell_sql(mx: str, my: str, size_mm: int) -> str:
+    """The identical assignment as a SQL scalar subexpression pair —
+    returns a fragment usable as `SELECT {frag} FROM ...` yielding
+    hq, hr columns. Formula-for-formula the Spark expression above."""
+    s = float(size_mm)
+    q = f"(({_SQRT3 / 3.0!r} * CAST({mx} AS DOUBLE) - {1.0 / 3.0!r} * CAST({my} AS DOUBLE)) / {s!r})"
+    r = f"(({2.0 / 3.0!r} * CAST({my} AS DOUBLE)) / {s!r})"
+    y0 = f"(-{q} - {r})"
+    rx, rz, ry = (f"floor({q} + 0.5)", f"floor({r} + 0.5)",
+                  f"floor({y0} + 0.5)")
+    dx = f"abs({rx} - {q})"
+    dy = f"abs({ry} - {y0})"
+    dz = f"abs({rz} - {r})"
+    big_dx = f"({dx} > {dy} AND {dx} > {dz})"
+    hq = f"CAST(CASE WHEN {big_dx} THEN -{ry} - {rz} ELSE {rx} END AS BIGINT)"
+    hr = (f"CAST(CASE WHEN NOT {big_dx} AND {dz} >= {dy} "
+          f"THEN -{rx} - {ry} ELSE {rz} END AS BIGINT)")
+    return f"{hq} AS hq, {hr} AS hr"
+
+
+def with_hex_cell(df: DataFrame, size_mm: int, mx_col: str = "mx_mm",
+                  my_col: str = "my_mm") -> DataFrame:
+    """Add axial hex-cell columns (hq, hr) — the hexagonal grouping key
+    (JVM-side expressions; shuffle-free)."""
+    hq, hr = hex_cell_cols(F.col(mx_col), F.col(my_col), size_mm)
+    return df.withColumn("hq", hq).withColumn("hr", hr)

@@ -1762,6 +1762,38 @@ def web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_int(pg.select("url"), edges_df(pg), iters=2, scale=10**6)
 
 
+_HEX_SIZE_MM = 10**9  # 1000 km circumradius: ~40 cells across the world
+
+from .operators.keys import hex_cell_sql as _hex_cell_sql  # noqa: E402
+
+HEX_CELL_DOCS_SQL = f"""
+  SELECT hq, hr, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(mx_mm) AS BIGINT) AS sum_mx,
+         CAST(sum(my_mm) AS BIGINT) AS sum_my
+  FROM (SELECT {_hex_cell_sql('mx_mm', 'my_mm', _HEX_SIZE_MM)}, mx_mm, my_mm
+        FROM {GEO_SQL} g) h
+  GROUP BY hq, hr
+"""
+
+
+def hex_cell_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs per axial hex cell (pointy-top hexagons, ~1000 km
+    circumradius on the mercator plane) — the H3-style hexagonal
+    grouping key next to the S2 one (s2_cell_docs_l12). Pure JVM double
+    arithmetic + cube rounding, formula-identical in the DuckDB oracle,
+    so one flipped constant anywhere in the assignment hash-mismatches.
+
+    UNREGISTERED (the 50-row artifact cap): exact-oracle parity pinned
+    by tests/test_oracle_parity.py::test_hex_cell_docs_duckdb_parity."""
+    from .operators.keys import with_hex_cell
+    g = _geo(spark, sf_dir)
+    return (with_hex_cell(g, _HEX_SIZE_MM)
+            .groupBy("hq", "hr")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("mx_mm").alias("sum_mx"),
+                 F.sum("my_mm").alias("sum_my")))
+
+
 # deterministic md5-bucket sampling/splitting (operators/sampling.py) —
 # pinned parity (50-row artifact cap); the bucket formula is identical
 # BIGINT arithmetic in both engines

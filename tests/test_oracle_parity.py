@@ -259,3 +259,16 @@ def test_tpch_q9_duckdb_parity(spark, duck):
     """Q9-style profit rollup (unregistered: 50-row cap)."""
     from avecado_spark.queries import TPCH_Q9_SQL, tpch_q9_profit
     _pinned_parity(spark, duck, tpch_q9_profit, TPCH_Q9_SQL)
+
+
+def test_hex_cell_docs_duckdb_parity(spark, duck):
+    """Hex-grid binning (unregistered: 50-row artifact cap) — exact-
+    oracle parity, same gate as the registered rows."""
+    from avecado_spark.queries import HEX_CELL_DOCS_SQL, hex_cell_docs
+    sdf = hex_cell_docs(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(HEX_CELL_DOCS_SQL)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) > 10   # many populated cells
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])
