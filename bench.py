@@ -355,6 +355,18 @@ def main():
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t, 3)
 
+    # pinned-but-unregistered queries (50-row artifact cap): timed here so
+    # BENCH still covers them
+    from avecado_spark.queries import (doc_stratified_top, hex_cell_docs,
+                                       web_indegree, web_sample_split)
+    for name, fn in (("hex_cell_docs", hex_cell_docs),
+                     ("web_sample_split", web_sample_split),
+                     ("doc_stratified_top", doc_stratified_top),
+                     ("web_indegree", web_indegree)):
+        t = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t, 3)
+
     # IVF recall/cost knob as a recorded number: recall@10 of the IVF
     # search vs the exact cosine top-k, swept over nprobe (nprobe=1 is the
     # registered oracle config; wider probes buy recall with scan width)

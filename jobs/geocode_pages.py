@@ -30,17 +30,19 @@ def materialize_geocoded(spark, sf_dir: str, out: str,
     """Write the geocoded table (bucketed by tile x; sorted by x, y);
     returns row-count metrics. Importable (tests drive a tmp dir).
 
-    Carries BOTH key families the north star names — z/x/y tile keys (the
-    build/bucketing key) and the S2 cell id at `s2_level` (the skew-safe
-    equal-area grouping key with Hilbert range locality) — so downstream
-    consumers never re-derive either from coordinates."""
-    from avecado_spark.operators.keys import (geocode, with_s2_cell,
-                                              with_tile_keys)
+    Carries ALL the key families the north star names — z/x/y tile keys
+    (the build/bucketing key), the S2 cell id at `s2_level` (the
+    skew-safe equal-area grouping key with Hilbert range locality), and
+    the axial hex cell (hq, hr — the H3-style neighborhood key) — so
+    downstream consumers never re-derive any of them from coordinates."""
+    from avecado_spark.operators.keys import (geocode, with_hex_cell,
+                                              with_s2_cell, with_tile_keys)
     from avecado_spark.sources.pages import pages_df
 
-    g = with_s2_cell(with_tile_keys(geocode(pages_df(spark, sf_dir)), z),
-                     s2_level, out="s2_cell") \
-        .select("url", "mx_mm", "my_mm", "x", "y", "s2_cell")
+    g = with_hex_cell(
+        with_s2_cell(with_tile_keys(geocode(pages_df(spark, sf_dir)), z),
+                     s2_level, out="s2_cell"), 10**9) \
+        .select("url", "mx_mm", "my_mm", "x", "y", "s2_cell", "hq", "hr")
     table = f"geo_pages_z{z}"
     (g.write.mode("overwrite")
       .bucketBy(buckets, "x").sortBy("x", "y")

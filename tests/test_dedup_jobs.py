@@ -164,7 +164,8 @@ def test_geocode_pages_job_materializes_bucketed_table(spark, tmp_path):
     assert metrics["rows"] == expect > 0
     try:
         t = spark.table(metrics["table"])
-        assert set(t.columns) == {"url", "mx_mm", "my_mm", "x", "y", "s2_cell"}
+        assert set(t.columns) == {"url", "mx_mm", "my_mm", "x", "y",
+                                  "s2_cell", "hq", "hr"}
         # the durable s2_cell equals the in-session derivation
         from avecado_spark.functions import s2 as s2f
         import numpy as np
