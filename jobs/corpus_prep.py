@@ -92,7 +92,12 @@ def run_corpus_prep(spark, sf_dir: str, out: str,
         sampled = sample_fraction(kept, "url", sample_num, sample_den)
         carved = assign_splits(sampled, "url",
                                [("train", 980), ("valid", 10), ("test", 10)])
+        # writer-scoped static overwrite: under the session-wide dynamic
+        # mode some components set (sources/manifest.py), a dynamic
+        # partitioned write emits NO root _SUCCESS — which is this job's
+        # resume marker
         (carved.write.mode("overwrite")
+               .option("partitionOverwriteMode", "static")
                .partitionBy("split").parquet(corpus_path))
         final = spark.read.parquet(corpus_path)
         sizes = {r["split"]: r["n"] for r in
