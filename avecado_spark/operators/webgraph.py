@@ -150,6 +150,24 @@ def edges_df(pages: DataFrame) -> DataFrame:
                  .select("src", "dst").distinct())
 
 
+def frontier_df(pages: DataFrame, follow_only: bool = True) -> DataFrame:
+    """Crawl frontier: canonical outlink targets NOT in the corpus,
+    ranked by demand — (url, want_cnt, n_hosts) where want_cnt counts
+    referring pages and n_hosts the distinct referring sources. The
+    anti-join against the known url set is the inverse of edges_df's
+    inner join; `follow_only` drops rel=nofollow links (the crawl-
+    politeness default). One extraction pass + one anti-join + one
+    groupBy on slim rows."""
+    links = extract_links(pages)
+    if follow_only:
+        links = links.where(~F.col("nofollow"))
+    urls = pages.select(F.col("url").alias("dst_url"))
+    return (links.join(urls, "dst_url", "left_anti")
+                 .groupBy(F.col("dst_url").alias("url"))
+                 .agg(F.count("*").alias("want_cnt"),
+                      F.countDistinct("src_url").alias("n_srcs")))
+
+
 def indegree_signals(pages: DataFrame) -> DataFrame:
     """Per-page link-graph quality signals — the classic Common-Crawl
     corpus priors: (url, in_cnt, n_anchors, top_anchor) where in_cnt is

@@ -1854,6 +1854,28 @@ def doc_stratified_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "lang", [F.col("n_chars").desc(), F.col("doc_id")], 50)
 
 
+WEB_FRONTIER_SQL = f"""
+  SELECT dst_url AS url, CAST(count(*) AS BIGINT) AS want_cnt,
+         CAST(count(DISTINCT src_url) AS BIGINT) AS n_srcs
+  FROM ({_WG_LINKS_SQL}) l
+  WHERE NOT nofollow
+    AND dst_url NOT IN (SELECT url FROM {PAGES} pf)
+  GROUP BY dst_url
+"""
+
+
+def web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl frontier: followable outlink targets not yet in the corpus,
+    ranked by demand (operators/webgraph.frontier_df) — non-trivial on
+    the synthetic corpus because t2/t3 neighbour keys fall off the edge
+    of the existing key set.
+
+    UNREGISTERED (the 50-row artifact cap): exact-oracle parity pinned
+    by tests/test_oracle_parity.py::test_web_frontier_duckdb_parity."""
+    from .operators.webgraph import frontier_df
+    return frontier_df(pages_df(spark, sf_dir))
+
+
 WEB_INDEGREE_SQL = f"""
   SELECT dst_url AS url, CAST(count(*) AS BIGINT) AS in_cnt,
          CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,

@@ -272,3 +272,19 @@ def test_hex_cell_docs_duckdb_parity(spark, duck):
     assert len(srows) == len(drows) > 10   # many populated cells
     assert _canon(srows, [c.lower() for c in sdf.columns]) \
         == _canon(drows, [c.lower() for c in rel.columns])
+
+
+def test_web_frontier_duckdb_parity(spark, duck):
+    """Crawl frontier (unregistered: 50-row artifact cap) — exact-oracle
+    parity, same gate as the registered rows."""
+    from avecado_spark.queries import WEB_FRONTIER_SQL, web_frontier
+    sdf = web_frontier(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(WEB_FRONTIER_SQL)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) > 0      # t2/t3 edge keys fall off
+    # and the nofollow offsite targets are excluded
+    assert all(not r["url"].startswith("https://dead.example.net")
+               for r in srows)
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])
