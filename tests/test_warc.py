@@ -1,0 +1,79 @@
+"""WARC reader (sources/warc.py): byte-level round-trip, CC gzip-member
+layout, truncation behavior, and the ingest job into a snapshot table."""
+
+import gzip
+
+import pytest
+
+from avecado_spark.sources.warc import parse_warc, read_warc, warc_bytes
+
+RECS = [
+    ("https://h.example/a", 1704067200, b"<html><body>A</body></html>"),
+    ("https://h.example/b", 1704067260,
+     b"<html><p>B \xe2\x9c\x93</p></html>"),       # utf-8 body
+    ("https://h.example/c", 1704153600, b""),       # empty body
+]
+
+
+def test_parse_roundtrip_plain_and_member_gzip():
+    for member_gzip in (False, True):
+        data = warc_bytes(RECS, member_gzip=member_gzip)
+        assert parse_warc(data) == RECS
+    # whole-stream gzip (non-CC layout) also decompresses fine
+    assert parse_warc(gzip.compress(warc_bytes(RECS, member_gzip=False))) \
+        == RECS
+
+
+def test_member_gzip_is_real_member_concatenation():
+    data = warc_bytes(RECS)
+    # each record its own gzip magic — count members
+    assert data.count(b"\x1f\x8b\x08") >= len(RECS)
+
+
+def test_truncated_tail_stops_clean_but_bad_length_raises():
+    data = warc_bytes(RECS, member_gzip=False)
+    assert parse_warc(data[: len(data) - 20]) == RECS[:2]  # truncated tail
+    import re
+    bad = re.sub(rb"Content-Length: \d+", b"Content-Length: xx", data,
+                 count=1)  # corrupt the first (WARC-level) length header
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(bad)
+
+
+def test_non_response_records_skipped():
+    data = warc_bytes(RECS[:1], member_gzip=False)
+    meta = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            b"Content-Length: 4\r\n\r\nmeta\r\n\r\n")
+    assert parse_warc(meta + data) == RECS[:1]
+
+
+def test_read_warc_distributed_and_ingest_job(spark, tmp_path):
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from avecado_spark.sources import snapshots
+    from jobs.ingest_warc import ingest_warc
+
+    # two CC-layout warc.gz files
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "part-0.warc.gz").write_bytes(warc_bytes(RECS[:2]))
+    (tmp_path / "crawl" / "part-1.warc.gz").write_bytes(warc_bytes(RECS[2:]))
+
+    got = {(r["url"], int(r["warc_ts"].timestamp()), bytes(r["html"]))
+           for r in read_warc(spark, str(tmp_path / "crawl")).collect()}
+    assert got == set(RECS)
+
+    table = str(tmp_path / "pages_table")
+    m1 = ingest_warc(spark, str(tmp_path / "crawl" / "part-0.warc.gz"), table)
+    assert (m1["snapshot"], m1["rows"]) == (1, 2)
+    m2 = ingest_warc(spark, str(tmp_path / "crawl" / "part-1.warc.gz"), table)
+    assert (m2["snapshot"], m2["rows"]) == (2, 3)   # cumulative snapshot
+    tbl = snapshots.read(spark, table)
+    row = {r["url"]: r for r in tbl.collect()}
+    assert set(row) == {u for u, _, _ in RECS}
+    # extracted text rode along, byte-identical to the pure transform
+    from avecado_spark.functions.htmltext import html_to_text
+    for u, _, h in RECS:
+        assert row[u]["text_x"] == html_to_text(h)
+    # time travel still sees only the first file's rows
+    assert snapshots.read(spark, table, snapshot_id=1).count() == 2
