@@ -12,9 +12,11 @@ local[$SPARK_GRAFT_CPUS] (default 16 — see CPUS note).
   dedup/sim/text/events — training-data suite representatives.
 
 --scaling runs tile_build_z14 at pinned local[N] and local[4N] (default
-N=2; see BENCH/BASELINE.md) on identical input and writes BENCH/BASELINE.md
-with throughputs, scaling efficiency, and the JVM + memory-bandwidth
-ceiling controls (the sandbox evidence for the north rule's N→4N criterion).
+N=2; see BENCH/BASELINE.md) on identical input and writes
+BENCH/scaling_latest.md (BENCH/BASELINE.md is the curated multi-session
+doc, only created if absent) with throughputs, scaling efficiency, and
+the JVM + memory-bandwidth ceiling controls (the sandbox evidence for
+the north rule's N→4N criterion).
 """
 
 from __future__ import annotations
