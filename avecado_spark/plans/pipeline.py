@@ -187,7 +187,9 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
     the trailing (possibly batch-split) run between Arrow batches — the
     same many-tiny-groups treatment the encode path uses. The shuffle key
     is the tile key, which the encode step reuses — one shuffle serves
-    both (plan-asserted: tests/test_plan_quality.py)."""
+    both (plan-asserted: tests/test_plan_quality.py). Generalize-only
+    pipelines skip even that: simplification is per-feature, so the
+    vectorized fast path runs shuffle-free over the input partitioning."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -201,9 +203,13 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
     # per-feature, stateless, geometry-only. Then the walk needs no group
     # boundaries (nothing crosses features), no props parse (the kv string
     # passes through opaque), and no feature dicts/Geom objects at all:
-    # simplification runs directly over the packed ring slices. The plan
-    # shape (repartition + sort on the tile key) is kept identical so the
-    # fused encode step still reuses the one shuffle.
+    # simplification runs directly over the packed ring slices — AND no
+    # tile-key shuffle: the walk runs over the input's own partitioning
+    # (generalize-only pipelines are shuffle-free, plan-asserted in
+    # tests/test_plan_quality.py). A downstream encode introduces its own
+    # tile-key exchange exactly as it would have reused this one, so the
+    # apply_to_tiles → build pair's total shuffle count is unchanged;
+    # standalone generalize drops from one shuffle to zero.
     gen_only = packed and all(
         izer.get("type") == "generalizer"
         for ranges in config.values()
@@ -429,10 +435,13 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
                 yield pd.DataFrame(out)
         return run_fast
 
-    walked = (df.repartition("z", "x", "y", "layer")
-                .sortWithinPartitions("z", "x", "y", "layer")
-                .mapInPandas(_make_run_fast() if gen_only else run,
-                             schema=out_schema))
+    if gen_only:
+        # per-feature + stateless → no grouping needed; skip the shuffle
+        walked = df.mapInPandas(_make_run_fast(), schema=out_schema)
+    else:
+        walked = (df.repartition("z", "x", "y", "layer")
+                    .sortWithinPartitions("z", "x", "y", "layer")
+                    .mapInPandas(run, schema=out_schema))
     props_back = F.when(
         F.length("props_kv") > 0,
         F.str_to_map(F.col("props_kv"), F.lit("\x02"), F.lit("\x01"))

@@ -122,7 +122,10 @@ def test_generalize_fast_path_parity_and_speed(spark):
     # 80k features: r06's AQE coalesce floor (api.py 64k
     # minPartitionSize) made both paths overhead-dominated at 20k
     # rows (~0.6s each) and the ratio meaningless; at 80k the
-    # per-feature work dominates again
+    # per-feature work dominates again. r07: the fast path is now
+    # SHUFFLE-FREE (generalize is per-feature, so the tile-key
+    # repartition+sort was pure overhead) — measured 1.5-1.8x the
+    # dict walk, up from 1.09x, so the 1.15 pin has >=1.3x headroom
     feats = _packed_zigzags(spark, 80000).persist()
     fast_conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
         {"type": "generalizer", "algorithm": "douglas-peucker",

@@ -318,6 +318,28 @@ def test_q6_scan_filter_agg_single_wide_stage(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_generalize_only_pipeline_shuffle_free(spark):
+    """A generalize-only izer pipeline over the packed representation is
+    per-feature and stateless, so apply_to_tiles must plan ZERO exchanges:
+    the vectorized fast path runs over the input's own partitioning (r07 —
+    previously it paid the tile-key shuffle it never used)."""
+    from avecado_spark.plans.pipeline import apply_to_tiles
+    rows = [(10, 1, 1, "roads", 1, {"a": "x"}, "LINESTRING",
+             [0.0, 0.0, 100.0, 1.0, 200.0, 0.0], [3], [1])]
+    df = spark.createDataFrame(
+        rows, "z int, x long, y long, layer string, id long, "
+              "props map<string,string>, gtype string, "
+              "coords array<double>, rings array<int>, "
+              "part_rings array<int>")
+    conf = {"roads": [{"minzoom": 0, "maxzoom": 22, "process": [
+        {"type": "generalizer", "algorithm": "douglas-peucker",
+         "tolerance": 5.0}]}]}
+    out = apply_to_tiles(df, conf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    assert out.collect()[0].coords == [0.0, 0.0, 200.0, 0.0]
+
+
 def test_labelize_pipeline_single_shuffle(spark):
     """The labelizer rides the izer group shuffle: apply_to_tiles with a
     labelizer stage plans exactly one exchange (the tile-key grouping),
