@@ -278,6 +278,12 @@ def hits_int(nodes: DataFrame, edges: DataFrame, iters: int = 2,
         raw_a = (e.join(hubs, e.src == hubs.url)
                   .groupBy("dst").agg(F.sum("h").alias("s")))
         mx = raw_a.agg(F.max("s")).first()[0]
+        if mx is None:
+            # empty edge set: every score is 0 — short-circuit instead of
+            # interpolating the literal token `None` into the rescale SQL
+            return nodes.select("url",
+                                F.lit(0).cast("long").alias("auth_i"),
+                                F.lit(0).cast("long").alias("hub_i"))
         auths = raw_a.select(F.col("dst").alias("url"),
                              F.expr(f"(s * {scale}) div {mx}").alias("a")) \
                      .localCheckpoint()

@@ -103,8 +103,15 @@ def _commit(table: str, df: DataFrame, op: str,
     files = list(carry_files) + new_files
     parent = current_snapshot(table)
     sid = (parent or 0) + 1
-    rows = (spark.read.parquet(*[os.path.join(table, f) for f in files])
-            .count()) if files else 0
+    # count only the NEW files — append cost must be O(new data), not
+    # O(table). Carried rows come from the parent manifest (appends carry
+    # exactly the parent's file list; overwrite carries none).
+    new_rows = (spark.read.parquet(
+        *[os.path.join(table, f) for f in new_files]).count()
+        if new_files else 0)
+    carried_rows = (_load(table, parent)["rows"]
+                    if carry_files and parent is not None else 0)
+    rows = carried_rows + new_rows
     manifest = {"id": sid, "parent": parent, "op": op, "files": files,
                 "rows": rows, "committed_at": round(time.time(), 3)}
     tmp = _snap_path(table, sid) + ".tmp"

@@ -115,8 +115,15 @@ def parse_warc(data: bytes) -> list[tuple[str, int, bytes]]:
         if headers.get("warc-type") == "response":
             url = headers.get("warc-target-uri", "")
             ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
-            epoch = int(datetime.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")
-                        .replace(tzinfo=timezone.utc).timestamp())
+            # WARC 1.1 allows fractional seconds (2024-01-01T00:00:00.123Z);
+            # fromisoformat handles both forms. A malformed date degrades to
+            # epoch 0 like other per-record defects — it must not abort the
+            # whole file.
+            try:
+                epoch = int(datetime.fromisoformat(ts.rstrip("Zz"))
+                            .replace(tzinfo=timezone.utc).timestamp())
+            except ValueError:
+                epoch = 0
             body_at = block.find(_CRLF + _CRLF)
             html = block[body_at + 4:] if body_at >= 0 else b""
             out.append((url, epoch, html))

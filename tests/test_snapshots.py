@@ -28,6 +28,29 @@ def test_append_overwrite_and_time_travel(spark, tmp_path):
     assert [m["rows"] for m in h] == [10, 15, 3]
 
 
+def test_append_counts_only_new_files(spark, tmp_path, monkeypatch):
+    """Append cost is O(new data): the manifest rows field comes from the
+    parent manifest + a count over ONLY the newly written files — the
+    carried files are never re-read at commit time."""
+    t = str(tmp_path / "tbl")
+    snap.append(t, _df(spark, 0, 10))
+    seen = []
+    orig = type(spark.read).parquet
+
+    def spy(self, *paths):
+        seen.append(paths)
+        return orig(self, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    snap.append(t, _df(spark, 10, 15))
+    h = snap.history(t)
+    n_new = len(h[-1]["files"]) - len(h[0]["files"])
+    commit_reads = [p for p in seen if all("stage-" not in x for x in p)]
+    assert commit_reads, "commit should count the new files"
+    assert all(len(p) == n_new for p in commit_reads)  # new files only
+    assert h[-1]["rows"] == 15
+
+
 def test_reader_pins_snapshot_across_commits(spark, tmp_path):
     """The Iceberg property the north rule leans on: a scan started at
     snapshot N keeps seeing N while the table moves on — long jobs are

@@ -40,6 +40,17 @@ def test_truncated_tail_stops_clean_but_bad_length_raises():
         parse_warc(bad)
 
 
+def test_warc11_fractional_seconds_and_bad_dates():
+    """WARC 1.1 allows fractional seconds in WARC-Date; a malformed date
+    degrades to epoch 0 per-record instead of aborting the file."""
+    data = warc_bytes(RECS[:1], member_gzip=False)
+    frac = data.replace(b"2024-01-01T00:00:00Z", b"2024-01-01T00:00:00.123Z")
+    assert frac != data
+    assert parse_warc(frac) == RECS[:1]  # int() truncates the .123
+    bad = data.replace(b"2024-01-01T00:00:00Z", b"not-a-date-atall-xyZ")
+    assert parse_warc(bad) == [(RECS[0][0], 0, RECS[0][2])]
+
+
 def test_non_response_records_skipped():
     data = warc_bytes(RECS[:1], member_gzip=False)
     meta = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"

@@ -435,6 +435,17 @@ def test_hits_int_matches_reference_loop(spark):
     assert got["u2"][0] == scale and max(got.values())[1] <= scale
 
 
+def test_hits_int_empty_graph_scores_zero(spark):
+    """An empty edge set short-circuits to all-zero scores instead of
+    interpolating a None max into the rescale SQL."""
+    from avecado_spark.operators.webgraph import hits_int
+    nodes = spark.createDataFrame([("a",), ("b",)], "url string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    got = {r["url"]: (r["auth_i"], r["hub_i"])
+           for r in hits_int(nodes, edges, iters=2).collect()}
+    assert got == {"a": (0, 0), "b": (0, 0)}
+
+
 def test_hits_int_overflow_guard(spark):
     import pytest as _pytest
     from avecado_spark.operators.webgraph import hits_int
