@@ -910,17 +910,29 @@ def adminize_points_s2index(df: DataFrame,
                             max_level: int = 12,
                             cover: str = "bbox",
                             x_col: str = "mx_mm", y_col: str = "my_mm",
-                            out_col: str = "admin") -> DataFrame:
+                            out_col: str = "admin",
+                            metrics: dict | None = None) -> DataFrame:
     """adminize_points_rings semantics via the FLATTENED elementary-interval
     S2 index (_leaf_interval_index): one broadcast table, one searchsorted
     per batch for ALL polygons — probe cost O(points · (log R + depth)),
     independent of the polygon count, vs the per-polygon searchsorted loop
     in adminize_points_s2ranges.  This is the broadcast path sized for
-    10^4+ admin polygons (ADM2 planet scale)."""
+    10^4+ admin polygons (ADM2 planet scale).
+
+    Pass `metrics={}` to instrument the probe (same contract as the kNN
+    probe): `index_build_s` (driver-side cover+index build, a plain float)
+    plus Spark accumulators `points` (points probed), `cand_pairs`
+    (point×polygon candidate pairs the interval index emitted),
+    `exact_evals` (pairs that reached the exact point-in-ring test after
+    the already-matched-lower-pid skip) and `probe_s` (seconds spent
+    inside the python probe, summed over workers)."""
+    import time as _time
+
     from ..functions import s2
 
     if cover not in ("bbox", "polygon"):
         raise ValueError(f"unknown cover kind: {cover!r}")
+    t_build0 = _time.time()
     polys = sorted(polygons)
     rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
     values = [v for _, _, v in polys]
@@ -952,12 +964,23 @@ def adminize_points_s2index(df: DataFrame,
     bc = df.sparkSession.sparkContext.broadcast(
         (rings, values, bounds, off, gap_pids))
 
+    acc = None
+    if metrics is not None:
+        sc = df.sparkSession.sparkContext
+        metrics["index_build_s"] = round(_time.time() - t_build0, 3)
+        for key in ("points", "cand_pairs", "exact_evals"):
+            metrics[key] = sc.accumulator(0)
+        metrics["probe_s"] = sc.accumulator(0.0)
+        acc = {k: v for k, v in metrics.items() if k != "index_build_s"}
+
     from pyspark.sql.types import StringType, StructField, StructType
     schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
 
     def probe(batches):
         rings, values, bounds, off, gap_pids = bc.value
         for pdf in batches:
+            t0 = _time.time() if acc else 0.0
+            n_cand = n_exact = 0
             mx = pdf[x_col].to_numpy(dtype=np.int64)
             my = pdf[y_col].to_numpy(dtype=np.int64)
             pts = np.stack([mx.astype(np.float64),
@@ -976,6 +999,7 @@ def adminize_points_s2index(df: DataFrame,
                 step = np.arange(len(pt_idx), dtype=np.int64) - np.repeat(
                     np.cumsum(cnt) - cnt, cnt)
                 cand_pid = gap_pids[base + step]
+                n_cand = len(cand_pid)
                 # group candidate pairs by pid ONCE (sort + slices) —
                 # a masked scan per pid would be O(pids x candidates)
                 order = np.argsort(cand_pid, kind="stable")
@@ -989,10 +1013,16 @@ def adminize_points_s2index(df: DataFrame,
                     sel = sel[best[sel] > p]
                     if len(sel) == 0:
                         continue
+                    n_exact += len(sel)
                     ins = G.points_in_ring(pts[sel], rings[p])
                     best[sel[ins]] = np.minimum(best[sel[ins]], p)
             pdf[out_col] = [values[b] if b < len(rings) else None
                             for b in best]
+            if acc:
+                acc["points"].add(n)
+                acc["cand_pairs"].add(n_cand)
+                acc["exact_evals"].add(n_exact)
+                acc["probe_s"].add(_time.time() - t0)
             yield pdf
 
     return df.mapInPandas(probe, schema=schema)

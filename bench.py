@@ -165,7 +165,19 @@ def _run_pip_s2index_10k(spark, sf_dir):
     # cover level ~ feature scale: the hexes are ~140 km, level-10 cells
     # ~10 km — deeper levels multiply cover cells 4x/level for no candidate
     # precision gain once cells are much smaller than the features
-    return adminize_points_s2index(g, polys, max_level=10).count()
+    metrics: dict = {}
+    n = adminize_points_s2index(g, polys, max_level=10,
+                                metrics=metrics).count()
+    vals = {k: (v if isinstance(v, float) else v.value)
+            for k, v in metrics.items()}
+    pts = max(vals.get("points", 0), 1)
+    return n, {
+        "s2index_build_s": vals.get("index_build_s", 0.0),
+        "s2index_probe_py_s": round(vals.get("probe_s", 0.0), 3),
+        "s2index_cand_per_point": round(vals.get("cand_pairs", 0) / pts, 2),
+        "s2index_exact_evals_per_point":
+            round(vals.get("exact_evals", 0) / pts, 2),
+    }
 
 
 def _run_pip_s2join_10k(spark, sf_dir):
@@ -290,6 +302,23 @@ def _profile_stages(cpus: int):
                       "full_build_sec": round(t3 - t1, 2)}))
 
 
+def _control_inline(spark):
+    """Same-session pure-JVM control (md5 + hash-agg over spark.range, no
+    python workers, no parquet), timed INSIDE the bench run so each
+    BENCH_r*.json can adjudicate its own host noise: a query row that
+    moves between rounds while the control holds is a real regression;
+    both moving together is external contention (this host's documented
+    failure mode — identical builds have measured 2-3x apart). Run twice
+    (start + end) so drift WITHIN the run is visible too."""
+    from pyspark.sql import functions as F
+    df = spark.range(0, 25_000_000, 1, 2 * CPUS)
+    df.count()  # materialize range + scheduler warm
+    t = time.time()
+    (df.select(F.md5(F.col("id").cast("string")).alias("h"))
+       .groupBy(F.substring("h", 1, 2).alias("b")).count().count())
+    return round(time.time() - t, 3)
+
+
 def _jvm_control(cpus: int):
     """Pure-JVM Spark control (md5 + groupBy over spark.range, no python,
     no parquet): the best ANY Spark job scales on this kernel at these core
@@ -323,6 +352,7 @@ def main():
     spark = _session(CPUS)
     _pages_table(spark, SF_DIR)  # untimed dataset prep (idempotent)
     _warm_encode(spark, SF_DIR)  # worker startup + JIT out of the timings
+    control_start = _control_inline(spark)
     t0 = time.time()
     timings = {}
 
@@ -396,7 +426,7 @@ def main():
     timings["pip_knn_10k"] = round(time.time() - t, 3)
 
     t = time.time()
-    _run_pip_s2index_10k(spark, SF_DIR)
+    _, s2index_metrics = _run_pip_s2index_10k(spark, SF_DIR)
     timings["pip_s2index_10k"] = round(time.time() - t, 3)
 
     t = time.time()
@@ -404,6 +434,7 @@ def main():
     timings["pip_s2join_10k"] = round(time.time() - t, 3)
 
     total = round(time.time() - t0, 3)
+    control_end = _control_inline(spark)
     out = {
         "metric": "bench_total",
         "value": total,
@@ -418,7 +449,12 @@ def main():
         "docs_per_sec_encoded": round(n_docs / timings["tile_build_z14"], 1),
         "bigstar_1m_rounds": bigstar_rounds,
         "ivf_recall_at_10": ivf_recall,
+        # same-session pure-JVM control, timed before the first query and
+        # after the last: the noise adjudicator (see _control_inline)
+        "control_sec": control_start,
+        "control_sec_end": control_end,
         **knn_metrics,
+        **s2index_metrics,
     }
     spark.stop()
     print(json.dumps(out))
