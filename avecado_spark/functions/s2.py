@@ -44,6 +44,9 @@ import numpy as np
 
 EARTH_RADIUS_M = 6378137.0  # mercator sphere radius (functions/mercator.py)
 MAX_LEVEL = 30
+# batch-cover owner chunk: keeps each BFS level's frontier temporaries
+# cache-resident (see cover_bboxes_rad_batch)
+_COVER_CHUNK_OWNERS = 1024
 
 # Hilbert orientation algebra (published S2 scheme): orientation is 2 bits
 # (swap | invert); POS_TO_IJ[o][pos] = ij quadrant, IJ_TO_POS its row-wise
@@ -389,7 +392,30 @@ def cover_bboxes_rad_batch(lon_lo, lat_lo, lon_hi, lat_hi, level: int,
     per-polygon loop).  Returns (ids int64, owner int64); emitted
     cells per owner are exactly cover_bbox_rad(..., adaptive=...) of that
     owner's bbox — parity is test-pinned
-    (tests/test_s2_cover.py::test_batch_cover_matches_scalar_per_owner)."""
+    (tests/test_s2_cover.py::test_batch_cover_matches_scalar_per_owner).
+
+    Owners are processed in chunks of _COVER_CHUNK_OWNERS so the deepest
+    levels' frontier temporaries (~30 full-width arrays per level) stay
+    cache-resident instead of streaming DRAM: at 10k owners / level 10 /
+    1.1M cells the unchunked build measured 1.3-14.2s on this host's
+    drifting memory subsystem, chunked it holds 1.2-1.6s.  Per-owner
+    output is identical (each owner's BFS is independent); only the
+    global row order changes, which no caller relies on (all re-sort by
+    owner or cell)."""
+    m_all = len(np.asarray(lon_lo, dtype=np.float64))
+    if m_all > _COVER_CHUNK_OWNERS:
+        ids_parts, owner_parts, n_total = [], [], 0
+        for i in range(0, m_all, _COVER_CHUNK_OWNERS):
+            j = i + _COVER_CHUNK_OWNERS
+            ids_c, owner_c = cover_bboxes_rad_batch(
+                np.asarray(lon_lo)[i:j], np.asarray(lat_lo)[i:j],
+                np.asarray(lon_hi)[i:j], np.asarray(lat_hi)[i:j],
+                level, max_total_cells=max_total_cells - n_total,
+                adaptive=adaptive)
+            n_total += len(ids_c)
+            ids_parts.append(ids_c)
+            owner_parts.append(owner_c + i)
+        return np.concatenate(ids_parts), np.concatenate(owner_parts)
     pad = 1e-12
     lon_lo = np.asarray(lon_lo, dtype=np.float64) - pad
     lat_lo = np.asarray(lat_lo, dtype=np.float64) - pad

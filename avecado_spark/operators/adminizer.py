@@ -46,6 +46,10 @@ from ..functions import wkt as W
 from ..functions.strtree import STRtree
 from ..functions.wkt import Geom
 
+# s2index probe: candidate (point, polygon) pairs per vectorized
+# crossing-number pass — bounds the expanded (pair x edge) temporaries
+_PAIR_CHUNK = 65536
+
 
 # ---------------------------------------------------------------------------
 # entries + index construction (reference make_entries/make_index)
@@ -923,9 +927,10 @@ def adminize_points_s2index(df: DataFrame,
     probe): `index_build_s` (driver-side cover+index build, a plain float)
     plus Spark accumulators `points` (points probed), `cand_pairs`
     (point×polygon candidate pairs the interval index emitted),
-    `exact_evals` (pairs that reached the exact point-in-ring test after
-    the already-matched-lower-pid skip) and `probe_s` (seconds spent
-    inside the python probe, summed over workers)."""
+    `exact_evals` (pairs given the exact point-in-ring test — equal to
+    cand_pairs since the batched crossing pass tests every pair) and
+    `probe_s` (seconds spent inside the python probe, summed over
+    workers)."""
     import time as _time
 
     from ..functions import s2
@@ -961,8 +966,20 @@ def adminize_points_s2index(df: DataFrame,
                    np.sort(hi[cuts[k]:cuts[k + 1]]))
                   for k in range(len(rings))]
     bounds, off, gap_pids, _ = _leaf_interval_index(ranges)
+    # packed ring edges (a->b per edge, rings closed) so the probe can run
+    # ONE vectorized crossing-number pass over ALL candidate (point, pid)
+    # pairs instead of a python loop calling points_in_ring per pid — with
+    # ~10^3 distinct candidate pids per Arrow batch averaging a handful of
+    # points each, the per-call overhead dominated the probe
+    closed = [G.close_ring(r) for r in rings]
+    edge_off = np.zeros(len(rings) + 1, dtype=np.int64)
+    np.cumsum([len(c) - 1 for c in closed], out=edge_off[1:])
+    ea = (np.concatenate([c[:-1] for c in closed])
+          if closed else np.zeros((0, 2)))
+    eb = (np.concatenate([c[1:] for c in closed])
+          if closed else np.zeros((0, 2)))
     bc = df.sparkSession.sparkContext.broadcast(
-        (rings, values, bounds, off, gap_pids))
+        (rings, values, bounds, off, gap_pids, ea, eb, edge_off))
 
     acc = None
     if metrics is not None:
@@ -977,15 +994,18 @@ def adminize_points_s2index(df: DataFrame,
     schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
 
     def probe(batches):
-        rings, values, bounds, off, gap_pids = bc.value
+        rings, values, bounds, off, gap_pids, ea, eb, edge_off = bc.value
+        eax, eay = ea[:, 0], ea[:, 1]
+        ebx, eby = eb[:, 0], eb[:, 1]
+        # sentinel slot len(rings) -> None, so output assembly is one fancy
+        # index instead of a per-row python comprehension
+        out_vals = np.array(values + [None], dtype=object)
         for pdf in batches:
             t0 = _time.time() if acc else 0.0
             n_cand = n_exact = 0
             mx = pdf[x_col].to_numpy(dtype=np.int64)
             my = pdf[y_col].to_numpy(dtype=np.int64)
-            pts = np.stack([mx.astype(np.float64),
-                            my.astype(np.float64)], axis=1)
-            n = len(pts)
+            n = len(mx)
             best = np.full(n, len(rings), dtype=np.int64)
             if n and len(bounds):
                 leaf = s2.cellid_from_mercator_mm(mx, my).view(np.uint64)
@@ -999,25 +1019,39 @@ def adminize_points_s2index(df: DataFrame,
                 step = np.arange(len(pt_idx), dtype=np.int64) - np.repeat(
                     np.cumsum(cnt) - cnt, cnt)
                 cand_pid = gap_pids[base + step]
-                n_cand = len(cand_pid)
-                # group candidate pairs by pid ONCE (sort + slices) —
-                # a masked scan per pid would be O(pids x candidates)
-                order = np.argsort(cand_pid, kind="stable")
-                cp = cand_pid[order]
-                pto = pt_idx[order]
-                upids, starts = np.unique(cp, return_index=True)
-                ends = np.append(starts[1:], len(cp))
-                for p, s0, s1 in zip(upids.tolist(), starts.tolist(),
-                                     ends.tolist()):
-                    sel = pto[s0:s1]
-                    sel = sel[best[sel] > p]
-                    if len(sel) == 0:
+                n_cand = n_exact = len(cand_pid)
+                # ONE crossing-number pass over all (pair, edge) rows: the
+                # per-edge expression is points_in_ring's, elementwise, so
+                # results are bit-identical to the per-pid scalar loop;
+                # chunk pairs so the expanded edge rows stay cache-sized
+                px = mx.astype(np.float64)
+                py = my.astype(np.float64)
+                ec_all = edge_off[1:] - edge_off[:-1]
+                for c0 in range(0, len(cand_pid), _PAIR_CHUNK):
+                    pidc = cand_pid[c0:c0 + _PAIR_CHUNK]
+                    ptc = pt_idx[c0:c0 + _PAIR_CHUNK]
+                    ec = ec_all[pidc]
+                    tot = int(ec.sum())
+                    if tot == 0:
                         continue
-                    n_exact += len(sel)
-                    ins = G.points_in_ring(pts[sel], rings[p])
-                    best[sel[ins]] = np.minimum(best[sel[ins]], p)
-            pdf[out_col] = [values[b] if b < len(rings) else None
-                            for b in best]
+                    pair_rep = np.repeat(
+                        np.arange(len(pidc), dtype=np.int64), ec)
+                    estep = np.arange(tot, dtype=np.int64) - np.repeat(
+                        np.cumsum(ec) - ec, ec)
+                    eg = np.repeat(edge_off[pidc], ec) + estep
+                    x = px[ptc][pair_rep]
+                    y = py[ptc][pair_rep]
+                    ay, by = eay[eg], eby[eg]
+                    cond = (ay > y) != (by > y)
+                    ax, bx = eax[eg], ebx[eg]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        xint = ax + (y - ay) * (bx - ax) / (by - ay)
+                    crosses = cond & (x < xint)
+                    inside = (np.bincount(pair_rep, weights=crosses,
+                                          minlength=len(pidc))
+                              .astype(np.int64) & 1).astype(bool)
+                    np.minimum.at(best, ptc[inside], pidc[inside])
+            pdf[out_col] = out_vals[best]
             if acc:
                 acc["points"].add(n)
                 acc["cand_pairs"].add(n_cand)
