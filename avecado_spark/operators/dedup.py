@@ -532,3 +532,125 @@ def simhash_pairs_sql(max_hamming: int = MAX_HAMMING) -> str:
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     )"""
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level boilerplate dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    segment: str = "regex:\n{2,}",
+                    join_sep: str = "\n") -> DataFrame:
+    """CCNet-style paragraph-level dedup (Wenzek et al., LREC 2020): split
+    each document into paragraphs, hash the normalized paragraph, and keep
+    only the FIRST corpus-wide occurrence of each hash (lowest (id, pos) —
+    a total order, so the result is deterministic under any partitioning);
+    boilerplate (headers, navbars, license blocks) repeats across pages
+    and loses everywhere but once. Returns one row per input document:
+    (id, clean_text, n_paras, n_kept), clean_text the kept paragraphs
+    re-joined in document order ('' if every paragraph was a repeat).
+
+    `segment` picks the splitter: "regex:<pat>" splits on a pattern (the
+    real-world mode, default blank lines) and "words:<N>" chunks the
+    token stream N words at a time (for corpora without paragraph
+    markers, like the synthetic documents table). Normalization is
+    lower + whitespace-collapse + trim; empty paragraphs drop out before
+    hashing (they carry no content and would all collide).
+
+    Scale shape (10^12 docs): split/normalize/hash are map-side array
+    ops; the ONLY data that shuffles is (hash, id, pos, paragraph) — the
+    keep-first decision is one window over the hash (partial-aggregable
+    min), the reassembly one groupBy over the id. Paragraph text rides
+    the shuffle once; at 100 TB the alternative (agg hashes → broadcast
+    the drop-set) only wins when the boilerplate fraction is tiny, and
+    never changes results."""
+    from pyspark.sql.window import Window
+
+    kind, _, arg = segment.partition(":")
+    if kind == "words":
+        n = int(arg)
+        toks = F.filter(F.split(F.col(text_col), " "),
+                        lambda x: x != F.lit(""))
+        n_chunks = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+        paras_arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "))
+        paras_arr = F.when(F.size(toks) > 0, paras_arr)\
+                     .otherwise(F.array().cast("array<string>"))
+    elif kind == "regex":
+        paras_arr = F.split(F.col(text_col), arg)
+    else:
+        raise ValueError(f"unknown segment mode: {segment!r}")
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
+    paras = (docs.select(id_col, F.posexplode(paras_arr).alias("pos", "para"))
+                 .withColumn("norm", norm)
+                 .where(F.col("norm") != "")
+                 .select(id_col, "pos", "para",
+                         F.md5("norm").alias("h")))
+    w = Window.partitionBy("h").orderBy(id_col, "pos")
+    kept = paras.withColumn("keep", F.row_number().over(w) == 1)
+    agg = (kept.groupBy(id_col)
+               .agg(F.count("*").alias("n_paras"),
+                    F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("keep"),
+                                       F.struct("pos", "para")))),
+                            lambda s: s["para"]),
+                        join_sep).alias("clean_text")))
+    return (docs.select(id_col)
+                .join(agg, id_col, "left")
+                .select(id_col,
+                        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                        F.coalesce("n_paras", F.lit(0)).cast("long")
+                         .alias("n_paras"),
+                        F.coalesce("n_kept", F.lit(0)).cast("long")
+                         .alias("n_kept")))
+
+
+def paragraph_dedup_sql(words_n: int = 8, join_sep: str = " ") -> str:
+    """DuckDB oracle for paragraph_dedup in words:<N> mode over the
+    documents view — identical strings at every step (chunk join, lower/
+    collapse/trim normalization, md5), keep-first by (doc_id, pos)."""
+    return f"""(
+      WITH toks AS (
+        SELECT doc_id, u.tok, u.i
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                             generate_subscripts(string_split(text, ' '), 1) AS i) u
+        WHERE u.tok <> ''
+      ),
+      paras AS (
+        SELECT doc_id, CAST((i - 1) // {words_n} AS INT) AS pos,
+               string_agg(tok, ' ' ORDER BY i) AS para
+        FROM toks GROUP BY doc_id, (i - 1) // {words_n}
+      ),
+      hashed AS (
+        SELECT doc_id, pos, para,
+               md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g'))) AS h
+        FROM paras
+        WHERE trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) <> ''
+      ),
+      kept AS (
+        SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
+                 AS keep
+        FROM hashed
+      ),
+      agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               string_agg(CASE WHEN keep THEN para END, '{join_sep}'
+                          ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(a.clean_text, '') AS clean_text,
+             coalesce(a.n_paras, 0) AS n_paras,
+             coalesce(a.n_kept, 0) AS n_kept
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+    )"""

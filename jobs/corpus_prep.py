@@ -14,6 +14,9 @@ next starts; a killed job re-submitted with the same --out resumes):
                   functions/htmltext) + per-doc stats (token/char
                   counts, JVM-side) + the page's lang — the one pass
                   that reads html; everything downstream is slim
+  {out}/para/     (only with --para-dedup) CCNet-style paragraph-level
+                  boilerplate dedup: repeated paragraphs keep their
+                  first corpus-wide occurrence; text/stats rewritten
   {out}/unique/   exact-dedup keep set: min url per md5(text) — the
                   canonical representative of every duplicate class
   {out}/corpus/   deduped docs, deterministically sampled
@@ -40,17 +43,26 @@ from jobs.webgraph_pagerank import _done, _log_metric  # noqa: E402
 
 
 def run_corpus_prep(spark, sf_dir: str, out: str,
-                    sample_num: int = 3, sample_den: int = 16) -> dict:
+                    sample_num: int = 3, sample_den: int = 16,
+                    para_dedup: str | None = None) -> dict:
     """Importable driver (tests run it against a tmp dir). Returns final
-    metrics; writes stage parquet + metrics.jsonl under `out`."""
+    metrics; writes stage parquet + metrics.jsonl under `out`.
+
+    `para_dedup` (e.g. "regex:\\n{2,}" or "words:8") inserts the
+    CCNet-style paragraph-level boilerplate dedup between extraction and
+    exact dedup: repeated paragraphs survive only their first corpus-wide
+    occurrence, and the downstream exact/sample/split stages run over the
+    cleaned text."""
     from pyspark.sql import functions as F
 
+    from avecado_spark.operators.dedup import paragraph_dedup
     from avecado_spark.operators.sampling import assign_splits, sample_fraction
     from avecado_spark.operators.webgraph import extract_text
     from avecado_spark.sources.pages import pages_df
 
     os.makedirs(out, exist_ok=True)
     docs_path = os.path.join(out, "docs")
+    para_path = os.path.join(out, "para")
     uniq_path = os.path.join(out, "unique")
     corpus_path = os.path.join(out, "corpus")
     resumed = 0
@@ -71,6 +83,34 @@ def run_corpus_prep(spark, sf_dir: str, out: str,
     else:
         resumed += 1
     docs = spark.read.parquet(docs_path)
+
+    if para_dedup is not None:
+        t = time.time()
+        if not _done(para_path):
+            clean = paragraph_dedup(docs, id_col="url", text_col="text_x",
+                                    segment=para_dedup)
+            paras = (docs.drop("text_x")
+                         .join(clean, "url")
+                         .withColumnRenamed("clean_text", "text_x")
+                         .withColumn("n_chars",
+                                     F.length("text_x").cast("long"))
+                         .withColumn("n_tokens",
+                                     F.size(F.split("text_x", "\\s+"))
+                                      .cast("long")))
+            paras.write.mode("overwrite").parquet(para_path)
+            stats = (spark.read.parquet(para_path)
+                          .agg(F.count("*").alias("rows"),
+                               F.sum("n_paras").alias("n"),
+                               (F.sum("n_paras") - F.sum("n_kept"))
+                               .alias("d")).collect()[0])
+            _log_metric(out, stage="para", resumed=False,
+                        rows=stats["rows"],
+                        paras_dropped=int(stats["d"] or 0),
+                        paras_total=int(stats["n"] or 0),
+                        sec=round(time.time() - t, 3))
+        else:
+            resumed += 1
+        docs = spark.read.parquet(para_path)
 
     t = time.time()
     if not _done(uniq_path):
@@ -124,13 +164,17 @@ def main(argv):
     ap.add_argument("--out", required=True)
     ap.add_argument("--sample-num", type=int, default=3)
     ap.add_argument("--sample-den", type=int, default=16)
+    ap.add_argument("--para-dedup", default=None, metavar="SEGMENT",
+                    help="enable paragraph-level boilerplate dedup, e.g. "
+                         "'regex:\\n{2,}' or 'words:8'")
     args = ap.parse_args(argv)
 
     from avecado_spark.api import spark_session
     spark = spark_session(app="corpus_prep")
     spark.sparkContext.setLogLevel("WARN")
     metrics = run_corpus_prep(spark, args.input, args.out,
-                              args.sample_num, args.sample_den)
+                              args.sample_num, args.sample_den,
+                              para_dedup=args.para_dedup)
     print(json.dumps(metrics))
     spark.stop()
     return 0

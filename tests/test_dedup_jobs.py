@@ -242,3 +242,48 @@ def test_ivf_nprobe_improves_recall(spark):
     r1, r4 = recall(1), recall(4)
     assert 0 < r1 <= r4 <= 1
     assert r4 > r1  # wider probe genuinely finds more true neighbors
+
+
+def test_paragraph_dedup_regex_keep_first(spark):
+    """Blank-line paragraph mode on crafted docs: the shared boilerplate
+    paragraph survives only in its first (doc_id, pos) occurrence;
+    normalization (case/whitespace) folds variants onto one hash; fully-
+    boilerplate docs come back with empty clean_text, not dropped rows."""
+    from avecado_spark.operators.dedup import paragraph_dedup
+
+    boiler = "Subscribe to our newsletter today"
+    rows = [
+        (1, f"unique alpha content\n\n{boiler}\n\nmore alpha"),
+        # same boilerplate, different case/extra spaces -> same hash
+        (2, f"unique beta content\n\n  subscribe   to our NEWSLETTER today "),
+        (3, boiler),                     # fully boilerplate
+        (4, ""),                         # empty doc
+        (5, f"{boiler}\n\n{boiler}"),    # repeats inside one doc too
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           paragraph_dedup(docs, segment="regex:\n{2,}").collect()}
+    assert len(out) == 5
+    r1 = out[1]
+    assert r1.clean_text == f"unique alpha content\n{boiler}\nmore alpha"
+    assert (r1.n_paras, r1.n_kept) == (3, 3)   # first occurrence keeps it
+    r2 = out[2]
+    assert r2.clean_text == "unique beta content"
+    assert (r2.n_paras, r2.n_kept) == (2, 1)
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[4].clean_text == "" and out[4].n_paras == 0
+    assert out[5].clean_text == "" and out[5].n_kept == 0
+
+
+def test_paragraph_dedup_words_mode_roundtrip(spark):
+    """words:N mode over unique texts is the identity (every chunk kept,
+    reassembly restores the token stream)."""
+    from avecado_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(11))) for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           paragraph_dedup(docs, segment="words:4", join_sep=" ").collect()}
+    for i, text in rows:
+        assert out[i].clean_text == text
+        assert out[i].n_paras == out[i].n_kept == 3  # 4+4+3 words

@@ -243,6 +243,13 @@ def _pinned_parity(spark, duck, fn, sql):
         == _canon(drows, [c.lower() for c in rel.columns])
 
 
+def test_tpch_q5_duckdb_parity(spark, duck):
+    """tpch_q5_local_supplier rotated out of the registry in r07 (the
+    50-row artifact cap; dedup_paragraph took the slot)."""
+    from avecado_spark.queries import TPCH_Q5_SQL, tpch_q5_local_supplier
+    _pinned_parity(spark, duck, tpch_q5_local_supplier, TPCH_Q5_SQL)
+
+
 def test_tpch_q4_duckdb_parity(spark, duck):
     """Q4-style EXISTS semijoin (unregistered: 50-row artifact cap)."""
     from avecado_spark.queries import TPCH_Q4_SQL, tpch_q4_priority

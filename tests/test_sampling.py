@@ -109,3 +109,29 @@ def test_corpus_prep_job_end_to_end_and_resume(spark, tmp_path):
     # corpus rows carry the byte-identical extracted text + stats
     row = spark.read.parquet(f"{out}/corpus").first()
     assert row["text_x"] and row["n_tokens"] > 0 and row["split"]
+
+
+def test_corpus_prep_para_dedup_stage(spark, tmp_path):
+    """--para-dedup inserts the CCNet paragraph stage: the stage lands with
+    its own _SUCCESS + metrics row, downstream stages consume the cleaned
+    text, and a re-run resumes all four stages."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs.corpus_prep import run_corpus_prep
+    out = str(tmp_path / "corpus_para")
+    m1 = run_corpus_prep(spark, SF, out, para_dedup="words:8")
+    assert m1["resumed_stages"] == 0
+    assert os.path.exists(f"{out}/para/_SUCCESS")
+    lines = [json.loads(l) for l in open(f"{out}/metrics.jsonl")]
+    para = next(l for l in lines if l["stage"] == "para")
+    # non-vacuous: synthetic word-soup repeats some 8-word chunks
+    assert para["paras_total"] > 0
+    assert 0 <= para["paras_dropped"] < para["paras_total"]
+    # downstream text is the reassembled (possibly shrunk) version
+    row = spark.read.parquet(f"{out}/para").first()
+    assert row["n_kept"] <= row["n_paras"]
+    m2 = run_corpus_prep(spark, SF, out, para_dedup="words:8")
+    assert m2["resumed_stages"] == 4
+    assert m2["splits"] == m1["splits"]
