@@ -84,13 +84,11 @@ def _gunzip_members(data: bytes) -> bytes:
     return out.getvalue()
 
 
-def parse_warc(data: bytes) -> list[tuple[str, int, bytes]]:
-    """All `response` records of one WARC file (plain or member-gzipped)
-    as (url, epoch_s, html). Malformed trailing garbage stops the walk
-    (truncated fetches are a fact of crawl life); a record with a bad
-    length raises — a corrupt middle is NOT silently skipped."""
-    raw = _gunzip_members(data)
-    out: list[tuple[str, int, bytes]] = []
+def _walk_records(raw: bytes):
+    """Yield (start, end, headers, block) per record of DECOMPRESSED WARC
+    bytes. Malformed trailing garbage stops the walk (truncated fetches
+    are a fact of crawl life); a record with a bad length raises — a
+    corrupt middle is NOT silently skipped."""
     pos = 0
     while True:
         nxt = raw.find(b"WARC/", pos)
@@ -111,22 +109,63 @@ def parse_warc(data: bytes) -> list[tuple[str, int, bytes]]:
         block = raw[hdr_end + 4: hdr_end + 4 + length]
         if len(block) != length:
             break  # truncated tail
+        yield pos, hdr_end + 4 + length, headers, block
         pos = hdr_end + 4 + length
+
+
+def _record_fields(headers: dict[str, str],
+                   block: bytes) -> tuple[str, int, bytes]:
+    url = headers.get("warc-target-uri", "")
+    ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
+    # WARC 1.1 allows fractional seconds (2024-01-01T00:00:00.123Z);
+    # fromisoformat handles both forms. A malformed date degrades to
+    # epoch 0 like other per-record defects — it must not abort the
+    # whole file.
+    try:
+        epoch = int(datetime.fromisoformat(ts.rstrip("Zz"))
+                    .replace(tzinfo=timezone.utc).timestamp())
+    except ValueError:
+        epoch = 0
+    body_at = block.find(_CRLF + _CRLF)
+    html = block[body_at + 4:] if body_at >= 0 else b""
+    return url, epoch, html
+
+
+def parse_warc(data: bytes) -> list[tuple[str, int, bytes]]:
+    """All `response` records of one WARC file (plain or member-gzipped)
+    as (url, epoch_s, html)."""
+    raw = _gunzip_members(data)
+    return [_record_fields(headers, block)
+            for _, _, headers, block in _walk_records(raw)
+            if headers.get("warc-type") == "response"]
+
+
+def build_warc_index(data: bytes) -> list[tuple[str, int, int, int]]:
+    """Per-record index of one WARC file: (url, offset, length, epoch_s)
+    for every `response` record — the CDX contract Common Crawl ships
+    next to its WARCs. offset/length address the smallest independently
+    readable byte range of the ORIGINAL file: the record's own gzip
+    member for member-gzip files (the CC layout — fetchable with an HTTP
+    Range GET and decompressed standalone), the raw record bytes for
+    plain files. Invariant (test-pinned): parse_warc(data[offset:
+    offset+length]) returns exactly that record."""
+    out: list[tuple[str, int, int, int]] = []
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos < len(data) and data[pos:pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)
+            raw = d.decompress(data[pos:]) + d.flush()
+            end = len(data) - len(d.unused_data)
+            for _, _, headers, block in _walk_records(raw):
+                if headers.get("warc-type") == "response":
+                    url, epoch, _ = _record_fields(headers, block)
+                    out.append((url, pos, end - pos, epoch))
+            pos = end
+        return out
+    for start, end, headers, block in _walk_records(data):
         if headers.get("warc-type") == "response":
-            url = headers.get("warc-target-uri", "")
-            ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
-            # WARC 1.1 allows fractional seconds (2024-01-01T00:00:00.123Z);
-            # fromisoformat handles both forms. A malformed date degrades to
-            # epoch 0 like other per-record defects — it must not abort the
-            # whole file.
-            try:
-                epoch = int(datetime.fromisoformat(ts.rstrip("Zz"))
-                            .replace(tzinfo=timezone.utc).timestamp())
-            except ValueError:
-                epoch = 0
-            body_at = block.find(_CRLF + _CRLF)
-            html = block[body_at + 4:] if body_at >= 0 else b""
-            out.append((url, epoch, html))
+            url, epoch, _ = _record_fields(headers, block)
+            out.append((url, start, end - start, epoch))
     return out
 
 
@@ -154,3 +193,71 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
 
     return files.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+WARC_INDEX_SCHEMA = ("path string, url string, offset long, length long, "
+                     "warc_ts timestamp")
+
+
+def warc_index(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed index build: one pass over each WARC file (binaryFile,
+    one file = one task) emitting (path, url, offset, length, warc_ts)
+    per response record. Materialize this once per crawl; every later
+    selective re-read goes through read_warc_indexed without scanning."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path) \
+                 .select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            paths, urls, offs, lens, tss = [], [], [], [], []
+            for p, content in zip(b["path"], b["content"]):
+                for url, off, ln, epoch in build_warc_index(bytes(content)):
+                    paths.append(p)
+                    urls.append(url)
+                    offs.append(off)
+                    lens.append(ln)
+                    tss.append(datetime.fromtimestamp(epoch, tz=timezone.utc)
+                               .replace(tzinfo=None))
+            yield pd.DataFrame({"path": paths, "url": urls, "offset": offs,
+                                "length": lens, "warc_ts": tss})
+
+    return files.mapInPandas(run, schema=WARC_INDEX_SCHEMA)
+
+
+def _range_read_local(path: str, offset: int, length: int) -> bytes:
+    from urllib.parse import urlparse
+    p = urlparse(path).path if path.startswith("file:") else path
+    with open(p, "rb") as f:
+        f.seek(offset)
+        return f.read(length)
+
+
+def read_warc_indexed(index: DataFrame, opener=None) -> DataFrame:
+    """Selective record fetch: given index rows (path, offset, length),
+    range-read and parse ONLY those records — the re-crawl/re-extract
+    path a 100 TB corpus uses instead of rescanning every file. Each
+    index row costs one `opener(path, offset, length) -> bytes` call
+    (injectable: an HTTP/S3 Range GET in production, local seek+read by
+    default) plus one gzip-member inflate. Filters on the index prune
+    work BEFORE any payload byte moves — the whole point of the index.
+    Returns the read_warc schema (url, warc_ts, html)."""
+    import pandas as pd
+
+    fetch = opener or _range_read_local
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            urls, tss, htmls = [], [], []
+            for p, off, ln in zip(b["path"], b["offset"], b["length"]):
+                for url, epoch, html in parse_warc(
+                        fetch(str(p), int(off), int(ln))):
+                    urls.append(url)
+                    tss.append(datetime.fromtimestamp(epoch, tz=timezone.utc)
+                               .replace(tzinfo=None))
+                    htmls.append(html)
+            yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
+
+    return (index.select("path", "offset", "length")
+                 .mapInPandas(run, schema=WARC_SCHEMA))

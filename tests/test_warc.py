@@ -88,3 +88,66 @@ def test_read_warc_distributed_and_ingest_job(spark, tmp_path):
         assert row[u]["text_x"] == html_to_text(h)
     # time travel still sees only the first file's rows
     assert snapshots.read(spark, table, snapshot_id=1).count() == 2
+
+
+def test_build_warc_index_range_reads_byte_identical():
+    """The index invariant: parse_warc(data[offset:offset+length]) of any
+    indexed record equals that record from the full scan — both CC
+    member-gzip (member byte ranges) and plain (record byte ranges)."""
+    from avecado_spark.sources.warc import build_warc_index
+
+    for member_gzip in (True, False):
+        data = warc_bytes(RECS, member_gzip=member_gzip)
+        idx = build_warc_index(data)
+        assert [(u, e) for u, _, _, e in idx] \
+            == [(u, e) for u, e, _ in RECS]
+        full = parse_warc(data)
+        for k, (url, off, ln, _) in enumerate(idx):
+            got = parse_warc(data[off:off + ln])
+            assert got == [full[k]], (member_gzip, k)
+        # ranges tile the member-gzip file exactly (each record one member)
+        if member_gzip:
+            assert idx[0][1] == 0
+            for (_, o1, l1, _), (_, o2, _, _) in zip(idx, idx[1:]):
+                assert o1 + l1 == o2
+            assert idx[-1][1] + idx[-1][2] == len(data)
+
+
+def test_warc_index_and_indexed_read_distributed(spark, tmp_path):
+    """warc_index over two files + read_warc_indexed on a FILTERED index:
+    only the selected records come back, byte-identical to the full
+    distributed scan, without reading the unselected file ranges."""
+    from avecado_spark.sources.warc import read_warc_indexed, warc_index
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "part-0.warc.gz").write_bytes(warc_bytes(RECS[:2]))
+    (d / "part-1.warc.gz").write_bytes(warc_bytes(RECS[2:]))
+
+    idx = warc_index(spark, str(d))
+    rows = sorted(idx.collect(), key=lambda r: r.url)
+    assert [r.url for r in rows] == [u for u, _, _ in sorted(RECS)]
+
+    full = {r.url: (r.warc_ts, bytes(r.html))
+            for r in __import__("avecado_spark.sources.warc",
+                                fromlist=["read_warc"])
+            .read_warc(spark, str(d)).collect()}
+
+    # selective re-read: two of three records, cross-file
+    want = {"https://h.example/a", "https://h.example/c"}
+    got = read_warc_indexed(idx.where(idx.url.isin(*want))).collect()
+    assert {r.url for r in got} == want
+    for r in got:
+        assert (r.warc_ts, bytes(r.html)) == full[r.url]
+
+    # opener injection: count range calls, byte windows honored
+    calls = []
+    def opener(path, off, ln):
+        calls.append((path, off, ln))
+        from urllib.parse import urlparse
+        with open(urlparse(path).path if path.startswith("file:") else path, "rb") as f:
+            f.seek(off)
+            return f.read(ln)
+    one = idx.where(idx.url == "https://h.example/b")
+    got2 = read_warc_indexed(one, opener=opener).collect()
+    assert len(got2) == 1 and bytes(got2[0].html) == RECS[1][2]
