@@ -137,28 +137,35 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(run, schema=TEXT_SCHEMA)
 
 
-def edges_df(pages: DataFrame) -> DataFrame:
+def edges_df(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
     """Live link-graph edges: canonical targets inner-joined back to the
     page-url set (dead links drop), self-loops excluded. Distinct is
     already guaranteed per page by parse_links; the explicit distinct
-    covers multi-row sources (e.g. a crawl with re-fetches)."""
-    links = extract_links(pages).select(F.col("src_url").alias("src"),
-                                        F.col("dst_url").alias("dst"))
+    covers multi-row sources (e.g. a crawl with re-fetches). Pass `links`
+    (a materialized extract_links table) to skip the html parse — the
+    durable-job path, where extraction runs exactly once."""
+    if links is None:
+        links = extract_links(pages)
+    links = links.select(F.col("src_url").alias("src"),
+                         F.col("dst_url").alias("dst"))
     urls = pages.select(F.col("url").alias("dst"))
     return (links.join(urls, "dst")
                  .where(F.col("src") != F.col("dst"))
                  .select("src", "dst").distinct())
 
 
-def frontier_df(pages: DataFrame, follow_only: bool = True) -> DataFrame:
+def frontier_df(pages: DataFrame, follow_only: bool = True,
+                links: DataFrame | None = None) -> DataFrame:
     """Crawl frontier: canonical outlink targets NOT in the corpus,
     ranked by demand — (url, want_cnt, n_hosts) where want_cnt counts
     referring pages and n_hosts the distinct referring sources. The
     anti-join against the known url set is the inverse of edges_df's
     inner join; `follow_only` drops rel=nofollow links (the crawl-
     politeness default). One extraction pass + one anti-join + one
-    groupBy on slim rows."""
-    links = extract_links(pages)
+    groupBy on slim rows. Pass `links` to reuse a materialized
+    extraction table instead of re-parsing."""
+    if links is None:
+        links = extract_links(pages)
     if follow_only:
         links = links.where(~F.col("nofollow"))
     urls = pages.select(F.col("url").alias("dst_url"))
@@ -168,14 +175,17 @@ def frontier_df(pages: DataFrame, follow_only: bool = True) -> DataFrame:
                       F.countDistinct("src_url").alias("n_srcs")))
 
 
-def indegree_signals(pages: DataFrame) -> DataFrame:
+def indegree_signals(pages: DataFrame,
+                     links: DataFrame | None = None) -> DataFrame:
     """Per-page link-graph quality signals — the classic Common-Crawl
     corpus priors: (url, in_cnt, n_anchors, top_anchor) where in_cnt is
     the number of live in-links, n_anchors the distinct anchor-text
     count, top_anchor the lexicographic min (deterministic tiebreak).
     One extraction pass + one groupBy on the slim (src,dst,anchor) rows —
-    the html bytes never reach the shuffle."""
-    links = extract_links(pages)
+    the html bytes never reach the shuffle. Pass `links` to reuse a
+    materialized extraction table instead of re-parsing."""
+    if links is None:
+        links = extract_links(pages)
     urls = pages.select("url")
     return (links.join(urls, links.dst_url == urls.url)
                  .groupBy(F.col("dst_url").alias("dst"))

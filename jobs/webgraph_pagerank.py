@@ -10,9 +10,17 @@ rule's resumability clause: every expensive stage lands in storage with
 a commit marker before the next one starts, so a killed job re-submitted
 with the same --out continues instead of recomputing.
 
-  {out}/edges/      extracted+canonicalized live link graph (src, dst,
-                    outdeg pre-joined) — the one html-parsing pass; at
-                    10^12 docs this is the stage worth never repeating
+  {out}/links/      raw extraction table (src, dst, anchor, first_pos,
+                    nofollow) — the ONE html-parsing pass; at 10^12
+                    docs this is the stage worth never repeating, and
+                    every other graph signal derives from it
+  {out}/edges/      canonicalized live link graph (src, dst, outdeg
+                    pre-joined), from links/ — no re-parse
+  {out}/indegree/   per-page in-link quality signals (in_cnt,
+                    n_anchors, top_anchor), from links/
+  {out}/frontier/   crawl want-list (url, want_cnt, n_srcs), from
+                    links/ (nofollow-aware)
+  {out}/hits/       integer HITS hubs/authorities, from edges/
   {out}/ranks_000/  r0 (uniform scale // n)
   {out}/ranks_NNN/  rank vector after round NNN
   {out}/metrics.jsonl  one line per completed stage: rows, total rank
@@ -56,17 +64,35 @@ def run_pagerank_job(spark, sf_dir: str, out: str, iters: int = 5,
     `out`."""
     from pyspark.sql import functions as F
 
-    from avecado_spark.operators.webgraph import edges_df, pagerank_int_round
+    from avecado_spark.operators.webgraph import (edges_df, extract_links,
+                                                  frontier_df, hits_int,
+                                                  indegree_signals,
+                                                  pagerank_int_round)
     from avecado_spark.sources.pages import pages_df
 
     os.makedirs(out, exist_ok=True)
+    links_path = os.path.join(out, "links")
     edges_path = os.path.join(out, "edges")
+    indeg_path = os.path.join(out, "indegree")
+    frontier_path = os.path.join(out, "frontier")
+    hits_path = os.path.join(out, "hits")
     stages_resumed = 0
 
     t = time.time()
-    if not _done(edges_path):
+    if not _done(links_path):
         pg = pages_df(spark, sf_dir)
-        e = edges_df(pg).localCheckpoint()  # parse html ONCE
+        extract_links(pg).write.mode("overwrite").parquet(links_path)
+        _log_metric(out, stage="links", resumed=False,
+                    rows=spark.read.parquet(links_path).count(),
+                    sec=round(time.time() - t, 3))
+    else:
+        stages_resumed += 1
+    links = spark.read.parquet(links_path)
+    pg_urls = pages_df(spark, sf_dir)
+
+    t = time.time()
+    if not _done(edges_path):
+        e = edges_df(pg_urls, links=links)
         deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
         e.join(deg, "src").write.mode("overwrite").parquet(edges_path)
         _log_metric(out, stage="edges", resumed=False,
@@ -75,6 +101,38 @@ def run_pagerank_job(spark, sf_dir: str, out: str, iters: int = 5,
     else:
         stages_resumed += 1
     ed = spark.read.parquet(edges_path)
+
+    # slim derived signals, one stage each — all from the stored links
+    # table (no re-parse) or the stored edges table
+    t = time.time()
+    if not _done(indeg_path):
+        indegree_signals(pg_urls, links=links) \
+            .write.mode("overwrite").parquet(indeg_path)
+        _log_metric(out, stage="indegree", resumed=False,
+                    rows=spark.read.parquet(indeg_path).count(),
+                    sec=round(time.time() - t, 3))
+    else:
+        stages_resumed += 1
+
+    t = time.time()
+    if not _done(frontier_path):
+        frontier_df(pg_urls, links=links) \
+            .write.mode("overwrite").parquet(frontier_path)
+        _log_metric(out, stage="frontier", resumed=False,
+                    rows=spark.read.parquet(frontier_path).count(),
+                    sec=round(time.time() - t, 3))
+    else:
+        stages_resumed += 1
+
+    t = time.time()
+    if not _done(hits_path):
+        hits_int(pg_urls.select("url"), ed.select("src", "dst")) \
+            .write.mode("overwrite").parquet(hits_path)
+        _log_metric(out, stage="hits", resumed=False,
+                    rows=spark.read.parquet(hits_path).count(),
+                    sec=round(time.time() - t, 3))
+    else:
+        stages_resumed += 1
 
     nodes = pages_df(spark, sf_dir).select("url")
     n = nodes.count()

@@ -356,14 +356,17 @@ def test_pagerank_job_matches_inmemory_and_resumes(spark, tmp_path):
     out = str(tmp_path / "wg")
     m2, lines2 = _job_ranks(spark, out, iters=2)
     assert m2["resumed_stages"] == 0
-    # killed-and-resubmitted with more rounds: edges + rounds 0..2 come
-    # from storage (no stage line recomputed), rounds 3..4 run
+    # killed-and-resubmitted with more rounds: links, the four derived
+    # signal stages, and rounds 0..2 come from storage (no stage line
+    # recomputed), rounds 3..4 run
     m4, lines4 = _job_ranks(spark, out, iters=4)
-    assert m4["resumed_stages"] == 4  # edges, ranks_000..002
+    assert m4["resumed_stages"] == 8  # links,edges,indeg,frontier,hits,r0-2
     computed = [l["stage"] for l in lines4[len(lines2):]]
     assert computed == ["ranks_003", "ranks_004", "final"]
     # the resumed run is bit-identical to the uninterrupted in-memory loop
-    from avecado_spark.operators.webgraph import edges_df, pagerank_int
+    from avecado_spark.operators.webgraph import (edges_df, frontier_df,
+                                                  hits_int, indegree_signals,
+                                                  pagerank_int)
     pg = pages_sample(spark)
     want = {r["url"]: r["rank_i"]
             for r in pagerank_int(pg.select("url"), edges_df(pg),
@@ -374,6 +377,15 @@ def test_pagerank_job_matches_inmemory_and_resumes(spark, tmp_path):
     # rank mass is conserved-minus-dangling: strictly decreasing per round
     masses = [l["mass"] for l in lines4 if l["stage"].startswith("ranks_")]
     assert all(a > b for a, b in zip(masses, masses[1:]))
+    # every durable signal stage equals its in-session operator exactly
+    stage = lambda name: spark.read.parquet(f"{out}/{name}")
+    assert sorted(map(tuple, stage("indegree").collect())) \
+        == sorted(map(tuple, indegree_signals(pg).collect()))
+    assert sorted(map(tuple, stage("frontier").collect())) \
+        == sorted(map(tuple, frontier_df(pg).collect()))
+    assert sorted(map(tuple, stage("hits").collect())) \
+        == sorted(map(tuple,
+                      hits_int(pg.select("url"), edges_df(pg)).collect()))
 
 
 # ---------------------------------------------------------------------------
