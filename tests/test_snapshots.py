@@ -79,3 +79,19 @@ def test_no_head_until_manifest_durable(spark, tmp_path):
 def test_read_empty_or_missing_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snap.read(spark, str(tmp_path / "none"))
+
+
+# ---------------------------------------------------------------------------
+# the executable catalog contract (tests/snapshot_contract.py) run against
+# the local implementation — a future Iceberg adapter subclasses the same
+# suite unchanged
+# ---------------------------------------------------------------------------
+
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(__file__))
+from snapshot_contract import SnapshotCatalogContract  # noqa: E402
+
+
+class TestLocalSnapshotCatalog(SnapshotCatalogContract):
+    catalog = snap
