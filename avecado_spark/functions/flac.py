@@ -1,0 +1,546 @@
+"""FLAC codec — pure numpy/stdlib, from the published format (RFC 9639).
+
+Decoder handles the full subframe set: CONSTANT, VERBATIM, FIXED orders
+0-4, LPC orders 1-32, partitioned Rice residuals (4- and 5-bit params,
+escape partitions), wasted bits, all four channel assignments
+(independent, left/side, right/side, mid/side — side channels carry one
+extra bit), fixed and variable blocking, and verifies both the frame
+header CRC-8 and the frame CRC-16.  A fixture-grade encoder lives here
+too (same trick as functions/vp8.py / gif.py: tests round-trip real
+container bytes with no external data): fixed 4096-sample blocks,
+per-subframe choice of CONSTANT / FIXED(best order) / VERBATIM, with
+opt-in LPC, stereo decorrelation, partition orders, wasted-bit packing,
+and Rice escapes so every decoder path has an encoder that reaches it.
+
+Lossless means the round-trip test is EXACT equality of int32 samples —
+the same bar as the VP8L/GIF codecs.
+
+Reference parity note: the reference engine has no audio path; this
+module exists for the multimodal-column charter (probe-before-decode
+corpora), replacing the decode_audio NotImplementedError for .flac
+payloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FIXED_COEFFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+# ---------------------------------------------------------------------------
+# CRCs (frame header CRC-8 poly 0x07, frame CRC-16 poly 0x8005, both init 0)
+# ---------------------------------------------------------------------------
+
+
+def _crc_table(poly: int, width: int) -> np.ndarray:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tab = np.zeros(256, dtype=np.uint32)
+    for b in range(256):
+        r = b << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) if r & top else (r << 1)
+        tab[b] = r & mask
+    return tab
+
+
+_CRC8 = _crc_table(0x07, 8)
+_CRC16 = _crc_table(0x8005, 16)
+
+
+def crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = int(_CRC8[(r ^ b) & 0xFF])
+    return r
+
+
+def crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = int(_CRC16[((r >> 8) ^ b) & 0xFF]) ^ ((r << 8) & 0xFFFF)
+    return r
+
+
+# ---------------------------------------------------------------------------
+# MSB-first bit io
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bytes: int = 0):
+        self.data = data
+        self.pos = pos_bytes * 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        p = self.pos
+        d = self.data
+        for _ in range(n):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        """Count 0 bits until the terminating 1 (FLAC unary)."""
+        p = self.pos
+        d = self.data
+        n = 0
+        while not (d[p >> 3] >> (7 - (p & 7))) & 1:
+            n += 1
+            p += 1
+        self.pos = p + 1
+        return n
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, v: int, n: int) -> None:
+        self.write(v & ((1 << n) - 1), n)
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame/sample index, up to 36
+    bits — the 7-byte extension beyond standard UTF-8)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, bits in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31),
+                         (7, 36)):
+        if n < (1 << bits):
+            lead = (0xFF << (8 - nbytes)) & 0xFF
+            out = [lead | (n >> (6 * (nbytes - 1)))]
+            for k in range(nbytes - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * k)) & 0x3F))
+            return bytes(out)
+    raise ValueError("coded number exceeds 36 bits")
+
+
+def _read_utf8_coded(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for k in range(7, 0, -1):
+        if not (b0 >> k) & 1:
+            break
+        nbytes += 1
+    v = b0 & ((1 << (7 - nbytes)) - 1)
+    for _ in range(nbytes - 1):
+        v = (v << 6) | (r.read(8) & 0x3F)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+_BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_RATE_CODE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+              7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+
+
+def _decode_residual(r: _BitReader, n: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    kbits = 4 + method
+    escape = (1 << kbits) - 1
+    porder = r.read(4)
+    nparts = 1 << porder
+    if n % nparts:
+        raise ValueError("block size not divisible by partition count")
+    out = np.empty(n - order, dtype=np.int64)
+    at = 0
+    for p in range(nparts):
+        cnt = n // nparts - (order if p == 0 else 0)
+        k = r.read(kbits)
+        if k == escape:
+            raw = r.read(5)
+            for i in range(cnt):
+                out[at + i] = r.read_signed(raw) if raw else 0
+        else:
+            for i in range(cnt):
+                q = r.unary()
+                u = (q << k) | r.read(k)
+                out[at + i] = (u >> 1) ^ -(u & 1)
+        at += cnt
+    return out
+
+
+def _decode_subframe(r: _BitReader, n: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("subframe header reserved bit set")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.unary() + 1
+    eff = bps - wasted
+    if t == 0:                                   # CONSTANT
+        x = np.full(n, r.read_signed(eff), dtype=np.int64)
+    elif t == 1:                                 # VERBATIM
+        x = np.array([r.read_signed(eff) for _ in range(n)], dtype=np.int64)
+    elif 8 <= t <= 12:                           # FIXED order t-8
+        order = t - 8
+        warm = [r.read_signed(eff) for _ in range(order)]
+        res = _decode_residual(r, n, order)
+        x = np.empty(n, dtype=np.int64)
+        x[:order] = warm
+        c = FIXED_COEFFS[order]
+        for i in range(order, n):
+            x[i] = res[i - order] + sum(
+                c[j] * x[i - 1 - j] for j in range(order))
+    elif t >= 32:                                # LPC order t-31
+        order = t - 31
+        warm = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision code")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coef = [r.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(r, n, order)
+        x = np.empty(n, dtype=np.int64)
+        x[:order] = warm
+        for i in range(order, n):
+            acc = sum(coef[j] * x[i - 1 - j] for j in range(order))
+            x[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"reserved subframe type {t}")
+    return x << wasted
+
+
+def flac_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Full FLAC decode → (int32 samples [n, channels], sample_rate).
+    Exact: every sample equals the encoder input (lossless); frame
+    header CRC-8 and frame CRC-16 are verified."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    info = None
+    while True:                                  # metadata block walk
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        if (hdr & 0x7F) == 0:
+            info = payload[pos + 4:pos + 4 + length]
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("missing STREAMINFO")
+    bits = int.from_bytes(info[10:18], "big")
+    s_rate = (bits >> 44) & 0xFFFFF
+    s_chan = ((bits >> 41) & 0x7) + 1
+    s_bps = ((bits >> 36) & 0x1F) + 1
+    total = bits & 0xFFFFFFFFF
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(s_chan)]
+    got = 0
+    while pos < len(payload) and (total == 0 or got < total):
+        frame_start = pos
+        r = _BitReader(payload, pos)
+        sync = r.read(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"bad frame sync at byte {pos}")
+        r.read(1)                                # reserved
+        r.read(1)                                # blocking strategy
+        bs_code = r.read(4)
+        rate_code = r.read(4)
+        ch_code = r.read(4)
+        bps_code = r.read(3)
+        r.read(1)                                # reserved
+        _read_utf8_coded(r)
+        if bs_code == 1:
+            n = 192
+        elif 2 <= bs_code <= 5:
+            n = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            n = r.read(8) + 1
+        elif bs_code == 7:
+            n = r.read(16) + 1
+        elif bs_code >= 8:
+            n = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved block size code")
+        if rate_code == 12:
+            r.read(8)
+        elif rate_code in (13, 14):
+            r.read(16)
+        elif rate_code == 15:
+            raise ValueError("invalid sample rate code")
+        bps = s_bps if bps_code == 0 else _BPS_CODE[bps_code]
+        hdr_end = r.byte_pos()
+        want = r.read(8)
+        if crc8(payload[frame_start:hdr_end]) != want:
+            raise ValueError("frame header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            nch = ch_code + 1
+            subs = [_decode_subframe(r, n, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            a = _decode_subframe(r, n, bps + (1 if ch_code == 9 else 0))
+            b = _decode_subframe(r, n, bps + (0 if ch_code == 9 else 1))
+            if ch_code == 8:                     # left/side
+                subs = [a, a - b]
+            elif ch_code == 9:                   # right/side (side first)
+                subs = [a + b, b]
+            else:                                # mid/side
+                side = b
+                mid = (a << 1) | (side & 1)
+                subs = [(mid + side) >> 1, (mid - side) >> 1]
+            nch = 2
+        else:
+            raise ValueError("reserved channel assignment")
+        if nch != s_chan:
+            raise ValueError("frame channel count != STREAMINFO")
+        r.align()
+        want16 = r.read(16)
+        if crc16(payload[frame_start:r.byte_pos() - 2]) != want16:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = r.byte_pos()
+        for c in range(nch):
+            chans[c].append(subs[c])
+        got += n
+
+    out = np.stack([np.concatenate(c) for c in chans], axis=1)
+    if total:
+        out = out[:total]
+    return out.astype(np.int32), s_rate
+
+
+# ---------------------------------------------------------------------------
+# encode (fixture-grade, spec-valid)
+# ---------------------------------------------------------------------------
+
+
+def _rice_cost(res: np.ndarray, k: int) -> int:
+    u = (np.abs(2 * res) - (res < 0)).astype(np.int64)
+    return int(np.sum(u >> k)) + len(res) * (k + 1)
+
+
+def _best_k(res: np.ndarray, kmax: int) -> int:
+    if len(res) == 0:
+        return 0
+    mean = float(np.mean(np.abs(res))) + 1e-9
+    k0 = max(0, min(kmax, int(np.log2(mean + 1)) if mean >= 1 else 0))
+    best = min(range(max(0, k0 - 2), min(kmax, k0 + 3) + 1),
+               key=lambda k: _rice_cost(res, k))
+    return best
+
+
+def _write_residual(w: _BitWriter, res: np.ndarray, n: int, order: int,
+                    porder: int) -> None:
+    kbits = 4
+    escape = (1 << kbits) - 1
+    w.write(0, 2)                                # 4-bit rice method
+    w.write(porder, 4)
+    nparts = 1 << porder
+    at = 0
+    for p in range(nparts):
+        cnt = n // nparts - (order if p == 0 else 0)
+        part = res[at:at + cnt]
+        k = _best_k(part, escape - 1)
+        raw = int(max(np.max(np.abs(part)), 1)).bit_length() + 1 \
+            if cnt else 1
+        # escape when raw verbatim beats rice (huge residuals)
+        if cnt and _rice_cost(part, k) > cnt * raw + 5:
+            w.write(escape, kbits)
+            w.write(raw, 5)
+            for v in part:
+                w.write_signed(int(v), raw)
+        else:
+            w.write(k, kbits)
+            for v in part:
+                u = (int(v) << 1) ^ (int(v) >> 63)
+                w.unary(u >> k)
+                w.write(u & ((1 << k) - 1), k)
+        at += cnt
+    assert at == len(res)
+
+
+def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int,
+                     porder: int, lpc: tuple | None) -> None:
+    x = x.astype(np.int64)
+    n = len(x)
+    # wasted bits: common trailing zeros (only when every sample shares one)
+    wasted = 0
+    if np.any(x):
+        orv = int(np.bitwise_or.reduce(x))
+        wasted = (orv & -orv).bit_length() - 1 if orv else 0
+        wasted = min(wasted, bps - 1)
+    if wasted:
+        x = x >> wasted
+    eff = bps - wasted
+
+    def header(t: int) -> None:
+        w.write(0, 1)
+        w.write(t, 6)
+        if wasted:
+            w.write(1, 1)
+            w.unary(wasted - 1)
+        else:
+            w.write(0, 1)
+
+    if np.all(x == x[0]):
+        header(0)
+        w.write_signed(int(x[0]), eff)
+        return
+    if lpc is not None:
+        coef, shift = lpc
+        order = len(coef)
+        if n > order:
+            header(32 + order - 1)
+            for v in x[:order]:
+                w.write_signed(int(v), eff)
+            prec = max(int(max(abs(c) for c in coef)).bit_length() + 1, 2)
+            w.write(prec - 1, 4)
+            w.write_signed(shift, 5)
+            for c in coef:
+                w.write_signed(int(c), prec)
+            res = np.array([
+                int(x[i]) - (sum(coef[j] * int(x[i - 1 - j])
+                                 for j in range(order)) >> shift)
+                for i in range(order, n)], dtype=np.int64)
+            _write_residual(w, res, n, order, porder)
+            return
+    # FIXED: pick the order minimizing |residual| sum; fall back VERBATIM
+    best = None
+    for order, c in FIXED_COEFFS.items():
+        if n <= order:
+            continue
+        res = x[order:].copy()
+        for j, cj in enumerate(c):
+            res = res - cj * x[order - 1 - j:n - 1 - j]
+        cost = int(np.sum(np.abs(res)))
+        if best is None or cost < best[2]:
+            best = (order, res, cost)
+    order, res, cost = best
+    if np.max(np.abs(res), initial=0) < (1 << 62) and \
+            _rice_cost(res, _best_k(res, 14)) < n * eff:
+        header(8 + order)
+        for v in x[:order]:
+            w.write_signed(int(v), eff)
+        _write_residual(w, res, n, order, porder)
+    else:
+        header(1)
+        for v in x:
+            w.write_signed(int(v), eff)
+
+
+def flac_encode(samples: np.ndarray, sample_rate: int, bps: int = 16,
+                block: int = 4096, stereo_mode: str | None = None,
+                porder: int = 0, lpc: tuple | None = None) -> bytes:
+    """Valid FLAC stream from int samples [n] or [n, channels] (values
+    must fit bps signed). stereo_mode forces a decorrelation per frame
+    ('ls' | 'rs' | 'ms'; None = independent); porder the Rice partition
+    order; lpc=([coef...], shift) forces LPC subframes — knobs exist so
+    tests reach every decoder path, not for compression quality."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    if stereo_mode and nch != 2:
+        raise ValueError("stereo_mode needs 2 channels")
+    lim = 1 << (bps - 1)
+    if np.any(x >= lim) or np.any(x < -lim):
+        raise ValueError(f"samples exceed {bps}-bit signed range")
+
+    info = bytearray(34)
+    info[0:2] = block.to_bytes(2, "big")         # min block
+    info[2:4] = block.to_bytes(2, "big")         # max block
+    packed = (sample_rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | n
+    info[10:18] = packed.to_bytes(8, "big")
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    bps_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+    for f, start in enumerate(range(0, n, block)):
+        blk = x[start:start + block]
+        bn = len(blk)
+        w = _BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)                            # fixed blocking
+        if bn == block and block in (192, 576, 1152, 2304, 4608, 256, 512,
+                                     1024, 2048, 4096, 8192, 16384, 32768):
+            table = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5}
+            bs_code = table.get(bn) or (8 + (bn // 256 - 1).bit_length())
+            w.write(bs_code, 4)
+            bs_tail = None
+        else:
+            w.write(7, 4)
+            bs_tail = bn - 1
+        w.write(0, 4)                            # rate from STREAMINFO
+        if stereo_mode is None:
+            w.write(nch - 1, 4)
+        else:
+            w.write({"ls": 8, "rs": 9, "ms": 10}[stereo_mode], 4)
+        w.write(bps_code, 3)
+        w.write(0, 1)
+        for b in _utf8_coded(f):
+            w.write(b, 8)
+        if bs_tail is not None:
+            w.write(bs_tail, 16)
+        hdr = bytes(w.buf)                       # byte-aligned here
+        w.write(crc8(hdr), 8)
+
+        po = porder
+        while bn % (1 << po):
+            po -= 1
+        if stereo_mode is None:
+            for c in range(nch):
+                _encode_subframe(w, blk[:, c], bps, po, lpc)
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if stereo_mode == "ls":
+                _encode_subframe(w, left, bps, po, lpc)
+                _encode_subframe(w, side, bps + 1, po, lpc)
+            elif stereo_mode == "rs":
+                _encode_subframe(w, side, bps + 1, po, lpc)
+                _encode_subframe(w, right, bps, po, lpc)
+            else:                                # mid/side
+                mid = (left + right) >> 1
+                _encode_subframe(w, mid, bps, po, lpc)
+                _encode_subframe(w, side, bps + 1, po, lpc)
+        w.align()
+        body = w.bytes()
+        out += body + crc16(body).to_bytes(2, "big")
+    return bytes(out)

@@ -402,15 +402,23 @@ def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 def decode_audio(payload: bytes, n_samples: int = 4096,
                  deterministic_fake: bool = False) -> np.ndarray:
-    """Audio decode → int16 mono waveform. RIFF/WAVE PCM payloads decode
-    FOR REAL (wav_decode — the uncompressed container needs no codec);
-    the waveform is resampled/truncated/zero-padded to n_samples so the
-    feature shape is stable. Compressed codecs (mp3/aac/ogg) need
-    libraries not present in this container: NotImplementedError unless
+    """Audio decode → int16 mono waveform. RIFF/WAVE PCM and FLAC
+    payloads decode FOR REAL (wav_decode; functions/flac.py — the full
+    RFC 9639 subframe set with exact lossless round-trip tests); the
+    waveform is truncated/zero-padded to n_samples so the feature shape
+    is stable. Remaining compressed codecs (mp3/aac/ogg) need libraries
+    not present in this container: NotImplementedError unless
     deterministic_fake=True (deterministic int16 waveform from the
     payload digest)."""
     if bytes(payload[:4]) == b"RIFF":
         wave, _ = wav_decode(bytes(payload))
+        if len(wave) >= n_samples:
+            return wave[:n_samples]
+        return np.pad(wave, (0, n_samples - len(wave)))
+    if bytes(payload[:4]) == b"fLaC":
+        from ..functions.flac import flac_decode
+        samples, _ = flac_decode(bytes(payload))
+        wave = samples[:, 0].astype(np.int16)   # channel 0, like wav mono
         if len(wave) >= n_samples:
             return wave[:n_samples]
         return np.pad(wave, (0, n_samples - len(wave)))
