@@ -19,6 +19,7 @@ end without the codec.
 from __future__ import annotations
 
 import hashlib
+import io
 import struct as _struct
 from typing import Iterator
 
@@ -325,6 +326,123 @@ def _g711_alaw_table() -> np.ndarray:
 
 _G711_TABLES = {6: _g711_alaw_table(), 7: _g711_mulaw_table()}
 
+# IMA/DVI ADPCM (WAV format tag 0x11) — the standard published tables
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step (identical in encoder and
+    decoder — the lossy codec's exactness contract)."""
+    step = int(_IMA_STEPS[index])
+    vpdiff = step >> 3
+    if nibble & 4:
+        vpdiff += step
+    if nibble & 2:
+        vpdiff += step >> 1
+    if nibble & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if nibble & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nibble])))
+    return pred, index
+
+
+def ima_adpcm_decode(data: bytes, channels: int,
+                     block_align: int) -> np.ndarray:
+    """WAV IMA ADPCM block stream → int16 samples [n, channels]. Block
+    layout per the published format: a 4-byte per-channel header
+    (predictor int16 = the block's sample 0, step index, reserved), then
+    channel-interleaved 4-byte nibble groups (low nibble first)."""
+    out: list[np.ndarray] = []
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        blk = data[b0:b0 + block_align]
+        preds, idxs, ch_samples = [], [], []
+        for c in range(channels):
+            h = blk[4 * c:4 * c + 4]
+            p = int.from_bytes(h[0:2], "little", signed=True)
+            preds.append(p)
+            idxs.append(min(88, h[2]))
+            ch_samples.append([p])
+        body = blk[4 * channels:]
+        for g in range(0, len(body) - 4 * channels + 1, 4 * channels):
+            for c in range(channels):
+                word = body[g + 4 * c:g + 4 * c + 4]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        ch_samples[c].append(preds[c])
+        out.append(np.stack([np.array(s, dtype=np.int16)
+                             for s in ch_samples], axis=1))
+    return np.concatenate(out) if out else np.zeros((0, channels), np.int16)
+
+
+def ima_adpcm_encode(samples: np.ndarray, rate: int,
+                     samples_per_block: int = 505) -> bytes:
+    """int16 samples [n] or [n, channels] → RIFF/WAVE format-0x11 bytes
+    (fixture encoder). samples_per_block must be 8k+1 per the nibble
+    grouping; input is zero-padded to whole blocks."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 8k+1")
+    block_align = 4 * ch + (samples_per_block - 1) // 2 * ch
+    pad = (-n) % samples_per_block
+    if pad:
+        x = np.vstack([x, np.zeros((pad, ch), dtype=np.int64)])
+    idxs = [0] * ch
+    body = io.BytesIO()
+    for b0 in range(0, len(x), samples_per_block):
+        blk = x[b0:b0 + samples_per_block]
+        preds = [int(blk[0, c]) for c in range(ch)]
+        for c in range(ch):
+            body.write(int(preds[c]).to_bytes(2, "little", signed=True))
+            body.write(bytes([idxs[c], 0]))
+        nibs: list[list[int]] = [[] for _ in range(ch)]
+        for i in range(1, samples_per_block):
+            for c in range(ch):
+                step = int(_IMA_STEPS[idxs[c]])
+                diff = int(blk[i, c]) - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        for g in range(0, len(nibs[0]), 8):
+            for c in range(ch):
+                grp = nibs[c][g:g + 8]
+                for k in range(0, 8, 2):
+                    body.write(bytes([grp[k] | (grp[k + 1] << 4)]))
+    data = body.getvalue()
+    fmt = (b"fmt " + (20).to_bytes(4, "little")
+           + (0x11).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block_align // samples_per_block)
+           .to_bytes(4, "little")
+           + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+           + (2).to_bytes(2, "little")
+           + samples_per_block.to_bytes(2, "little"))
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return (b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE"
+            + chunks)
+
 
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE decode in pure numpy — no codec library needed: chunk
@@ -349,6 +467,7 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
                 "code": int.from_bytes(body[0:2], "little"),
                 "channels": int.from_bytes(body[2:4], "little"),
                 "rate": int.from_bytes(body[4:8], "little"),
+                "block_align": int.from_bytes(body[12:14], "little"),
                 "bits": int.from_bytes(body[14:16], "little"),
             }
         elif tag == b"data":
@@ -380,6 +499,9 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     elif code in (6, 7):                    # G.711 A-law / mu-law
         s = _G711_TABLES[code][np.frombuffer(data, dtype=np.uint8)] \
             .astype(np.float64)
+    elif code == 0x11:                      # IMA/DVI ADPCM
+        dec = ima_adpcm_decode(data, ch, fmt["block_align"])
+        s = dec.astype(np.float64).reshape(-1)  # interleave, downmix below
     else:
         raise NotImplementedError(
             f"WAV format code {code} (compressed) needs a codec library")
