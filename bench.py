@@ -379,7 +379,7 @@ def main():
                  "events_window_5m", "events_window_sliding",
                  "events_sessionize", "j1d_pip_polygon", "j1e_pip_s2cover",
                  "s2_cell_docs_l12",
-                 "tpch_q5_local_supplier", "tpch_window_top3",
+                 "dedup_paragraph", "tpch_window_top3",
                  "web_extract_links", "web_extract_text",
                  "web_pagerank_top",
                  "raster_pixels_oracle", "izer_unionize_oracle"):
@@ -390,11 +390,13 @@ def main():
     # pinned-but-unregistered queries (50-row artifact cap): timed here so
     # BENCH still covers them
     from avecado_spark.queries import (doc_stratified_top, hex_cell_docs,
-                                       web_indegree, web_sample_split)
+                                       tpch_q5_local_supplier, web_indegree,
+                                       web_sample_split)
     for name, fn in (("hex_cell_docs", hex_cell_docs),
                      ("web_sample_split", web_sample_split),
                      ("doc_stratified_top", doc_stratified_top),
-                     ("web_indegree", web_indegree)):
+                     ("web_indegree", web_indegree),
+                     ("tpch_q5_local_supplier", tpch_q5_local_supplier)):
         t = time.time()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t, 3)

@@ -46,8 +46,9 @@ def test_predicate_pushdown_reaches_scan(spark):
 
 
 def test_small_dims_broadcast(spark):
-    from avecado_spark import queries as q
-    df = q.queries()["tpch_q5_local_supplier"](spark, SF)
+    # q5 rotated out of the registry in r07 (pytest-pinned instead)
+    from avecado_spark.queries import tpch_q5_local_supplier
+    df = tpch_q5_local_supplier(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
@@ -371,3 +372,20 @@ def test_window_top3_single_window_exchange(spark):
                         if "Exchange" in l and "c_nationkey" in l]
     assert len(nation_exchanges) == 1
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_paragraph_dedup_shuffle_budget(spark):
+    """paragraph_dedup's plan at corpus scale: split/normalize/hash are
+    map-side; the only exchanges are the hash window, the per-doc
+    reassembly, and the join back to the id spine — and the heavy text
+    column never reaches more than the two shuffles the algorithm IS
+    (paragraphs over h; kept paragraphs over doc_id)."""
+    from avecado_spark.operators.dedup import paragraph_dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = paragraph_dedup(docs, segment="words:8", join_sep=" ")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = [l for l in plan.splitlines()
+                if "Exchange" in l and "Broadcast" not in l]
+    assert 0 < len(shuffles) <= 3, plan
+    text_shuffles = [l for l in shuffles if "para" in l]
+    assert len(text_shuffles) <= 2, text_shuffles
