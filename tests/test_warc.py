@@ -205,3 +205,29 @@ def test_crawl_round_loop_closure(spark, tmp_path):
     assert snapshots.current_snapshot(table) == seed_sid + 2
     # and the head now contains seed + both rounds
     assert snapshots.read(spark, table).count() == 5
+
+
+def test_ingest_with_index_table(spark, tmp_path):
+    """--index-table commits the CDX record index next to the pages (the
+    CC layout): reading one url's row from the index snapshot and
+    range-fetching it returns the same html the pages table holds."""
+    from avecado_spark.sources import snapshots
+    from avecado_spark.sources.warc import read_warc_indexed
+    from jobs.ingest_warc import ingest_warc
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(warc_bytes(RECS))
+    table = str(tmp_path / "pages")
+    itable = str(tmp_path / "pages_index")
+    m = ingest_warc(spark, str(d / "*.warc.gz"), table, index_table=itable)
+    assert m["index_snapshot"] == 1 and m["rows"] == 3
+
+    idx = snapshots.read(spark, itable)
+    assert idx.count() == 3
+    one = idx.where(idx.url == RECS[1][0])
+    got = read_warc_indexed(one).collect()
+    page = {r.url: bytes(r.html)
+            for r in snapshots.read(spark, table).collect()}
+    assert len(got) == 1
+    assert bytes(got[0].html) == page[RECS[1][0]] == RECS[1][2]
