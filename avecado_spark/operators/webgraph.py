@@ -175,6 +175,48 @@ def frontier_df(pages: DataFrame, follow_only: bool = True,
                       F.countDistinct("src_url").alias("n_srcs")))
 
 
+def filter_frontier_robots(frontier: DataFrame, robots: DataFrame,
+                           user_agent: str = "avecado") -> DataFrame:
+    """Crawl-politeness gate: drop frontier urls a host's robots.txt
+    disallows for `user_agent` (RFC 9309 matching, functions/robots).
+    `robots` is a (host, robots_txt) table — the fetch-once-per-host
+    artifact a crawler maintains; hosts with no row are allow-all per
+    spec. Scale shape: one equi-join on host (robots tables are tiny
+    next to frontiers — Catalyst broadcasts when small), then a
+    per-batch Arrow pass that parses each DISTINCT host's body once and
+    evaluates the path rules; no data beyond (url, robots_txt) moves."""
+    import pandas as pd
+
+    from ..functions.robots import allowed, parse_robots
+    from ..functions.url import host_of
+
+    host_udf = F.udf(host_of, "string")
+    fr = frontier.withColumn("_host", host_udf("url"))
+    joined = fr.join(robots.select(F.col("host").alias("_host"),
+                                   "robots_txt"),
+                     "_host", "left")
+
+    cols = [f.name for f in frontier.schema.fields]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in frontier.schema.fields)
+
+    def gate(batches):
+        cache: dict[str, dict] = {}
+        for b in batches:
+            keep = []
+            for url, txt in zip(b["url"], b["robots_txt"]):
+                if txt is None or isinstance(txt, float):
+                    keep.append(True)
+                    continue
+                g = cache.get(txt)
+                if g is None:
+                    g = cache[txt] = parse_robots(str(txt))
+                keep.append(allowed(g, user_agent, str(url)))
+            yield b.loc[keep, cols]
+
+    return joined.mapInPandas(gate, schema=out_schema)
+
+
 def indegree_signals(pages: DataFrame,
                      links: DataFrame | None = None) -> DataFrame:
     """Per-page link-graph quality signals — the classic Common-Crawl

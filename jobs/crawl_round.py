@@ -52,13 +52,18 @@ def synthetic_fetcher(url: str) -> tuple[int, bytes]:
 
 def run_crawl_round(spark, table: str, warc_dir: str, fetcher,
                     top_k: int = 1000, round_ts: int = 0,
-                    parts: int = 4) -> dict:
+                    parts: int = 4, robots=None,
+                    user_agent: str = "avecado") -> dict:
     """One frontier→fetch→WARC→snapshot round. Returns metrics including
     the frontier size before and after (after < before whenever any
-    fetch succeeded and the new pages add no unseen targets)."""
+    fetch succeeded and the new pages add no unseen targets). Pass
+    `robots` — a (host, robots_txt) DataFrame — to apply the RFC 9309
+    politeness gate before the top-k cut (disallowed urls are never
+    fetched and never counted against top_k)."""
     from pyspark.sql import functions as F
 
-    from avecado_spark.operators.webgraph import frontier_df
+    from avecado_spark.operators.webgraph import (filter_frontier_robots,
+                                                  frontier_df)
     from avecado_spark.sources import snapshots
     from avecado_spark.sources.warc import warc_bytes
     from jobs.ingest_warc import ingest_warc
@@ -66,6 +71,9 @@ def run_crawl_round(spark, table: str, warc_dir: str, fetcher,
     pages = snapshots.read(spark, table).select("url", "html")
     frontier = frontier_df(pages)
     n_frontier = frontier.count()
+    if robots is not None:
+        frontier = filter_frontier_robots(frontier, robots,
+                                          user_agent=user_agent)
     want = (frontier.orderBy(F.col("want_cnt").desc(), "url")
                     .limit(top_k).select("url"))
 
