@@ -538,6 +538,36 @@ def simhash_pairs_sql(max_hamming: int = MAX_HAMMING) -> str:
 # paragraph-level boilerplate dedup (CCNet-style)
 # ---------------------------------------------------------------------------
 
+def paragraph_rows(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   segment: str = "regex:\n{2,}") -> DataFrame:
+    """Map-side paragraph explode shared by the batch dedup and its
+    streaming twin: (id, pos, para, h) rows where h is md5 of the
+    lower/collapse/trim-normalized paragraph; empty paragraphs dropped.
+    Pure projection + posexplode — works on batch AND streaming frames."""
+    kind, _, arg = segment.partition(":")
+    if kind == "words":
+        n = int(arg)
+        toks = F.filter(F.split(F.col(text_col), " "),
+                        lambda x: x != F.lit(""))
+        n_chunks = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+        paras_arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "))
+        paras_arr = F.when(F.size(toks) > 0, paras_arr)\
+                     .otherwise(F.array().cast("array<string>"))
+    elif kind == "regex":
+        paras_arr = F.split(F.col(text_col), arg)
+    else:
+        raise ValueError(f"unknown segment mode: {segment!r}")
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
+    return (docs.select(id_col, F.posexplode(paras_arr).alias("pos", "para"))
+                .withColumn("norm", norm)
+                .where(F.col("norm") != "")
+                .select(id_col, "pos", "para", F.md5("norm").alias("h")))
+
+
 def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     segment: str = "regex:\n{2,}",
@@ -567,28 +597,7 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     never changes results."""
     from pyspark.sql.window import Window
 
-    kind, _, arg = segment.partition(":")
-    if kind == "words":
-        n = int(arg)
-        toks = F.filter(F.split(F.col(text_col), " "),
-                        lambda x: x != F.lit(""))
-        n_chunks = F.ceil(F.size(toks) / F.lit(n)).cast("int")
-        paras_arr = F.transform(
-            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "))
-        paras_arr = F.when(F.size(toks) > 0, paras_arr)\
-                     .otherwise(F.array().cast("array<string>"))
-    elif kind == "regex":
-        paras_arr = F.split(F.col(text_col), arg)
-    else:
-        raise ValueError(f"unknown segment mode: {segment!r}")
-
-    norm = F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
-    paras = (docs.select(id_col, F.posexplode(paras_arr).alias("pos", "para"))
-                 .withColumn("norm", norm)
-                 .where(F.col("norm") != "")
-                 .select(id_col, "pos", "para",
-                         F.md5("norm").alias("h")))
+    paras = paragraph_rows(docs, id_col, text_col, segment)
     w = Window.partitionBy("h").orderBy(id_col, "pos")
     kept = paras.withColumn("keep", F.row_number().over(w) == 1)
     agg = (kept.groupBy(id_col)

@@ -135,3 +135,22 @@ def run_available_now_append(df: DataFrame, query_name: str) -> list:
          .start())
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def paragraph_keeplist_stream(spark: SparkSession,
+                              docs_path: str,
+                              segment: str = "words:8") -> DataFrame:
+    """Streaming CCNet paragraph dedup: the keep-list of first-seen
+    paragraph hashes as an append-mode stream — each distinct normalized
+    paragraph passes through exactly once (arrival order decides the
+    keeper, the natural streaming reading of batch keep-first), later
+    repeats drop against the state store. Segmentation/normalization/
+    hashing are the SAME map-side expressions the batch operator uses
+    (operators/dedup.paragraph_rows), so the hash universe is identical;
+    state shards by the hash like the batch window."""
+    from ..operators.dedup import paragraph_rows
+
+    stream = _docs_stream(spark, docs_path)
+    return (paragraph_rows(stream, "doc_id", "text", segment)
+            .select("doc_id", "pos", "h")
+            .dropDuplicates(["h"]))

@@ -705,3 +705,31 @@ def test_streaming_lsh_replay_is_idempotent(spark):
                              spark.read.parquet(pairs_path).collect())
         assert pairs_after == pairs_before
         assert spark.read.parquet(bands_path).count() == bands_before
+
+
+def test_streaming_paragraph_keeplist_matches_batch(spark):
+    """streaming/dedup.paragraph_keeplist_stream: the append-mode
+    first-seen paragraph keep-list covers exactly the batch operator's
+    hash universe — one row per distinct normalized paragraph hash, and
+    the kept count equals batch paragraph_dedup's total n_kept."""
+    import shutil
+    from avecado_spark.operators.dedup import paragraph_dedup, paragraph_rows
+    from avecado_spark.streaming.dedup import (paragraph_keeplist_stream,
+                                               run_available_now_append)
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch_hashes = {r.h for r in
+                    paragraph_rows(docs, segment="words:8")
+                    .select("h").distinct().collect()}
+    batch_kept = paragraph_dedup(docs, segment="words:8", join_sep=" ") \
+        .agg(F.sum("n_kept").alias("k")).collect()[0]["k"]
+
+    with tempfile.TemporaryDirectory() as d:
+        shutil.copy(f"{SF_DIR}/documents.parquet",
+                    os.path.join(d, "documents.parquet"))
+        kept = run_available_now_append(
+            paragraph_keeplist_stream(spark, d, segment="words:8"),
+            "para_keep_q")
+    assert {r.h for r in kept} == batch_hashes
+    assert len(kept) == len(batch_hashes) == batch_kept
