@@ -63,3 +63,65 @@ def html_to_text(data: bytes | str) -> str:
     text = _html.unescape(text)
     lines = (_WS_RE.sub(" ", ln).strip() for ln in text.split("\n"))
     return "\n".join(ln for ln in lines if ln)
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (WHATWG encoding-standard ladder, the CC-corpus subset)
+# ---------------------------------------------------------------------------
+
+# WHATWG label table subset: legacy latin labels all mean windows-1252
+_CHARSET_ALIASES = {
+    "iso-8859-1": "windows-1252", "latin1": "windows-1252",
+    "latin-1": "windows-1252", "ascii": "windows-1252",
+    "us-ascii": "windows-1252", "x-user-defined": "windows-1252",
+    "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "iso-8859-15": "iso-8859-15", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "x-sjis": "shift_jis",
+}
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.I)
+
+
+def sniff_charset(data: bytes, content_type: str | None = None) -> str:
+    """WHATWG-ladder charset detection for one html payload: BOM beats
+    the Content-Type header charset, which beats a <meta charset=...> /
+    http-equiv prescan of the first 1024 bytes, which beats the utf-8
+    default. Labels normalize per the WHATWG table (all legacy latin
+    labels mean windows-1252); unknown labels fall back to utf-8 so the
+    caller always gets a codec python has."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if data[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if data[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    label = None
+    if content_type and "charset=" in content_type.lower():
+        label = (content_type.lower().split("charset=", 1)[1]
+                 .split(";")[0].strip().strip('"\''))
+    if not label:
+        m = _META_CHARSET_RE.search(data[:1024])
+        if m:
+            label = m.group(1).decode("ascii", "replace").lower()
+    if not label:
+        return "utf-8"
+    label = _CHARSET_ALIASES.get(label, label)
+    import codecs
+    try:
+        codecs.lookup(label)
+    except LookupError:
+        return "utf-8"
+    return label
+
+
+def decode_html(data: bytes, content_type: str | None = None) -> str:
+    """Charset-aware front door for raw page bytes: sniff (BOM > header >
+    meta prescan > utf-8), decode with 'replace', BOM stripped. The
+    downstream html_to_text/parse_links transforms stay byte-exactly
+    pinned on str input; this is where a non-utf-8 crawl enters them."""
+    enc = sniff_charset(data, content_type)
+    if enc == "utf-8" and data[:3] == b"\xef\xbb\xbf":
+        data = data[3:]
+    text = data.decode(enc, "replace")
+    return text.lstrip("﻿")

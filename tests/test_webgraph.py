@@ -570,3 +570,44 @@ def test_resolve_preserves_empty_components():
     # canonicalize drops the fragment, yielding the base itself; the
     # extractor then drops it as a self-link (dst == url)
     assert canonicalize("#", "https://h.example/a") == "https://h.example/a"
+
+
+def test_charset_sniff_and_decode_html():
+    """WHATWG-ladder charset sniffing (functions/htmltext): BOM > header
+    charset > meta prescan > utf-8; legacy latin labels mean
+    windows-1252; unknown labels degrade to utf-8; decoded text feeds
+    the pinned html_to_text unchanged."""
+    from avecado_spark.functions.htmltext import (decode_html,
+                                                  html_to_text,
+                                                  sniff_charset)
+
+    # ladder order
+    assert sniff_charset(b"\xef\xbb\xbfx") == "utf-8"            # BOM
+    assert sniff_charset(b"\xff\xfex\x00") == "utf-16-le"
+    assert sniff_charset(b"\xfe\xffx") == "utf-16-be"
+    assert sniff_charset(b"\xef\xbb\xbfx",
+                         "text/html; charset=shift_jis") == "utf-8"
+    assert sniff_charset(b'<meta charset="koi8-r">',
+                         "text/html; charset=ISO-8859-1") \
+        == "windows-1252"                                        # header wins
+    assert sniff_charset(b'<meta charset="KOI8-R">') == "koi8-r"
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=Shift-JIS">') == "shift_jis"
+    assert sniff_charset(b"plain") == "utf-8"
+    assert sniff_charset(b'<meta charset="no-such-enc">') == "utf-8"
+    # meta prescan is bounded to the first 1024 bytes
+    far = b"x" * 1100 + b'<meta charset="koi8-r">'
+    assert sniff_charset(far) == "utf-8"
+
+    # decode + extract: a windows-1252 page flows into the pinned
+    # transform with its accents intact
+    body = "<p>café crème &amp; co</p>".encode("windows-1252")
+    page = b'<meta http-equiv="Content-Type" ' \
+           b'content="text/html; charset=iso-8859-1">' + body
+    assert html_to_text(decode_html(page)) == "café crème & co"
+    jp = "<p>日本語テスト</p>".encode("shift_jis")
+    assert html_to_text(decode_html(b"<meta charset=Shift_JIS>" + jp)) \
+        == "日本語テスト"
+    # utf-8 BOM is stripped, not leaked into the text
+    assert decode_html("﻿hello".encode("utf-8")) == "hello"
