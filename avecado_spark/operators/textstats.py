@@ -186,3 +186,91 @@ def token_count_sql() -> str:
                AS n_bpe_tokens
       FROM documents
     )"""
+
+
+def repetition_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per doc,
+    the fraction of tokens covered by the single most frequent word
+    bigram (`top_bigram_frac`) and the fraction of 8-token chunks that
+    repeat an earlier chunk of the SAME document (`dup_chunk_frac`) —
+    the two filters that catch boilerplate/SEO spam exact dedup misses.
+
+    Unlike the other textstats ops this one genuinely needs per-doc
+    frequency tables, so it shuffles — but only slim (doc_id, md5) rows
+    (the text stays in the scan), with map-side partial counts on both
+    groupBys. n_tokens < 2 → top_bigram_frac 0; docs shorter than one
+    chunk → dup_chunk_frac 0."""
+    from .dedup import paragraph_rows
+
+    arr = _arr()
+    n_tokens = F.size(arr).cast("long")
+
+    big = (docs.where(F.size(arr) >= 2)
+               .select("doc_id",
+                       F.explode(F.transform(
+                           F.sequence(F.lit(0), F.size(arr) - 2),
+                           lambda i: F.concat_ws(
+                               " ", F.element_at(arr, i + 1),
+                               F.element_at(arr, i + 2)))).alias("bg"))
+               .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+               .groupBy("doc_id").agg(F.max("c").alias("top_bg")))
+
+    chunks = (paragraph_rows(docs, "doc_id", "text", "words:8")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_chunks"),
+                   F.countDistinct("h").alias("n_uniq")))
+
+    base = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    return (base.join(big, "doc_id", "left").join(chunks, "doc_id", "left")
+                .select(
+                    "doc_id", "n_tokens",
+                    F.coalesce(
+                        (F.lit(2) * F.col("top_bg") / F.col("n_tokens")),
+                        F.lit(0.0)).alias("top_bigram_frac"),
+                    F.coalesce(
+                        (F.col("n_chunks") - F.col("n_uniq"))
+                        / F.col("n_chunks"), F.lit(0.0))
+                    .alias("dup_chunk_frac")))
+
+
+def repetition_sql() -> str:
+    return """(
+      WITH toks AS (
+        SELECT doc_id, u.tok, u.i
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                             generate_subscripts(string_split(text, ' '), 1) AS i) u
+      ), bigrams AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      ), topbg AS (
+        SELECT doc_id, max(c) AS top_bg FROM (
+          SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg
+        ) GROUP BY doc_id
+      ), chunks AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(DISTINCT md5(trim(regexp_replace(lower(para),
+                    '\\s+', ' ', 'g')))) AS BIGINT) AS n_uniq
+        FROM (
+          SELECT doc_id, (i - 1) // 8 AS pos,
+                 string_agg(tok, ' ' ORDER BY i) AS para
+          FROM toks WHERE tok <> '' GROUP BY doc_id, (i - 1) // 8
+        ) GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             coalesce(2 * t.top_bg / CAST(len(string_split(d.text, ' '))
+                                          AS BIGINT), 0.0)
+               AS top_bigram_frac,
+             coalesce((c.n_chunks - c.n_uniq) / CAST(c.n_chunks AS DOUBLE),
+                      0.0) AS dup_chunk_frac
+      FROM documents d
+      LEFT JOIN topbg t USING (doc_id)
+      LEFT JOIN chunks c USING (doc_id)
+    )"""

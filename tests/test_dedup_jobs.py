@@ -287,3 +287,28 @@ def test_paragraph_dedup_words_mode_roundtrip(spark):
     for i, text in rows:
         assert out[i].clean_text == text
         assert out[i].n_paras == out[i].n_kept == 3  # 4+4+3 words
+
+
+def test_repetition_stats_behavior(spark):
+    """Crafted docs pin the two Gopher filters: an SEO-spam doc (one
+    bigram everywhere, repeated 8-token chunks) scores high on both; a
+    diverse doc scores low; degenerate docs (one token) come back 0."""
+    from avecado_spark.operators.textstats import repetition_stats
+
+    spam_tokens = ("buy cheap " * 20).split()          # 40 tokens
+    diverse = [f"w{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(spam_tokens)),
+        (2, " ".join(diverse)),
+        (3, "single"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # spam: "cheap buy" appears 19x and "buy cheap" 20x over 39 bigrams;
+    # top covers 2*20/40 tokens; all five 8-token chunks identical -> 4/5
+    assert abs(got[1].top_bigram_frac - 1.0) < 1e-9
+    assert abs(got[1].dup_chunk_frac - 0.8) < 1e-9
+    # diverse: every bigram unique -> 2/40; all chunks unique
+    assert abs(got[2].top_bigram_frac - 0.05) < 1e-9
+    assert got[2].dup_chunk_frac == 0.0
+    assert got[3].top_bigram_frac == 0.0 and got[3].dup_chunk_frac == 0.0

@@ -295,3 +295,20 @@ def test_web_frontier_duckdb_parity(spark, duck):
                for r in srows)
     assert _canon(srows, [c.lower() for c in sdf.columns]) \
         == _canon(drows, [c.lower() for c in rel.columns])
+
+
+def test_repetition_signals_duckdb_parity(spark, duck):
+    """Gopher-style repetition signals (unregistered: 50-row artifact
+    cap) — exact-oracle parity, same gate as the registered rows."""
+    from avecado_spark.operators.textstats import (repetition_df,
+                                                   repetition_sql)
+    sdf = repetition_df(spark, SF_ORACLE)
+    srows = sdf.collect()
+    rel = duck.sql(f"SELECT * FROM {repetition_sql()} t")
+    drows = rel.fetchall()
+    assert len(srows) == len(drows) > 0
+    # non-vacuous: the synthetic vocabulary is tiny, so every doc has a
+    # repeated bigram
+    assert all(r["top_bigram_frac"] > 0 for r in srows)
+    assert _canon(srows, [c.lower() for c in sdf.columns]) \
+        == _canon(drows, [c.lower() for c in rel.columns])
