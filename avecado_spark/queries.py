@@ -1564,6 +1564,21 @@ _WG_LINKS_SQL = f"""
 """
 
 
+def _links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extracted links, parse-ONCE semantics (the links/ stage of the
+    durable webgraph job, as a session cache): the first web-graph query
+    in a session pays the html parse; extract_links, in-degree, HITS,
+    PageRank and the frontier all reuse the slim cached
+    (src_url, dst_url, anchor, first_pos, nofollow) rows — at corpus
+    scale this is a written table (jobs/webgraph_pagerank.py stage), not
+    a cache."""
+    from .operators.dedup import persist_latest
+    from .operators.webgraph import extract_links
+    return persist_latest(f"links:{sf_dir}",
+                          extract_links(pages_df(spark, sf_dir)),
+                          reuse=True)
+
+
 @register("web_extract_links", _WG_LINKS_SQL)
 def web_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical outlinks of every page: (src_url, dst_url, anchor,
@@ -1577,8 +1592,7 @@ def web_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 raw anchors (incl. an uppercase-host:443#fragment absolute, a
     ../dot-segment relative, a pure-#fragment self-link, and a duplicate
     spelling of the first target) reduce to these 4 canonical rows."""
-    from .operators.webgraph import extract_links
-    return extract_links(pages_df(spark, sf_dir))
+    return _links(spark, sf_dir)
 
 
 @register("web_extract_text", f"""
@@ -1780,7 +1794,9 @@ def web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the identical WEB_HITS_SQL."""
     from .operators.webgraph import edges_df, hits_int
     pg = pages_df(spark, sf_dir)
-    return hits_int(pg.select("url"), edges_df(pg), iters=2, scale=10**6)
+    return hits_int(pg.select("url"),
+                    edges_df(pg, links=_links(spark, sf_dir)),
+                    iters=2, scale=10**6)
 
 
 _HEX_SIZE_MM = 10**9  # 1000 km circumradius: ~40 cells across the world
@@ -1894,7 +1910,8 @@ def web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNREGISTERED (the 50-row artifact cap): exact-oracle parity pinned
     by tests/test_oracle_parity.py::test_web_frontier_duckdb_parity."""
     from .operators.webgraph import frontier_df
-    return frontier_df(pages_df(spark, sf_dir))
+    return frontier_df(pages_df(spark, sf_dir),
+                       links=_links(spark, sf_dir))
 
 
 WEB_INDEGREE_SQL = f"""
@@ -1915,7 +1932,8 @@ def web_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_oracle_parity.py::test_web_indegree_duckdb_parity
     against the identical WEB_INDEGREE_SQL."""
     from .operators.webgraph import indegree_signals
-    return indegree_signals(pages_df(spark, sf_dir))
+    return indegree_signals(pages_df(spark, sf_dir),
+                            links=_links(spark, sf_dir))
 
 
 def _pagerank_oracle_sql(iters: int, scale: int, top: int) -> str:
@@ -1978,7 +1996,8 @@ def web_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webgraph import edges_df, pagerank_int
     pg = pages_df(spark, sf_dir)
     nodes = pg.select("url")
-    ranks = pagerank_int(nodes, edges_df(pg), iters=5, scale=10**12)
+    ranks = pagerank_int(nodes, edges_df(pg, links=_links(spark, sf_dir)),
+                         iters=5, scale=10**12)
     return ranks.orderBy(F.col("rank_i").desc(), "url").limit(_WG_TOP)
 
 
