@@ -136,3 +136,35 @@ def test_crawl_round_respects_robots(spark, tmp_path):
     assert "https://h.example/open" in urls
     assert "https://h.example/private/y" not in urls
     assert m["frontier_after"] == 1                 # disallowed url remains
+
+
+def test_crawl_round_max_per_host(spark, tmp_path):
+    """max_per_host caps each host's share of the round budget: with 3
+    wanted urls on one host and 1 on another, cap 1 fetches one per
+    host even though top_k would admit all four."""
+    from avecado_spark.sources import snapshots
+    from avecado_spark.sources.warc import warc_bytes
+    from avecado_spark.functions.url import host_of
+    from jobs.crawl_round import run_crawl_round, synthetic_fetcher
+    from jobs.ingest_warc import ingest_warc
+
+    seed = [("https://big.example/seed", 1704067200,
+             b'<a href="https://big.example/a">1</a>'
+             b'<a href="https://big.example/b">2</a>'
+             b'<a href="https://big.example/c">3</a>'
+             b'<a href="https://small.example/only">4</a>')]
+    d = tmp_path / "seed"
+    d.mkdir()
+    (d / "seed.warc.gz").write_bytes(warc_bytes(seed))
+    table = str(tmp_path / "pages_table")
+    ingest_warc(spark, str(d / "*.warc.gz"), table)
+
+    m = run_crawl_round(spark, table, str(tmp_path / "crawl"),
+                        synthetic_fetcher, top_k=10, max_per_host=1)
+    assert m["frontier_before"] == 4
+    assert m["fetched"] == 2                       # one per host
+    hosts = sorted({host_of(r.url) for r in
+                    snapshots.read(spark, table).select("url").collect()
+                    if r.url != "https://big.example/seed"})
+    assert hosts == ["big.example", "small.example"]
+    assert m["frontier_after"] == 2                # the capped-out urls
