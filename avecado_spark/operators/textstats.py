@@ -193,7 +193,8 @@ def repetition_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
-def repetition_stats(docs: DataFrame) -> DataFrame:
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per doc,
     the fraction of tokens covered by the single most frequent word
     bigram (`top_bigram_frac`) and the fraction of 8-token chunks that
@@ -207,28 +208,28 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     chunk → dup_chunk_frac 0."""
     from .dedup import paragraph_rows
 
-    arr = _arr()
+    arr = F.split(F.col(text_col), " ")
     n_tokens = F.size(arr).cast("long")
 
     big = (docs.where(F.size(arr) >= 2)
-               .select("doc_id",
+               .select(id_col,
                        F.explode(F.transform(
                            F.sequence(F.lit(0), F.size(arr) - 2),
                            lambda i: F.concat_ws(
                                " ", F.element_at(arr, i + 1),
                                F.element_at(arr, i + 2)))).alias("bg"))
-               .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
-               .groupBy("doc_id").agg(F.max("c").alias("top_bg")))
+               .groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+               .groupBy(id_col).agg(F.max("c").alias("top_bg")))
 
-    chunks = (paragraph_rows(docs, "doc_id", "text", "words:8")
-              .groupBy("doc_id")
+    chunks = (paragraph_rows(docs, id_col, text_col, "words:8")
+              .groupBy(id_col)
               .agg(F.count("*").alias("n_chunks"),
                    F.countDistinct("h").alias("n_uniq")))
 
-    base = docs.select("doc_id", n_tokens.alias("n_tokens"))
-    return (base.join(big, "doc_id", "left").join(chunks, "doc_id", "left")
+    base = docs.select(id_col, n_tokens.alias("n_tokens"))
+    return (base.join(big, id_col, "left").join(chunks, id_col, "left")
                 .select(
-                    "doc_id", "n_tokens",
+                    id_col, "n_tokens",
                     F.coalesce(
                         (F.lit(2) * F.col("top_bg") / F.col("n_tokens")),
                         F.lit(0.0)).alias("top_bigram_frac"),

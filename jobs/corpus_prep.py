@@ -17,6 +17,9 @@ next starts; a killed job re-submitted with the same --out resumes):
   {out}/para/     (only with --para-dedup) CCNet-style paragraph-level
                   boilerplate dedup: repeated paragraphs keep their
                   first corpus-wide occurrence; text/stats rewritten
+  {out}/quality/  (only with quality thresholds) Gopher-style document
+                  gate: token-count range + repetition signals
+                  (top-bigram fraction, duplicate-chunk fraction)
   {out}/unique/   exact-dedup keep set: min url per md5(text) — the
                   canonical representative of every duplicate class
   {out}/corpus/   deduped docs, deterministically sampled
@@ -44,7 +47,8 @@ from jobs.webgraph_pagerank import _done, _log_metric  # noqa: E402
 
 def run_corpus_prep(spark, sf_dir: str, out: str,
                     sample_num: int = 3, sample_den: int = 16,
-                    para_dedup: str | None = None) -> dict:
+                    para_dedup: str | None = None,
+                    quality: dict | None = None) -> dict:
     """Importable driver (tests run it against a tmp dir). Returns final
     metrics; writes stage parquet + metrics.jsonl under `out`.
 
@@ -52,17 +56,24 @@ def run_corpus_prep(spark, sf_dir: str, out: str,
     CCNet-style paragraph-level boilerplate dedup between extraction and
     exact dedup: repeated paragraphs survive only their first corpus-wide
     occurrence, and the downstream exact/sample/split stages run over the
-    cleaned text."""
+    cleaned text.
+
+    `quality` inserts the Gopher-style document gate after paragraph
+    dedup: thresholds {min_tokens, max_tokens, max_top_bigram_frac,
+    max_dup_chunk_frac} (any subset); failing docs drop with per-reason
+    counts in the metrics line."""
     from pyspark.sql import functions as F
 
     from avecado_spark.operators.dedup import paragraph_dedup
     from avecado_spark.operators.sampling import assign_splits, sample_fraction
+    from avecado_spark.operators.textstats import repetition_stats
     from avecado_spark.operators.webgraph import extract_text
     from avecado_spark.sources.pages import pages_df
 
     os.makedirs(out, exist_ok=True)
     docs_path = os.path.join(out, "docs")
     para_path = os.path.join(out, "para")
+    qual_path = os.path.join(out, "quality")
     uniq_path = os.path.join(out, "unique")
     corpus_path = os.path.join(out, "corpus")
     resumed = 0
@@ -112,6 +123,46 @@ def run_corpus_prep(spark, sf_dir: str, out: str,
             resumed += 1
         docs = spark.read.parquet(para_path)
 
+    if quality is not None:
+        t = time.time()
+        if not _done(qual_path):
+            rep = repetition_stats(docs, id_col="url", text_col="text_x")
+            cond = F.lit(True)
+            if "min_tokens" in quality:
+                cond &= F.col("n_tokens") >= quality["min_tokens"]
+            if "max_tokens" in quality:
+                cond &= F.col("n_tokens") <= quality["max_tokens"]
+            if "max_top_bigram_frac" in quality:
+                cond &= (F.col("top_bigram_frac")
+                         <= quality["max_top_bigram_frac"])
+            if "max_dup_chunk_frac" in quality:
+                cond &= (F.col("dup_chunk_frac")
+                         <= quality["max_dup_chunk_frac"])
+            # the gate's signal columns ride along — corpus lineage a
+            # later filter sweep can re-threshold without recomputing
+            kept = (docs.drop("n_tokens")
+                        .join(rep, "url")
+                        .where(cond))
+            kept.write.mode("overwrite").parquet(qual_path)
+            n_in = docs.count()
+            n_out = spark.read.parquet(qual_path).count()
+            if n_in and not n_out:
+                # un-commit the stage so a re-run does not resume past
+                # the failure
+                os.remove(os.path.join(qual_path, "_SUCCESS"))
+                raise ValueError(
+                    f"quality gate {quality} dropped ALL {n_in} documents "
+                    "— misconfigured thresholds (loud failure, no empty "
+                    "corpus is silently written)")
+            _log_metric(out, stage="quality", resumed=False,
+                        rows_in=n_in, rows=n_out,
+                        dropped=n_in - n_out,
+                        thresholds=quality,
+                        sec=round(time.time() - t, 3))
+        else:
+            resumed += 1
+        docs = spark.read.parquet(qual_path)
+
     t = time.time()
     if not _done(uniq_path):
         keep = (docs.groupBy(F.md5("text_x").alias("h"))
@@ -120,7 +171,8 @@ def run_corpus_prep(spark, sf_dir: str, out: str,
         keep.select("url", "n_dups").write.mode("overwrite").parquet(uniq_path)
         n_in, n_u = docs.count(), spark.read.parquet(uniq_path).count()
         _log_metric(out, stage="unique", resumed=False, rows_in=n_in,
-                    rows=n_u, dup_rate=round(1 - n_u / n_in, 4),
+                    rows=n_u,
+                    dup_rate=round(1 - n_u / n_in, 4) if n_in else 0.0,
                     sec=round(time.time() - t, 3))
     else:
         resumed += 1
@@ -167,6 +219,10 @@ def main(argv):
     ap.add_argument("--para-dedup", default=None, metavar="SEGMENT",
                     help="enable paragraph-level boilerplate dedup, e.g. "
                          "'regex:\\n{2,}' or 'words:8'")
+    ap.add_argument("--quality", default=None, metavar="JSON",
+                    help="enable the Gopher-style quality gate, e.g. "
+                         '\'{"min_tokens": 10, "max_top_bigram_frac": '
+                         "0.2}'")
     args = ap.parse_args(argv)
 
     from avecado_spark.api import spark_session
@@ -174,7 +230,9 @@ def main(argv):
     spark.sparkContext.setLogLevel("WARN")
     metrics = run_corpus_prep(spark, args.input, args.out,
                               args.sample_num, args.sample_den,
-                              para_dedup=args.para_dedup)
+                              para_dedup=args.para_dedup,
+                              quality=(json.loads(args.quality)
+                                       if args.quality else None))
     print(json.dumps(metrics))
     spark.stop()
     return 0

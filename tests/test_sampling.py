@@ -135,3 +135,42 @@ def test_corpus_prep_para_dedup_stage(spark, tmp_path):
     m2 = run_corpus_prep(spark, SF, out, para_dedup="words:8")
     assert m2["resumed_stages"] == 4
     assert m2["splits"] == m1["splits"]
+
+
+def test_corpus_prep_quality_gate(spark, tmp_path):
+    """The Gopher-style quality stage: a passing configuration
+    checkpoints with _SUCCESS, records thresholds + counts, survivors
+    satisfy the gate, and the job resumes; a drop-everything
+    configuration fails LOUDLY (no silently-written empty corpus) and
+    does not leave a resumable stage marker. The synthetic corpus is
+    uniform (11 whitespace tokens/doc), so both edges are exercised
+    with gates on either side of it."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import pytest
+    from jobs.corpus_prep import run_corpus_prep
+    out = str(tmp_path / "corpus_q")
+    thresholds = {"min_tokens": 5, "max_top_bigram_frac": 0.9,
+                  "max_dup_chunk_frac": 0.9}
+    m1 = run_corpus_prep(spark, SF, out, quality=thresholds)
+    assert m1["resumed_stages"] == 0
+    assert os.path.exists(f"{out}/quality/_SUCCESS")
+    lines = [json.loads(l) for l in open(f"{out}/metrics.jsonl")]
+    q = next(l for l in lines if l["stage"] == "quality")
+    assert q["thresholds"] == thresholds
+    assert q["rows"] == q["rows_in"] > 0 and q["dropped"] == 0
+    import pyspark.sql.functions as F
+    survivors = spark.read.parquet(f"{out}/quality")
+    assert survivors.where(F.col("n_tokens") < 5).count() == 0
+    assert survivors.where(F.col("top_bigram_frac") > 0.9).count() == 0
+    m2 = run_corpus_prep(spark, SF, out, quality=thresholds)
+    assert m2["resumed_stages"] == 4
+    assert m2["splits"] == m1["splits"]
+
+    out_bad = str(tmp_path / "corpus_q_bad")
+    with pytest.raises(ValueError, match="dropped ALL"):
+        run_corpus_prep(spark, SF, out_bad,
+                        quality={"min_tokens": 10_000})
+    assert not os.path.exists(f"{out_bad}/quality/_SUCCESS")
