@@ -217,6 +217,36 @@ def filter_frontier_robots(frontier: DataFrame, robots: DataFrame,
     return joined.mapInPandas(gate, schema=out_schema)
 
 
+def sitemap_seeds(sitemaps: DataFrame) -> DataFrame:
+    """Flatten a (host, sitemap_xml binary) table into (url, lastmod_ts)
+    seed rows (functions/sitemap.py; gzip payloads transparent, one
+    urlset per row — index documents are resolved at fetch time, before
+    this table). One Arrow pass, no shuffle."""
+    import pandas as pd
+
+    from ..functions.sitemap import parse_sitemap
+
+    def run(batches):
+        from datetime import datetime, timezone
+        for b in batches:
+            urls, ts = [], []
+            for xml in b["sitemap_xml"]:
+                kind, entries = parse_sitemap(bytes(xml))
+                if kind != "urlset":
+                    raise ValueError("sitemap_seeds expects urlset rows; "
+                                     "resolve index documents at fetch "
+                                     "time")
+                for loc, epoch in entries:
+                    urls.append(loc)
+                    ts.append(None if epoch is None else
+                              datetime.fromtimestamp(epoch, tz=timezone.utc)
+                              .replace(tzinfo=None))
+            yield pd.DataFrame({"url": urls, "lastmod_ts": ts})
+
+    return sitemaps.select("sitemap_xml").mapInPandas(
+        run, schema="url string, lastmod_ts timestamp")
+
+
 def indegree_signals(pages: DataFrame,
                      links: DataFrame | None = None) -> DataFrame:
     """Per-page link-graph quality signals — the classic Common-Crawl

@@ -54,7 +54,8 @@ def run_crawl_round(spark, table: str, warc_dir: str, fetcher,
                     top_k: int = 1000, round_ts: int = 0,
                     parts: int = 4, robots=None,
                     user_agent: str = "avecado",
-                    max_per_host: int | None = None) -> dict:
+                    max_per_host: int | None = None,
+                    seeds=None) -> dict:
     """One frontier→fetch→WARC→snapshot round. Returns metrics including
     the frontier size before and after (after < before whenever any
     fetch succeeded and the new pages add no unseen targets). Pass
@@ -75,6 +76,17 @@ def run_crawl_round(spark, table: str, warc_dir: str, fetcher,
 
     pages = snapshots.read(spark, table).select("url", "html")
     frontier = frontier_df(pages)
+    if seeds is not None:
+        # sitemap (or operator-provided) seed urls: anything not already
+        # in the corpus or on the link-derived frontier joins the
+        # want-list at base demand — the discovery path for urls nothing
+        # links to yet
+        fresh = (seeds.select("url").distinct()
+                      .join(pages.select("url"), "url", "left_anti")
+                      .join(frontier.select("url"), "url", "left_anti")
+                      .select("url", F.lit(1).cast("long").alias("want_cnt"),
+                              F.lit(0).cast("long").alias("n_srcs")))
+        frontier = frontier.unionByName(fresh)
     n_frontier = frontier.count()
     if robots is not None:
         frontier = filter_frontier_robots(frontier, robots,
