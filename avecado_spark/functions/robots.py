@@ -56,8 +56,66 @@ def parse_robots(text: str) -> dict[str, list[tuple[bool, str]]]:
                 continue                       # empty Disallow = allow all
             for tok in current:
                 groups[tok].append((key == "allow", val))
-        # sitemap/crawl-delay etc.: ignored here (out of matching scope)
+        # sitemap/crawl-delay: see robots_sitemaps / crawl_delay
     return groups
+
+
+def robots_sitemaps(text: str) -> list[str]:
+    """The `Sitemap:` directives of one robots.txt — absolute sitemap
+    urls, file order preserved, duplicates dropped. Per the sitemaps.org
+    protocol this is how a host ADVERTISES its sitemaps; feed the fetch
+    results to functions/sitemap.sitemap_urls and the urls to
+    crawl_round's seeds. Sitemap lines are group-independent (they apply
+    to every crawler, wherever they appear in the file)."""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val and val not in out:
+                out.append(val)
+    return out
+
+
+def crawl_delay(text: str, user_agent: str) -> float | None:
+    """The `Crawl-delay:` of the matching user-agent group (seconds), or
+    None. Not in RFC 9309 but honored by most large crawlers; group
+    selection follows the same most-specific-token rule as `allowed`.
+    Non-numeric values are ignored (treated as absent)."""
+    ua = user_agent.lower()
+    groups: dict[str, float] = {}
+    current: list[str] = []
+    rules_started = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if rules_started:
+                current = []
+                rules_started = False
+            current.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            rules_started = True
+            if key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                for tok in current:
+                    groups.setdefault(tok, d)
+    best = None
+    for tok in groups:
+        if tok != "*" and tok in ua and \
+                (best is None or len(tok) > len(best)):
+            best = tok
+    if best is not None:
+        return groups[best]
+    return groups.get("*")
 
 
 def _match_len(pattern: str, path: str) -> int | None:

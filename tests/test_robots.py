@@ -168,3 +168,29 @@ def test_crawl_round_max_per_host(spark, tmp_path):
                     if r.url != "https://big.example/seed"})
     assert hosts == ["big.example", "small.example"]
     assert m["frontier_after"] == 2                # the capped-out urls
+
+
+def test_robots_sitemaps_and_crawl_delay():
+    """Sitemap: directives are group-independent (order kept, deduped);
+    Crawl-delay follows the group-selection rule; junk values ignored."""
+    from avecado_spark.functions.robots import crawl_delay, robots_sitemaps
+
+    txt = """
+Sitemap: https://h.example/sitemap-a.xml
+User-agent: avecado
+Crawl-delay: 2.5
+Disallow: /private/
+
+User-agent: *
+Crawl-delay: 10
+Sitemap: https://h.example/sitemap-b.xml.gz
+Sitemap: https://h.example/sitemap-a.xml
+"""
+    assert robots_sitemaps(txt) == [
+        "https://h.example/sitemap-a.xml",
+        "https://h.example/sitemap-b.xml.gz"]
+    assert crawl_delay(txt, "avecado/1.0") == 2.5
+    assert crawl_delay(txt, "otherbot") == 10.0
+    assert crawl_delay("user-agent: *\ncrawl-delay: soon", "b") is None
+    assert crawl_delay("user-agent: *\ndisallow: /x", "b") is None
+    assert robots_sitemaps("user-agent: *\ndisallow: /") == []
