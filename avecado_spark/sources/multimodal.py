@@ -540,7 +540,9 @@ def decode_audio(payload: bytes, n_samples: int = 4096,
     if bytes(payload[:4]) == b"fLaC":
         from ..functions.flac import flac_decode
         samples, _ = flac_decode(bytes(payload))
-        wave = samples[:, 0].astype(np.int16)   # channel 0, like wav mono
+        # mean-downmix multichannel, same convention as the wav path
+        wave = np.clip(samples.astype(np.float64).mean(axis=1),
+                       -32768, 32767).astype(np.int16)
         if len(wave) >= n_samples:
             return wave[:n_samples]
         return np.pad(wave, (0, n_samples - len(wave)))
