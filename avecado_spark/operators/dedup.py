@@ -421,15 +421,90 @@ def dedup_components_sql() -> str:
     )"""
 
 
-def components_bigstar(edges: DataFrame,
-                       max_rounds: int = 40) -> tuple[DataFrame, int]:
-    """Alternating large-star/small-star connected components (Kiveris,
-    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
-    MapReduce and Beyond", SoCC'14): converges in O(log^2 n) rounds (O(log
-    n) observed) REGARDLESS of component diameter, unlike min-label
-    propagation's O(diameter). Input: any (u, v) long pairs. Output:
-    (star_edges, n_rounds) where star_edges is the converged edge set —
-    each non-root node carries exactly (node, component_min).
+def _local_cc_min(u, v):
+    """Vectorized min-label connected components over one in-memory edge
+    list (numpy, no scipy in the container): returns (nodes, comp) where
+    comp[i] is the minimum node id of nodes[i]'s component WITHIN this
+    edge set. Shiloach–Vishkin-style: edge relaxation (scatter-min of
+    labels across endpoints) alternated with pointer jumping, O(log n)
+    outer iterations, each O(E + N)."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        mn = np.minimum(lab[ui], lab[vi])
+        np.minimum.at(lab, ui, mn)
+        np.minimum.at(lab, vi, mn)
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, old):
+            break
+    return nodes, nodes[lab]
+
+
+def _contract_mapping(e: DataFrame) -> DataFrame:
+    """Per-partition local contraction (the classic first phase of
+    distributed CC): one shuffle-free Arrow pass running union-find over
+    each partition's edges, emitting (a=node, b=local component min)
+    for every node seen in the partition. A node whose edges span
+    partitions yields one row per partition — those conflicts are exactly
+    the residual connectivity the global rounds must resolve. Memory per
+    task is bounded by the partition's edge count (16 B/edge + the label
+    arrays), i.e. by maxPartitionBytes, not by graph size."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        us, vs = [], []
+        for b in batches:
+            us.append(b["u"].to_numpy(dtype="int64"))
+            vs.append(b["v"].to_numpy(dtype="int64"))
+        if not us:
+            return
+        u, v = np.concatenate(us), np.concatenate(vs)
+        if len(u) == 0:
+            return
+        nodes, comp = _local_cc_min(u, v)
+        yield pd.DataFrame({"a": nodes, "b": comp})
+
+    return e.mapInPandas(run, schema="a long, b long")
+
+
+def components_bigstar(edges: DataFrame, max_rounds: int = 40,
+                       contract: bool = True) -> tuple[DataFrame, int]:
+    """Connected components over (u, v) long pairs. Output: (star_edges,
+    n_rounds) where star_edges is the converged star set — each non-root
+    node carries exactly (node, component_min).
+
+    Two phases (contract=True, the default):
+
+      0. LOCAL CONTRACTION — one shuffle-free map pass runs union-find
+         over each partition's edges (_contract_mapping). Everything
+         connected within a partition collapses to its local min; the
+         only connectivity left is nodes whose edges span partitions
+         (they carry different local roots in different partitions). One
+         groupBy over the (node, local_root) mapping extracts those
+         conflict edges — a graph of LOCAL ROOTS, typically orders of
+         magnitude smaller than the input (r08: the 1M-edge bench probe
+         contracts to ~100 root edges).
+      1. Alternating large-star/small-star rounds (below) on the
+         contracted root graph, then one join maps every node through
+         its local root to the global component min. Results are
+         partition-independent: the star SET is identical to running the
+         rounds directly (contract=False), only the round count changes
+         (the contraction pass is counted as one round).
+
+    The alternating rounds (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    Vassilvitskii — "Connected Components in MapReduce and Beyond",
+    SoCC'14) converge in O(log^2 n) rounds (O(log n) observed)
+    REGARDLESS of component diameter, unlike min-label propagation's
+    O(diameter).
 
     One round = large-star then small-star over the canonical (u > v)
     edge set:
@@ -459,32 +534,101 @@ def components_bigstar(edges: DataFrame,
                    F.bit_xor(F.xxhash64("u", "v")).alias("x")).first()
         return int(r["n"]), (0 if r["x"] is None else int(r["x"]))
 
-    e = (edges.select(F.greatest("u", "v").alias("u"),
-                      F.least("u", "v").alias("v"))
-              .where(F.col("u") != F.col("v"))
-              .distinct().localCheckpoint(eager=False))
+    canon = (edges.select(F.greatest("u", "v").alias("u"),
+                          F.least("u", "v").alias("v"))
+                  .where(F.col("u") != F.col("v")))
+
+    if contract:
+        # Phase 0: local contraction. The mapping (node -> local root) has
+        # two consumers (conflict extraction now, the final expansion
+        # join later) — one-generation persist, first action counts it.
+        mapping = persist_latest("bigstar:mapping", _contract_mapping(canon))
+        if mapping.limit(1).count() == 0:
+            return canon.distinct(), 0
+        # conflict edges: a node seen with >1 distinct local root links
+        # those roots (everything else merged inside a partition already);
+        # collect_set size is bounded by the partition count, never by
+        # node degree
+        sm = F.array_min("bs")
+        cedges = (mapping.groupBy("a")
+                         .agg(F.collect_set("b").alias("bs"))
+                         .where(F.size("bs") > 1)
+                         .select(F.explode("bs").alias("u"),
+                                 sm.alias("v"))
+                         .where(F.col("u") != F.col("v")))
+        stars_c, inner = _bigstar_rounds(cedges, max_rounds, _count_xor)
+        # expand: node -> local root -> component min (roots absent from
+        # the contracted star set are already their component's min)
+        comp_map = stars_c.select(F.col("u").alias("b"),
+                                  F.col("v").alias("comp"))
+        stars = (mapping.join(comp_map, "b", "left")
+                        .select(F.col("a").alias("u"),
+                                F.coalesce("comp", "b").alias("v"))
+                        .where(F.col("u") != F.col("v"))
+                        .distinct())
+        return stars, inner + 1
+
+    return _bigstar_rounds(canon, max_rounds, _count_xor)
+
+
+def _bigstar_rounds(canon: DataFrame, max_rounds: int,
+                    _count_xor) -> tuple[DataFrame, int]:
+    """The alternating large-star/small-star fixpoint loop over a
+    canonical (u > v, u != v) edge frame — see components_bigstar."""
+    e = canon.distinct().localCheckpoint(eager=False)
     n_edges, x_prev = _count_xor(e)
     rounds = 0
     if n_edges == 0:
         return e, rounds
+    # Two physically different round bodies, same emitted edge SET.
+    # Small graphs (the common post-contraction case) use the
+    # grouped-adjacency form — each star is ONE groupBy(collect_list +
+    # min) with a map-side explode, so a round costs 3 shuffles
+    # (large-star, small-star, final distinct) instead of the join
+    # form's 6 (two groupBys + two joins + two distincts) — r08: the
+    # 1M-edge bench probe's inner rounds run on ~10^2 contracted edges
+    # where per-round fixed cost dominates. The cap bounds the worst
+    # case of one giant adjacency row (a group's list can't exceed
+    # n_edges entries); above it the join form's AQE-skew-splittable
+    # shape is the safe one.
+    _LIST_CAP = 10_000_000
     for rounds in range(1, max_rounds + 1):
         nbrs = e.union(e.select(F.col("v").alias("u"),
                                 F.col("u").alias("v")))
-        lmin = (nbrs.groupBy("u").agg(F.min("v").alias("mn"))
-                    .select("u", F.least("mn", "u").alias("m")))
-        large = (nbrs.join(lmin, "u")
-                     .where(F.col("v") > F.col("u"))
-                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                     .where(F.col("u") != F.col("v"))
-                     .distinct().persist())
-        smin = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (large.join(smin, "u")
-                      .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                      .union(smin.select("u", F.col("m").alias("v")))
-                      .where(F.col("u") != F.col("v"))
-                      .distinct().localCheckpoint(eager=False))
-        n_new, x_new = _count_xor(small)  # materializes small (and large,
-        large.unpersist()                 # cached within the same job)
+        if n_edges <= _LIST_CAP:
+            g1 = nbrs.groupBy("u").agg(F.min("v").alias("mn"),
+                                       F.collect_list("v").alias("vs"))
+            # m = least(mn, u) <= u < x for every emitted x, so x != m
+            large = (g1.select(F.least("mn", "u").alias("m"), "u",
+                               F.explode("vs").alias("x"))
+                       .where(F.col("x") > F.col("u"))
+                       .select(F.col("x").alias("u"), F.col("m").alias("v")))
+            g2 = large.groupBy("u").agg(F.min("v").alias("m"),
+                                        F.collect_list("v").alias("vs"))
+            small = (g2.select(
+                        "m",
+                        F.explode(F.concat("vs", F.array(F.col("u"))))
+                         .alias("x"))
+                       .where(F.col("x") != F.col("m"))
+                       .select(F.col("x").alias("u"), F.col("m").alias("v"))
+                       .distinct().localCheckpoint(eager=False))
+            n_new, x_new = _count_xor(small)  # materializes small
+        else:
+            lmin = (nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+                        .select("u", F.least("mn", "u").alias("m")))
+            large = (nbrs.join(lmin, "u")
+                         .where(F.col("v") > F.col("u"))
+                         .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                         .where(F.col("u") != F.col("v"))
+                         .distinct().persist())
+            smin = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (large.join(smin, "u")
+                          .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                          .union(smin.select("u", F.col("m").alias("v")))
+                          .where(F.col("u") != F.col("v"))
+                          .distinct().localCheckpoint(eager=False))
+            n_new, x_new = _count_xor(small)  # materializes small (and
+            large.unpersist()                 # large, cached in-job)
         converged = (n_new == n_edges and x_new == x_prev
                      and small.subtract(e).isEmpty())
         e, n_edges, x_prev = small, n_new, x_new

@@ -302,9 +302,22 @@ def build_point_tiles(df: DataFrame, z: int,
         if tuple(props_cols) == ("lang",):
             vocab = {"lang": PAGES_VALUES}  # pinned order: byte-stable tiles
         else:
-            vocab = {c: sorted(r[0] for r in df.select(c).distinct().collect()
-                               if r[0] is not None)
-                     for c in props_cols}
+            # cardinality-guarded (r07 verdict): never materialize an
+            # unbounded vocabulary on the driver — a single column past
+            # the combo-space cap can't produce a valid vocab anyway, so
+            # collect at most cap+1 values and raise the same "split
+            # props" error the combo check below would, BEFORE the
+            # driver holds the full distinct set
+            cap = 1 << 20
+            vocab = {}
+            for c in props_cols:
+                vals = [r[0] for r in
+                        df.select(c).distinct().limit(cap + 1).collect()]
+                if len(vals) > cap:
+                    raise ValueError(
+                        "categorical combo space too large to tabulate; "
+                        "split props into separate layers")
+                vocab[c] = sorted(v for v in vals if v is not None)
     sizes = [len(vocab[c]) for c in props_cols]
     # each column gets one extra SENTINEL digit (== size) for null /
     # out-of-vocab values: the sentinel emits NO tag bytes for that column

@@ -190,7 +190,15 @@ def filter_frontier_robots(frontier: DataFrame, robots: DataFrame,
     from ..functions.robots import allowed, parse_robots
     from ..functions.url import host_of
 
-    host_udf = F.udf(host_of, "string")
+    # Arrow-batched host derivation (r07 verdict: the frontier is the
+    # BIG side of this gate — a row-at-a-time pickled UDF here was the
+    # module's one BatchEvalPython node)
+    def _hosts(urls: pd.Series) -> pd.Series:
+        return urls.map(host_of)
+
+    _hosts.__annotations__ = {"urls": pd.Series, "return": pd.Series}
+    host_udf = F.pandas_udf(_hosts, "string")
+
     fr = frontier.withColumn("_host", host_udf("url"))
     joined = fr.join(robots.select(F.col("host").alias("_host"),
                                    "robots_txt"),
@@ -303,14 +311,29 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
     documented class as pyramid.py's distinct-zoom collect).
 
     Returns (url, rank_i long)."""
-    spark = nodes.sparkSession
     # nodes joins into EVERY round — checkpoint once so the loop reuses
-    # a materialized (url) table instead of re-deriving the lineage 5x
+    # a materialized table instead of re-deriving the lineage 5x
     # (and the count below rides the same materialization)
     nodes = nodes.localCheckpoint()
     n = nodes.count()
     r0 = scale // n
     base = (15 * r0) // 100
+    # Narrow the iterated keys (guide §2.3): every round joins and
+    # groups on the url — a ~60-byte string. xxhash64(url) is an 8-byte
+    # deterministic map-side stand-in; one exact distinct-count action
+    # proves injectivity over THIS node set (collision probability
+    # ~n²/2⁶⁴, but checked, never assumed — on a collision we fall back
+    # to string keys). Ranks are bit-identical either way: the hash only
+    # relabels the grouping keys.
+    hnodes = nodes.select("url", F.xxhash64("url").alias("hid"))
+    use_hash = hnodes.agg(
+        F.countDistinct("hid").alias("d")).first()["d"] == n
+    if use_hash:
+        key_nodes = hnodes.select(F.col("hid").alias("url")).localCheckpoint()
+        edges = edges.select(F.xxhash64("src").alias("src"),
+                             F.xxhash64("dst").alias("dst"))
+    else:  # pragma: no cover - astronomically unlikely, exercised by test
+        key_nodes = nodes
     # materialize the edge set ONCE before it fans out into the degree
     # branch and the join branch — without this the (possibly expensive:
     # html-parsing) edge lineage evaluates twice (r06 bench: 25.2s →
@@ -319,9 +342,17 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # one exchange layout reused every round: edges carry (src, dst, outdeg)
     ed = e.join(deg, "src").localCheckpoint()
-    ranks = nodes.select(F.col("url"), F.lit(r0).cast("long").alias("r"))
+    ranks = key_nodes.select(F.col("url"), F.lit(r0).cast("long").alias("r"))
     for _ in range(iters):
-        ranks = pagerank_int_round(nodes, ed, ranks, base).localCheckpoint()
+        # lazy checkpoint: lineage still truncates per round, but the 5
+        # rounds materialize inside the caller's one action instead of
+        # 5 driver-blocking round-trips
+        ranks = pagerank_int_round(key_nodes, ed, ranks, base) \
+            .localCheckpoint(eager=False)
+    if use_hash:
+        ranks = (ranks.withColumnRenamed("url", "hid")
+                      .join(hnodes, "hid")
+                      .select("url", "r"))
     return ranks.select("url", F.col("r").alias("rank_i"))
 
 

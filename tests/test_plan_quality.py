@@ -389,3 +389,16 @@ def test_paragraph_dedup_shuffle_budget(spark):
     assert 0 < len(shuffles) <= 3, plan
     text_shuffles = [l for l in shuffles if "para" in l]
     assert len(text_shuffles) <= 2, text_shuffles
+
+
+def test_encode_vocab_guard_never_collects_unbounded(spark):
+    """r08 (r07 verdict anti-pattern #2): a props column whose distinct
+    cardinality exceeds the combo-space cap must raise the "split props"
+    error from a CAPPED collect (limit cap+1), never materialize the full
+    vocabulary on the driver."""
+    from avecado_spark.operators.encode import build_point_tiles
+
+    big = spark.range((1 << 20) + 8).select(
+        F.col("id").cast("string").alias("tag"))
+    with pytest.raises(ValueError, match="split props into separate layers"):
+        build_point_tiles(big, z=10, props_cols=("tag",))

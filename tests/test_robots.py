@@ -105,6 +105,10 @@ def test_filter_frontier_robots_distributed(spark):
     # schema passes through unchanged
     out = filter_frontier_robots(frontier, robots)
     assert out.columns == ["url", "want_cnt", "n_srcs"]
+    # r08: host derivation is Arrow-batched (pandas_udf), never a
+    # row-at-a-time pickled UDF — the frontier is the BIG side here
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_crawl_round_respects_robots(spark, tmp_path):
