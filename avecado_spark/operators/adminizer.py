@@ -606,12 +606,27 @@ def adminize_points_knn_rings(df: DataFrame,
     polys = sorted(polygons)
     rings = [np.asarray(r, dtype=np.float64) for _, r, _ in polys]
     boxes = np.array([G.bbox(r) for r in rings]).reshape(-1, 4)
+    # ring-LENGTH classes for the pairwise exact pass: candidates group
+    # by closed-ring vertex count, so the exact distances of a whole
+    # chunk run in one vectorized call per distinct length instead of
+    # one call per polygon (r08: per-call overhead was 80% of the probe)
+    closed = [G.close_ring(r) for r in rings]
+    lens = np.array([len(c) for c in closed])
+    class_lens = np.unique(lens)
+    cls_of = np.searchsorted(class_lens, lens)
+    pos_in_class = np.zeros(len(rings), dtype=np.int64)
+    class_stacks = []
+    for g, L in enumerate(class_lens):
+        idx = np.flatnonzero(cls_of == g)
+        pos_in_class[idx] = np.arange(len(idx))
+        class_stacks.append(np.stack([closed[i] for i in idx]))
     bc = df.sparkSession.sparkContext.broadcast(
         (rings,
          [v for _, _, v in polys],
          boxes,
          np.array([r[0] for r in rings]),  # representative vertex per poly
-         STRtree(boxes)))
+         STRtree(boxes),
+         cls_of, pos_in_class, class_stacks))
 
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
@@ -648,7 +663,8 @@ def adminize_points_knn_rings(df: DataFrame,
         return np.argsort(d2, axis=1, kind="stable")[:, :kk]
 
     def probe(batches):
-        rings, values, boxes, v0, tree = bc.value
+        (rings, values, boxes, v0, tree,
+         cls_of, pos_in_class, class_stacks) = bc.value
         m = len(rings)
         kk = min(k, m)
         beam = max(_BEAM, kk)
@@ -679,17 +695,17 @@ def adminize_points_knn_rings(df: DataFrame,
                 use = (lb <= thresh[:, None]) & ~pad
                 pi, ci = np.nonzero(use)
                 lj = leaf[pi, ci]
-                # exact ring distance for survivors, grouped by polygon
+                # exact ring distance for survivors — one pairwise
+                # vectorized call per distinct ring LENGTH (bit-equal to
+                # the per-polygon ring_distance2, see
+                # geometry.ring_distance2_pairs)
                 d2c = np.full(leaf.shape, np.inf)
-                o = np.argsort(lj, kind="stable")
-                pi, ci, lj = pi[o], ci[o], lj[o]
-                ulj, st = np.unique(lj, return_index=True)
-                en = np.append(st[1:], len(lj))
-                for t in range(len(ulj)):
-                    rows = pi[st[t]:en[t]]
-                    cols = ci[st[t]:en[t]]
-                    d2c[rows, cols] = G.ring_distance2(pts[rows],
-                                                       rings[int(ulj[t])])
+                cls = cls_of[lj]
+                for g in np.unique(cls):
+                    sel = cls == g
+                    R = class_stacks[g][pos_in_class[lj[sel]]]
+                    d2c[pi[sel], ci[sel]] = G.ring_distance2_pairs(
+                        pts[pi[sel]], R)
                 # per-row sort by (d2, polygon idx): reorder columns by idx
                 # first, then STABLE argsort on d2 → ties break ascending
                 io = np.argsort(np.where(pad, BIG, leaf), axis=1,

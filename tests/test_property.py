@@ -302,3 +302,31 @@ def test_packed_geom_interchange_roundtrip_property():
         assert back.type == g.type
         # WKT text is the canonical equality form for nested arrays
         assert dumps(back) == dumps(g)
+
+
+@given(st.integers(0, 10**6))
+@settings(max_examples=40, deadline=None)
+def test_ring_distance2_pairs_parity(seed):
+    """r08: the pairwise equal-length kernel is BIT-equal to per-ring
+    ring_distance2 on random polygons (incl. inside points and a
+    degenerate repeated-vertex ring)."""
+    import numpy as np
+    from avecado_spark.functions import geometry as G
+    rng = np.random.default_rng(seed)
+    n_verts = int(rng.integers(3, 9))
+    n = 40
+    rings = []
+    for _ in range(n):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_verts))
+        r = rng.uniform(2, 20, n_verts)
+        ring = np.column_stack([r * np.cos(ang), r * np.sin(ang)])
+        ring += rng.uniform(-30, 30, 2)
+        rings.append(ring)
+    # one degenerate ring with a repeated vertex (zero-length edge)
+    rings[0][1] = rings[0][0]
+    pts = rng.uniform(-40, 40, (n, 2))
+    expect = np.array([G.ring_distance2(pts[i:i + 1], rings[i])[0]
+                       for i in range(n)])
+    stacked = np.stack([G.close_ring(r) for r in rings])
+    got = G.ring_distance2_pairs(pts, stacked)
+    assert np.array_equal(got, expect), (got - expect)
