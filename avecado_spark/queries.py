@@ -69,12 +69,14 @@ def _geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     sandbox analog of materializing the geocoded table once at corpus
     scale (at 100 TB this is a written table, not a cache; same
     one-generation persist_latest the dedup signature pipeline uses).
-    No current consumer reads text/lang downstream of _geo, so the cached
-    footprint is three columns."""
+    No current consumer reads text/html downstream of _geo, so the
+    cached footprint is four slim columns (lang rides along for the
+    raster tile build — r08)."""
     from .operators.dedup import persist_latest
     return persist_latest(
         f"geo:{sf_dir}",
-        geocode(pages_df(spark, sf_dir)).select("url", "mx_mm", "my_mm"),
+        geocode(pages_df(spark, sf_dir)).select("url", "mx_mm", "my_mm",
+                                                "lang"),
         reuse=True)
 
 
@@ -2047,9 +2049,18 @@ def raster_pixels_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pyramid_raster.py. (One registered row for the family:
     the driver's CORRECTNESS artifact caps at 50 entries, so the
     registry keeps oracle-backed queries at exactly 50.)"""
-    from .api import build_tiles
+    from .operators.encode import build_point_tiles
+    from .operators.keys import with_salt, with_tile_keys
     from .operators.raster import render_tiles, vectorize_tiles
-    tiles = build_tiles(pages_df(spark, sf_dir), z=6)
+    # identical pipeline to api.build_tiles(pages, z=6), but starting
+    # from the session's geocode-once cache (_geo) — r08: the z6 build
+    # dominated this query (6.1s of 8.3s) and most of it was
+    # re-synthesizing and re-geocoding the pages table that every other
+    # geo query already reads from the one-generation cache
+    keyed = with_tile_keys(_geo(spark, sf_dir), 6)
+    keyed = keyed.withColumn("feature_id",
+                             keyed["url"].substr(32, 20).cast("long"))
+    tiles = build_point_tiles(with_salt(keyed), 6)
     pngs = render_tiles(tiles, styles={"pages": (0x51, 0x21, 0x4D, 0xFF)})
     pts = vectorize_tiles(pngs)
     return (pts.groupBy("x", "y")
