@@ -71,7 +71,8 @@ def _shingle_arr(arr: Column, n: int = SHINGLE) -> Column:
 
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources.tables import read_split
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id", F.explode(_shingle_arr(_tok_arr())).alias("shingle"))
 
@@ -138,8 +139,9 @@ def minhash_bands_from_docs(docs: DataFrame) -> DataFrame:
 
 
 def minhash_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import read_split
     return minhash_bands_from_docs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        read_split(spark, f"{sf_dir}/documents.parquet"))
 
 
 def minhash_bands_sql() -> str:
@@ -276,7 +278,8 @@ aggregate(
 
 
 def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources.tables import read_split
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
 
 

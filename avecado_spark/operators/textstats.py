@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.tables import read_split
+
 # marker tokens per language (the synthetic corpus vocabulary is English-ish;
 # real corpora would carry real stopword lists — the operator shape is what
 # matters: per-doc marker counts → argmax with tie→'und')
@@ -44,7 +46,7 @@ def _count_in(arr: Column, vocab: list[str]) -> Column:
 
 
 def lang_id_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     scores = docs.select("doc_id", *[
         _count_in(_arr(), markers).alias(f"n_{lang}")
         for lang, markers in LANG_MARKERS.items()])
@@ -77,7 +79,7 @@ def lang_id_sql() -> str:
 
 
 def quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     arr = _arr()
     n_tokens = F.size(arr).cast("long")
     n_distinct = F.size(F.array_distinct(arr)).cast("long")
@@ -127,7 +129,7 @@ def fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-hash over word 5-gram windows (rolling-hash stand-in). Both parts
     per-document local: the winnow minimum is array_min over the md5s of
     the grams built from the split array — zero shuffles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     arr = _arr()
     idx = F.sequence(F.lit(1), F.size(arr) - 4)
     gram = lambda i: F.concat_ws(  # noqa: E731
@@ -169,7 +171,7 @@ def token_count_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (training-data pipeline primitive):
     whitespace tokens and BPE-ish pre-tokens — both per-document local
     (size over split / regexp_extract_all), zero shuffles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     arr = _arr()
     return docs.select(
         "doc_id",
@@ -189,7 +191,7 @@ def token_count_sql() -> str:
 
 
 def repetition_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return repetition_stats(docs)
 
 
