@@ -477,22 +477,26 @@ def merge_point_partials(partial: DataFrame, z: int,
             nf = arrs["n_features"].astype(np.int64)
             ins = arrs["inside1"]
             tk = arrs["tkey"].astype(np.int64)
-            pbfs, nfs, inter = [], [], []
+            # per-tile totals/flags vectorized: one reduceat instead of
+            # 2.5M tiny nf[st:e].sum() scalar reductions (r08 — the z14
+            # build emits ~one tile per 1.5 features, so anything per
+            # TILE in python must be O(1) python ops)
+            totals = np.add.reduceat(nf, starts)
+            inter = (totals > 1) | ins[starts].astype(bool)
+            pbfs = []
             for st, e in zip(starts, ends):
                 body = layer_head + b"".join(fbl[st:e]) + layer_tail
                 tile_bytes = _len_delim(3, body)
                 if compression > 0:
                     tile_bytes = _gzb(tile_bytes, compression)
-                total = int(nf[st:e].sum())
                 pbfs.append(tile_bytes)
-                nfs.append(total)
-                inter.append(True if total > 1 else bool(ins[st]))
             keys = tk[starts]
             yield pd.DataFrame({
                 "z": np.full(len(starts), z, dtype=np.int32),
                 "x": keys >> z,
                 "y": keys & ymask,
-                "tile_pbf": pbfs, "n_features": nfs, "interesting": inter,
+                "tile_pbf": pbfs, "n_features": totals,
+                "interesting": inter,
             })
 
     tiled = partial.withColumn("tkey", F.shiftright("pkey", salt_bits))
