@@ -439,7 +439,15 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
         # per-feature + stateless → no grouping needed; skip the shuffle
         walked = df.mapInPandas(_make_run_fast(), schema=out_schema)
     else:
-        walked = (df.repartition("z", "x", "y", "layer")
+        # explicit partition count: an izer group is STATEFUL and cannot
+        # be split, so a hot tile (r08: one z10 city tile holds ~90k
+        # features — a 1.6s serial unionize) is an irreducible straggler;
+        # a count-less repartition lets AQE size-coalesce partitions and
+        # MERGE two hot tiles into one task, doubling the tail. Pinning
+        # the count keeps hot groups spread (hash) and is the same
+        # explicit-nparts treatment the encode exchange uses.
+        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        walked = (df.repartition(nparts, "z", "x", "y", "layer")
                     .sortWithinPartitions("z", "x", "y", "layer")
                     .mapInPandas(run, schema=out_schema))
     props_back = F.when(
