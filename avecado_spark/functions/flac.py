@@ -381,6 +381,16 @@ def _write_residual(w: _BitWriter, res: np.ndarray, n: int, order: int,
             if cnt else 1
         # escape when raw verbatim beats rice (huge residuals)
         if cnt and _rice_cost(part, k) > cnt * raw + 5:
+            if raw > 31:
+                # the escape width field is 5 bits; a residual needing
+                # more would silently truncate to raw & 31 and corrupt
+                # the stream (r08 advisor fix — reachable only via the
+                # forced-LPC knob, the FIXED path's cost guard never
+                # picks such predictors)
+                raise ValueError(
+                    f"FLAC escape partition needs {raw} bits/sample "
+                    "(> 31): residuals overflow the 5-bit raw width — "
+                    "use a different predictor or wider bps")
             w.write(escape, kbits)
             w.write(raw, 5)
             for v in part:

@@ -319,8 +319,11 @@ def mp4_sample_ranges(payload: bytes,
     sizes = ([uniform] * n_samples if uniform else
              [u32(stsz[0] + 12 + 4 * i) for i in range(n_samples)])
 
-    wide = p[stco[0] - 8:stco[0] - 4] == b"co64" \
-        if stco[0] >= 8 else False
+    # box layout is [size][tag][body]: the TAG is the 4 bytes just before
+    # the body (r08 advisor fix — reading [size] here left wide always
+    # False, silently mis-parsing 64-bit co64 offset tables as stco)
+    wide = p[stco[0] - 4:stco[0]] == b"co64" \
+        if stco[0] >= 4 else False
     n_chunks = u32(stco[0] + 4)
     if wide:
         offsets = [int.from_bytes(p[stco[0] + 8 + 8 * i:

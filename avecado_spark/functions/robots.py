@@ -13,12 +13,15 @@ Spec facts implemented (RFC 9309 §2):
     user-agent group applies (longest token match, `*` as fallback) and
     ONLY that group's rules are used.
   * rules: `Allow` / `Disallow` with a path pattern; empty Disallow
-    means allow-all; percent-encoding is compared literally after
-    uppercasing hex (we normalize both sides the same way, which is the
-    interoperable reading).
-  * matching: the rule whose pattern matches the LONGEST length of the
-    path wins; if an Allow and a Disallow match at the same length,
-    Allow wins. No matching rule -> allowed.
+    means allow-all; percent-encoded octets are compared LITERALLY as
+    spelled on both sides (no hex-case normalization — a pattern
+    `/a%2Fb` matches only the same spelling in the path; r08 advisor
+    note: callers needing cross-case matches must canonicalize urls
+    and robots bodies upstream with one spelling).
+  * matching: rule specificity is the PATTERN length in characters
+    (the RFC's proxy for matched-path length — identical for every
+    pattern without wildcards, which is all §2.2.2 defines); if an
+    Allow and a Disallow tie, Allow wins. No matching rule -> allowed.
   * a missing/unfetchable robots.txt is allow-all (caller's default).
 """
 

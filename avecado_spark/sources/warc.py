@@ -156,10 +156,24 @@ def build_warc_index(data: bytes) -> list[tuple[str, int, int, int]]:
             d = zlib.decompressobj(wbits=31)
             raw = d.decompress(data[pos:]) + d.flush()
             end = len(data) - len(d.unused_data)
+            n_resp = 0
             for _, _, headers, block in _walk_records(raw):
                 if headers.get("warc-type") == "response":
+                    n_resp += 1
                     url, epoch, _ = _record_fields(headers, block)
                     out.append((url, pos, end - pos, epoch))
+            if n_resp > 1:
+                # the documented invariant is one INDEPENDENTLY readable
+                # range per record; a member packing several response
+                # records cannot satisfy it (each entry would span the
+                # whole member and read_warc_indexed would duplicate
+                # records) — fail loudly instead (r08 advisor fix;
+                # warc_bytes always writes one record per member)
+                raise ValueError(
+                    "build_warc_index: gzip member at offset "
+                    f"{pos} holds {n_resp} response records — the "
+                    "per-record range invariant needs one record per "
+                    "member; re-pack the WARC or index it uncompressed")
             pos = end
         return out
     for start, end, headers, block in _walk_records(data):

@@ -240,3 +240,41 @@ def test_mp4_sample_ranges_exact_addressing():
     frag = ftyp + _box(b"moof", b"") + moov
     with pytest.raises(NotImplementedError):
         mp4_sample_ranges(frag)
+
+
+def test_mp4_sample_ranges_co64():
+    """r08 advisor fix: co64 (64-bit chunk offsets) must be detected by
+    the box TAG (the 4 bytes before the body), not the size field — the
+    old check read [size] and parsed every co64 table as 4-byte stco
+    entries, returning silently wrong offsets."""
+    from avecado_spark.functions.mediameta import mp4_sample_ranges
+
+    samples = [bytes([65 + i]) * (3 + 2 * i) for i in range(5)]
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_body = b"".join(samples)
+    mdat_at = len(ftyp) + 8
+    chunk0_at = mdat_at
+    chunk1_at = mdat_at + sum(len(s) for s in samples[:3])
+    mdat = _box(b"mdat", mdat_body)
+    mdhd = _box(b"mdhd", b"\x00" * 12 + struct.pack(">II", 1000, 500)
+                + b"\x00" * 4)
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1)
+                + struct.pack(">I", 16) + b"avc1" + b"\x00" * 8)
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 5)
+                + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">I", 2)
+                + struct.pack(">II", 3, 100) + struct.pack(">II", 2, 250))
+    stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">I", 2)
+                + struct.pack(">III", 1, 3, 1)
+                + struct.pack(">III", 2, 2, 1))
+    co64 = _box(b"co64", b"\x00" * 4 + struct.pack(">I", 2)
+                + struct.pack(">QQ", chunk0_at, chunk1_at))
+    stbl = _box(b"stbl", stsd + stsz + stts + stsc + co64)
+    moov = _box(b"moov", _box(b"trak", _box(b"mdia", mdhd
+                + _box(b"minf", stbl))))
+    got = mp4_sample_ranges(ftyp + mdat + moov)
+    assert len(got) == 5
+    payload = ftyp + mdat + moov
+    for (off, size, t), want in zip(got, samples):
+        assert payload[off:off + size] == want
+    assert [t for _, _, t in got] == [0.0, 0.1, 0.2, 0.3, 0.55]
