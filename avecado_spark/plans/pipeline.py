@@ -439,14 +439,21 @@ def apply_to_tiles(df, config: dict, tile_px: int = 256):
         # per-feature + stateless → no grouping needed; skip the shuffle
         walked = df.mapInPandas(_make_run_fast(), schema=out_schema)
     else:
-        # explicit partition count: an izer group is STATEFUL and cannot
-        # be split, so a hot tile (r08: one z10 city tile holds ~90k
-        # features — a 1.6s serial unionize) is an irreducible straggler;
-        # a count-less repartition lets AQE size-coalesce partitions and
-        # MERGE two hot tiles into one task, doubling the tail. Pinning
-        # the count keeps hot groups spread (hash) and is the same
-        # explicit-nparts treatment the encode exchange uses.
-        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # explicit partition count, 4x the session's shuffle
+        # partitions: an izer group is STATEFUL and cannot be split, so
+        # a hot tile (r08: one z10 city tile holds ~94k features, a
+        # multi-second serial unionize) is an irreducible straggler. A
+        # count-less repartition let AQE size-coalesce partitions and
+        # MERGE two hot tiles into one task (measured: a 144k-row
+        # partition = two hot groups, 4.6s serial); an explicit count
+        # pins the layout, and the 4x bin factor drops the chance that
+        # two hot GROUPS hash into one bin and thins the non-hot load
+        # each hot bin also carries (guide §2.5: group-level skew needs
+        # more bins than byte-level balance suggests). Scales with the
+        # configured shuffle partitions, not the local core count;
+        # walk tasks are group-atomic so extra bins only shrink them.
+        nparts = 4 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         walked = (df.repartition(nparts, "z", "x", "y", "layer")
                     .sortWithinPartitions("z", "x", "y", "layer")
                     .mapInPandas(run, schema=out_schema))
