@@ -146,12 +146,29 @@ class STRtree:
         cand = np.zeros((n, 1), dtype=np.int64)  # node ids at current level
         lb = _lb(self.levels[0], cand, np.ones((n, 1), dtype=bool))
         for lvl in range(1, len(self.levels)):
-            ch = (cand[:, :, None] * NODE_CAP
-                  + np.arange(NODE_CAP)[None, None, :]).reshape(n, -1)
-            valid = ((ch < len(self.levels[lvl]))
-                     & np.repeat(np.isfinite(lb), NODE_CAP, axis=1))
-            lb = _lb(self.levels[lvl], ch, valid)
-            cand = ch
+            m = len(self.levels[lvl])
+            if m <= beam * NODE_CAP:
+                # small level: enumerate ALL its nodes with one SHARED box
+                # array instead of gathering beam*16 per-point children
+                # (r08: the 10^4-leaf tree spent half its descent cost on
+                # a 256-wide per-point gather of a 40-node level). The
+                # evaluated set is a superset of the descended children,
+                # so pruning/certificate semantics are unchanged — only
+                # min_pruned can grow (fewer discards), never shrink.
+                b = self.levels[lvl]
+                dx = np.maximum(0.0, np.maximum(b[None, :, 0] - xs[:, None],
+                                                xs[:, None] - b[None, :, 2]))
+                dy = np.maximum(0.0, np.maximum(b[None, :, 1] - ys[:, None],
+                                                ys[:, None] - b[None, :, 3]))
+                lb = dx * dx + dy * dy
+                cand = np.tile(np.arange(m, dtype=np.int64), (n, 1))
+            else:
+                ch = (cand[:, :, None] * NODE_CAP
+                      + np.arange(NODE_CAP)[None, None, :]).reshape(n, -1)
+                valid = ((ch < m)
+                         & np.repeat(np.isfinite(lb), NODE_CAP, axis=1))
+                lb = _lb(self.levels[lvl], ch, valid)
+                cand = ch
             if lvl < len(self.levels) - 1 and lb.shape[1] > beam:
                 part = np.argpartition(lb, beam - 1, axis=1)
                 pruned_lb = np.take_along_axis(lb, part[:, beam:], axis=1)
