@@ -137,21 +137,31 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(run, schema=TEXT_SCHEMA)
 
 
-def edges_df(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
+def edges_df(pages: DataFrame, links: DataFrame | None = None,
+             unique: bool = False) -> DataFrame:
     """Live link-graph edges: canonical targets inner-joined back to the
     page-url set (dead links drop), self-loops excluded. Distinct is
     already guaranteed per page by parse_links; the explicit distinct
     covers multi-row sources (e.g. a crawl with re-fetches). Pass `links`
     (a materialized extract_links table) to skip the html parse — the
-    durable-job path, where extraction runs exactly once."""
+    durable-job path, where extraction runs exactly once.
+
+    unique=True skips the distinct (guide §2.4: a distinct on data that
+    is already unique is a pure extra shuffle): valid exactly when the
+    caller knows links are one fetch per page (parse_links dedups
+    targets within a page) AND the page table's urls are unique — then
+    the inner join cannot create duplicates. Results are identical under
+    that precondition; callers with re-fetched/multi-row sources must
+    keep the default."""
     if links is None:
         links = extract_links(pages)
     links = links.select(F.col("src_url").alias("src"),
                          F.col("dst_url").alias("dst"))
     urls = pages.select(F.col("url").alias("dst"))
-    return (links.join(urls, "dst")
-                 .where(F.col("src") != F.col("dst"))
-                 .select("src", "dst").distinct())
+    out = (links.join(urls, "dst")
+                .where(F.col("src") != F.col("dst"))
+                .select("src", "dst"))
+    return out if unique else out.distinct()
 
 
 def frontier_df(pages: DataFrame, follow_only: bool = True,

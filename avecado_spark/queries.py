@@ -1803,7 +1803,8 @@ def web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webgraph import edges_df, hits_int
     pg = pages_df(spark, sf_dir)
     return hits_int(pg.select("url"),
-                    edges_df(pg, links=_links(spark, sf_dir)),
+                    edges_df(pg, links=_links(spark, sf_dir),
+                             unique=True),
                     iters=2, scale=10**6)
 
 
@@ -2004,7 +2005,12 @@ def web_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webgraph import edges_df, pagerank_int
     pg = pages_df(spark, sf_dir)
     nodes = pg.select("url")
-    ranks = pagerank_int(nodes, edges_df(pg, links=_links(spark, sf_dir)),
+    # unique=True: one fetch per page (parse_links dedups targets
+    # per page) and the synthesized page urls are distinct by
+    # construction — the edge distinct would be a pure extra shuffle
+    ranks = pagerank_int(nodes,
+                         edges_df(pg, links=_links(spark, sf_dir),
+                                  unique=True),
                          iters=5, scale=10**12)
     return ranks.orderBy(F.col("rank_i").desc(), "url").limit(_WG_TOP)
 
