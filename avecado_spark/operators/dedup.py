@@ -376,16 +376,22 @@ def dedup_components_df(spark: SparkSession, sf_dir: str,
     for _ in range(max_iter):
         prop = (edges.join(labels, edges.v == labels.doc_id)
                      .groupBy("u").agg(F.min("comp").alias("ncomp")))
+        # changed-flag computed inline: new comp != old comp iff a
+        # neighbor's label undercuts ours, so the stop-condition count
+        # rides the SAME frame/action instead of re-joining nxt against
+        # the previous labels every round (r08: one join + one shuffle
+        # fewer per round)
         nxt = (labels.join(prop, labels.doc_id == prop.u, "left")
                      .select(labels.doc_id,
                              F.least(labels.comp,
                                      F.coalesce(prop.ncomp, labels.comp))
-                              .alias("comp"))
+                              .alias("comp"),
+                             (F.coalesce(prop.ncomp, labels.comp)
+                              < labels.comp).alias("chg"))
                      .localCheckpoint(eager=False))
-        changed = (nxt.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.comp") != F.col("o.comp")).count())
-        labels = nxt
+        changed = int(nxt.agg(
+            F.sum(F.col("chg").cast("long"))).first()[0] or 0)
+        labels = nxt.select("doc_id", "comp")
         if changed == 0:
             break
     else:
