@@ -101,15 +101,23 @@ def test_salting_spreads_hot_tiles(spark):
 def test_text_operators_are_shuffle_free(spark):
     """Shingling, minhash signatures + band keys, simhash, fingerprinting,
     lang-id and quality scoring are per-document local computations — the
-    executed plan must contain NO Exchange (round 1 shuffled every token in
-    the corpus through lead()-windows and 60×-exploded groupBys; at 100 TB
-    that is the dominant shuffle and it buys nothing)."""
+    executed plan must contain NO KEYED Exchange (round 1 shuffled every
+    token in the corpus through lead()-windows and 60×-exploded groupBys;
+    at 100 TB that is the dominant shuffle and it buys nothing). A single
+    ROUND-ROBIN rebalance exchange is allowed: the sandbox documents
+    table is one unsplittable parquet row group, and read_split
+    repartitions the raw rows to recover scan parallelism (r08) — that
+    exchange carries no algorithmic keying and disappears on a real
+    multi-row-group table."""
     from avecado_spark import queries as q
     Q = q.queries()
     for name in ("dedup_minhash_bands", "dedup_simhash", "text_lang_id",
                  "text_quality", "text_fingerprint"):
         plan = Q[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        keyed = [l for l in plan.splitlines()
+                 if "Exchange" in l and "RoundRobinPartitioning" not in l
+                 and "Exchange" != l.strip()]
+        assert not keyed, f"{name} has keyed shuffles:\n{plan}"
 
 
 def test_neardup_queries_non_vacuous(spark):
