@@ -277,16 +277,27 @@ def embedding_neardup_lsh_df(spark: SparkSession, sf_dir: str,
     # references the bucketed corpus twice; repeated invocations unpersist
     # the previous generation so storage stays bounded
     from .dedup import persist_latest
-    embb = persist_latest(f"neardup_embb:{sf_dir}",
-                          emb.join(buckets, "vec_id"))
-    a = embb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-                    F.col("band").alias("ba"), F.col("bucket").alias("ka"))
-    b = embb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-                    F.col("band").alias("bb"), F.col("bucket").alias("kb"))
+    embp = persist_latest(f"neardup_emb:{sf_dir}", emb)
+    buckets = persist_latest(f"neardup_buckets:{sf_dir}", buckets)
+    # candidate dedup on ID PAIRS only — the band self-join previously
+    # carried both embedding arrays through the distinct's exchange
+    # (guide §8: decide with small rows, attach the payload once); the
+    # vectors re-attach via two joins against the persisted corpus,
+    # which each move every embedding once, not once per candidate
+    bk = buckets
+    a = bk.select(F.col("vec_id").alias("va"), F.col("band").alias("ba"),
+                  F.col("bucket").alias("ka"))
+    b = bk.select(F.col("vec_id").alias("vb"), F.col("band").alias("bb"),
+                  F.col("bucket").alias("kb"))
     cand = (a.join(b, (F.col("ba") == F.col("bb")) & (F.col("ka") == F.col("kb"))
                    & (F.col("va") < F.col("vb")))
-             .select("va", "vb", "ea", "eb").distinct())
-    return (cand.select("va", "vb",
+             .select("va", "vb").distinct())
+    ea = embp.select(F.col("vec_id").alias("va"),
+                     F.col("embedding").alias("ea"))
+    eb = embp.select(F.col("vec_id").alias("vb"),
+                     F.col("embedding").alias("eb"))
+    return (cand.join(ea, "va").join(eb, "vb")
+                .select("va", "vb",
                         F.round(_dot(F.col("ea"), F.col("eb"))
                                 / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4)
                          .alias("cos"))
