@@ -34,6 +34,11 @@ def split_url(u: str) -> tuple[str | None, str | None, str, str | None, str | No
 
 def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4."""
+    if "." not in path:
+        # the algorithm only rewrites "." / ".." segments; a dot-free path
+        # round-trips unchanged (segment split + rejoin), so skip the loop —
+        # this is the common case for every crawl-corpus link
+        return path
     out: list[str] = []
     while path:
         if path.startswith("../"):
@@ -73,9 +78,13 @@ def _merge(base_authority: str | None, base_path: str, ref_path: str) -> str:
     return (base_path[: i + 1] + ref_path) if i >= 0 else ref_path
 
 
-def resolve(base: str, ref: str) -> str:
-    """RFC 3986 §5.2.2 transform-references (strict; base assumed absolute)."""
-    b_scheme, b_auth, b_path, b_query, _ = split_url(base)
+def _resolve_parts(base_parts: tuple, ref: str) -> tuple:
+    """RFC 3986 §5.2.2 transform-references on pre-split base components;
+    returns (scheme, auth, path, query, frag) without recomposing — the
+    hot link-extraction loop resolves every href of a page against ONE
+    base, so the base split is hoisted out and the canonicalizer consumes
+    the components directly instead of re-splitting a recomposed string."""
+    b_scheme, b_auth, b_path, b_query, _ = base_parts
     r_scheme, r_auth, r_path, r_query, r_frag = split_url(ref)
     if r_scheme is not None:
         scheme, auth, path, query = r_scheme, r_auth, remove_dot_segments(r_path), r_query
@@ -92,7 +101,12 @@ def resolve(base: str, ref: str) -> str:
                 path = remove_dot_segments(
                     r_path if r_path.startswith("/") else _merge(b_auth, b_path, r_path))
                 query = r_query
-    return _recompose(scheme, auth, path, query, r_frag)
+    return scheme, auth, path, query, r_frag
+
+
+def resolve(base: str, ref: str) -> str:
+    """RFC 3986 §5.2.2 transform-references (strict; base assumed absolute)."""
+    return _recompose(*_resolve_parts(split_url(base), ref))
 
 
 def _recompose(scheme, auth, path, query, frag) -> str:
@@ -176,7 +190,8 @@ def registrable_domain(host: str | None,
     return last2
 
 
-def canonicalize(href: str, base: str) -> str | None:
+def canonicalize(href: str, base: str,
+                 base_parts: tuple | None = None) -> str | None:
     """Resolve `href` against `base` and normalize to the graph's node key:
 
       * scheme + host lowercased (§6.2.2.1)
@@ -188,8 +203,21 @@ def canonicalize(href: str, base: str) -> str | None:
     Returns None for non-http(s) results (mailto:, javascript:, data:) —
     callers drop those links. Percent-encoding is passed through untouched
     (re-encoding without a registry of reserved-per-component octets can
-    change meaning; documented boundary)."""
-    scheme, auth, path, query, _ = split_url(resolve(base, href.strip()))
+    change meaning; documented boundary).
+
+    `base_parts` (optional): pre-split `split_url(base)` — per-page link
+    loops pass it so the base is split once per page, not once per link;
+    the resolved components feed the normalizer directly (no intermediate
+    recompose + re-split)."""
+    scheme, auth, path, query, _ = _resolve_parts(
+        base_parts if base_parts is not None else split_url(base),
+        href.strip())
+    if auth is None and path.startswith("//"):
+        # recompose-then-resplit (the pre-fast-path behavior) reinterprets
+        # a leading "//" of an authority-less path as the authority; keep
+        # that byte-identical for e.g. "http:/..//b"
+        scheme, auth, path, query, _ = split_url(
+            _recompose(scheme, auth, path, query, None))
     if scheme is None:
         return None
     scheme = scheme.lower()

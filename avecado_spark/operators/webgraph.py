@@ -42,7 +42,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.url import canonicalize
+from ..functions.url import canonicalize, split_url
 
 # anchor tags: attrs in any order/case, href double-/single-/un-quoted,
 # inner text until the matching close tag (nested inline tags stripped)
@@ -70,6 +70,7 @@ def parse_links(url: str, html: bytes) -> list[tuple[str, str, str, int, bool]]:
     out: list[tuple[str, str, str, int, bool]] = []
     seen: set[str] = set()
     pos = 0
+    base_parts = split_url(url)  # split once per page, not once per link
     for m in _A_RE.finditer(html):
         href = (m.group(2) if m.group(2) is not None else
                 m.group(3) if m.group(3) is not None else m.group(4))
@@ -77,7 +78,7 @@ def parse_links(url: str, html: bytes) -> list[tuple[str, str, str, int, bool]]:
             text = href.decode("utf-8", "replace")
         except Exception:  # pragma: no cover - bytes always decode w/ replace
             continue
-        dst = canonicalize(text, url)
+        dst = canonicalize(text, url, base_parts)
         pos += 1
         if dst is None or dst == url or dst in seen:
             continue

@@ -117,6 +117,17 @@ CANON_CASES = [
 @pytest.mark.parametrize("href,base,expected", CANON_CASES)
 def test_canonicalize(href, base, expected):
     assert canonicalize(href, base) == expected
+    # pre-split base fast path (the per-page link loop) is byte-identical
+    assert canonicalize(href, base, split_url(base)) == expected
+
+
+def test_canonicalize_authorityless_double_slash_path():
+    """A scheme-qualified, authority-less ref whose path collapses to a
+    leading "//" must keep the historical recompose-then-resplit reading
+    (the "//" becomes the authority) — pins the r08 fast-path guard."""
+    for href in ("http:/..//b", "HTTP:/..//b"):
+        assert canonicalize(href, B) == "http://b/"
+        assert canonicalize(href, B, split_url(B)) == "http://b/"
 
 
 # ---------------------------------------------------------------------------
