@@ -10,6 +10,12 @@ evidence lands here and is cited from OPTIMIZATION_r08.md / BASELINE.md).
                    join tier pays per-query shuffles that do not.
                    Prints one JSON line.
 
+  --knn-cut        stage decomposition of pip_knn_10k (guide §1.4 noop
+                   isolation): times (a) the pages scan + geocode with a
+                   count sink, (b) the same plus the kNN probe — the
+                   difference is the probe's true cost; prints both plus
+                   the same-session inline JVM control for host context.
+
 Usage: SPARK_GRAFT_CPUS=32 python bench_extra.py --s2-crossover
 """
 
@@ -71,8 +77,36 @@ def s2_crossover():
     print(json.dumps(out))
 
 
+def knn_cut():
+    from bench import _bench_polys_10k, _control_inline, _pages_table
+    from avecado_spark.operators.adminizer import adminize_points_knn_rings
+    from avecado_spark.operators.keys import geocode
+
+    spark = _session()
+    out = {"metric": "knn_cut", "unit": "sec", "cpus": CPUS, "sf": SF_DIR}
+    out["control_sec"] = _control_inline(spark)
+    pages = spark.read.parquet(_pages_table(spark, SF_DIR))
+
+    t = time.time()
+    n_pts = geocode(pages).select("url", "mx_mm", "my_mm").count()
+    out["scan_geocode_s"] = round(time.time() - t, 2)
+    out["points"] = n_pts
+
+    for rep in range(2):          # rep2 = warm JVM, the comparable number
+        g = geocode(pages).select("url", "mx_mm", "my_mm")
+        t = time.time()
+        n = adminize_points_knn_rings(g, _bench_polys_10k(), k=2).count()
+        out[f"full_probe_s_rep{rep}"] = round(time.time() - t, 2)
+    out["rows"] = n
+    out["control_sec_end"] = _control_inline(spark)
+    spark.stop()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--s2-crossover" in sys.argv:
         s2_crossover()
+    elif "--knn-cut" in sys.argv:
+        knn_cut()
     else:
         print(__doc__)
